@@ -1,0 +1,315 @@
+"""Pixel codecs — pure numpy, batch-friendly.
+
+Mirrors the reference decode chain (decompress -> predictor -> raster):
+/root/reference/src/cog/compression.rs:212-330 and
+/root/reference/src/raster/image.rs. Four on-disk formats exist in the
+fixture `images.fmt` column (FIXTURES.md T1):
+
+- ``deflate_raw`` — zlib of raw interleaved RGB bytes (compression.rs:217-221).
+  Bit-exact gate.
+- ``lzw_raw`` — TIFF-style LZW (MSB-first bit packing, early-change code
+  widening, per TIFF 6 spec section 13; compression.rs:215-216 delegates to
+  salzweg's TiffStyleDecoder). Bit-exact gate.
+- ``png`` — minimal spec-conforming PNG (8-bit RGB, color type 2). Our
+  encoder emits filter 0 rows; the decoder handles all five PNG filters.
+  Bit-exact gate.
+- ``jpeg`` — DETERMINISTIC LOSSY STAND-IN. No JPEG library exists in this
+  container (no PIL/imagecodecs), so "jpeg" bytes are a clearly-marked fake:
+  magic ``FJ01`` + dims + zlib of 6-bit-quantized pixels. Quantization error
+  is uniform in [-2, 1] => PSNR ~= 46 dB, exercising the PSNR>=40dB lossy
+  gate from BASELINE.json without pretending to be real JPEG. Swap for a
+  real JPEG codec by replacing encode_fakejpeg/decode_fakejpeg only.
+
+Also: TIFF horizontal predictor (compression.rs:298-330) and PSNR.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# TIFF-style LZW (MSB-first, early change) — per the public TIFF 6 spec.
+# Parity target: reference src/cog/compression.rs:215-216 (salzweg TiffStyle).
+# ---------------------------------------------------------------------------
+
+_CLEAR = 256
+_EOI = 257
+_FIRST = 258
+_MAX_CODE = 4094  # emit CLEAR before the table would reach 4095 entries
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit order, early code-width change."""
+    out = _BitWriter()
+    width = 9
+    out.write(_CLEAR, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _FIRST
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out.write(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen when the NEXT code to be written could be
+        # (1<<width)-1, i.e. one entry earlier than the naive scheme.
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= _MAX_CODE:
+            out.write(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _FIRST
+            width = 9
+        w = bytes([ch])
+    if w:
+        out.write(table[w], width)
+    out.write(_EOI, width)
+    return out.flush()
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Inverse of lzw_encode; also accepts any spec-conforming TIFF LZW."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while pos < n or nbits >= width:
+        while nbits < width and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+        out += entry
+        prev = entry
+        # early change, shifted one entry early again because the decoder's
+        # table lags the encoder's by exactly one entry
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF horizontal predictor (predictor=2), 8-bit only — compression.rs:298-330.
+# Wrapping (mod-256) add/sub, stride = samples per pixel, per row.
+# ---------------------------------------------------------------------------
+
+
+def predictor2_encode(arr: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 -> horizontal-differenced uint8 (same shape)."""
+    a = arr.astype(np.uint8)
+    out = a.copy()
+    out[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]  # uint8 wraps == wrapping_sub
+    return out
+
+
+def predictor2_decode(arr: np.ndarray) -> np.ndarray:
+    """Undo predictor 2: per-row cumulative sum mod 256 (wrapping_add)."""
+    return np.cumsum(arr.astype(np.uint8), axis=1, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Minimal PNG (8-bit RGB). Public spec (RFC 2083). Encoder: filter 0 rows.
+# Decoder: all 5 filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per row
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + (out[y - 1] if y else 0)) & 0xFF
+        elif f == 1:  # Sub — sequential along x per channel
+            cur = out[y]
+            cur[:bpp] = line[:bpp]
+            for x in range(bpp, w * 3):
+                cur[x] = (line[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            up = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, np.int32)
+            cur = out[y]
+            for x in range(w * 3):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (line[x] + ((left + int(up[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            up = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, np.int32)
+            cur = out[y]
+            for x in range(w * 3):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                cc = int(up[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake JPEG (lossy stand-in; see module docstring).
+# ---------------------------------------------------------------------------
+
+_FJ_MAGIC = b"FJ01"
+
+
+def encode_fakejpeg(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    q = (arr >> 2).astype(np.uint8)  # 6-bit quantization => PSNR ~46 dB
+    return _FJ_MAGIC + struct.pack(">III", w, h, c) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_fakejpeg(data: bytes) -> np.ndarray:
+    if data[:4] != _FJ_MAGIC:
+        raise ValueError("not a fake-jpeg")
+    w, h, c = struct.unpack_from(">III", data, 4)
+    q = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(h, w, c)
+    return ((q.astype(np.int16) << 2) + 2).clip(0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Unified per-fmt entry points used by the tiling/decode UDFs.
+# ---------------------------------------------------------------------------
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "deflate_raw":
+        return zlib.compress(arr.tobytes(), 6)
+    if fmt == "lzw_raw":
+        return lzw_encode(arr.tobytes())
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "jpeg":
+        return encode_fakejpeg(arr)
+    raise ValueError(f"CompressionNotSupported: {fmt}")  # compression.rs:222-224
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode to (h, w, 3) uint8. Mirrors Level::extract_tile_from_bytes
+    (level.rs:335-373): decompress then shape-validate."""
+    if fmt == "deflate_raw":
+        arr = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+    elif fmt == "lzw_raw":
+        arr = np.frombuffer(lzw_decode(data), dtype=np.uint8)
+    elif fmt == "png":
+        return decode_png(data)
+    elif fmt == "jpeg":
+        return decode_fakejpeg(data)
+    else:
+        raise ValueError(f"CompressionNotSupported: {fmt}")
+    if arr.size != w * h * 3:  # raster/mod.rs:73-86 buffer-size invariant
+        raise ValueError(f"buffer size {arr.size} != {w}x{h}x3")
+    return arr.reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

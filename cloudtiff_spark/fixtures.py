@@ -1,0 +1,305 @@
+"""Deterministic synthetic fixture tables (FIXTURES.md T1/T2/T4).
+
+Everything is derived from sha256 of the image_id / query_id — stable across
+runs, processes, and scales (row i is identical no matter how many rows are
+generated). No external data. Three parquet files per scale directory:
+
+- ``images.parquet``  — EXACTLY the BASELINE.json input_hint shape:
+  (image_id string, bytes binary, w int, h int, fmt string, caption string,
+  phash bigint)
+- ``images_meta.parquet`` — the deterministic geo-anchor (FIXTURES.md T2)
+  *precomputed once* so that the Spark engine and the DuckDB oracle read the
+  same doubles: epsg, origin_x/origin_y (native CRS), scale_px, and the
+  EPSG:4326 bounds (xmin, ymin, xmax, ymax) via the 8-point estimate
+  (projection/mod.rs:294-337). The engine re-derives bounds from the anchor
+  in tests to prove parity (tests/test_projection.py).
+- ``queries.parquet`` — the vector side (FIXTURES.md T4): pip polygons,
+  knn points, region extractions, wmts xyz lookups.
+
+Scales follow TESTDATA.md naming so queries(spark, sf_dir) can map the
+driver's sf dir -> fixture dir by basename.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import TILE
+from .codecs import decode_image, encode_image
+from .projection import bounds_lat_lon, utm9n_forward
+
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+#: images, queries per scale (FIXTURES.md: smoke/correctness/bench)
+SF_SPECS = {
+    "sf0.001": (100, 50),
+    "sf0.01": (2000, 500),
+    "sf0.1": (10000, 5000),
+}
+
+_FMTS = ["jpeg", "png", "deflate_raw", "lzw_raw"]
+_DIMS = np.array([64, 96, 128, 256, 300, 512])
+_DIM_W = np.array([0.30, 0.25, 0.20, 0.10, 0.10, 0.05])
+_DIMS_SMALL = np.array([64, 96, 128])  # lzw_raw only (pure-python LZW speed)
+_ADJ = "quiet bright rusty frozen mossy amber pale vast dusty lunar coastal arid".split()
+_NOUN = "harbor mesa canyon delta glacier steppe atoll ridge basin dune fjord plateau".split()
+
+# three hot regions (~20% of 4326 images) -> deliberate cell skew (T2)
+_HOT = [(-120.0, 45.0), (10.0, 50.0), (-129.0, 48.0)]
+
+
+def _rng_for(tag: str) -> np.random.Generator:
+    digest = hashlib.sha256(tag.encode()).digest()
+    return np.random.default_rng(int.from_bytes(digest[:8], "big"))
+
+
+def _phash(pixels: np.ndarray) -> int:
+    digest = hashlib.sha256(pixels.tobytes()).digest()
+    return int(np.int64(np.uint64(int.from_bytes(digest[-8:], "big"))))
+
+
+def gen_image(i: int) -> dict:
+    image_id = f"img_{i:012d}"
+    rng = _rng_for(f"img:{image_id}")
+    fmt = _FMTS[i % 4]
+    dims = _DIMS_SMALL if fmt == "lzw_raw" else _DIMS
+    wts = None if fmt == "lzw_raw" else _DIM_W
+    w = int(rng.choice(dims, p=wts))
+    h = int(rng.choice(dims, p=wts))
+
+    # pixels: bilinear corner-color gradient + low-amplitude seeded noise
+    corners = rng.integers(0, 256, size=(2, 2, 3)).astype(np.float64)
+    yy = np.linspace(0, 1, h)[:, None, None]
+    xx = np.linspace(0, 1, w)[None, :, None]
+    base = (
+        corners[0, 0] * (1 - yy) * (1 - xx)
+        + corners[0, 1] * (1 - yy) * xx
+        + corners[1, 0] * yy * (1 - xx)
+        + corners[1, 1] * yy * xx
+    )
+    noise = rng.integers(-16, 17, size=(h, w, 3))
+    pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
+
+    data = encode_image(pixels, fmt)
+    decoded = decode_image(data, fmt, w, h)  # lossy for jpeg
+    phash = _phash(decoded)
+    caption = f"synthetic scene {i} {rng.choice(_ADJ)} {rng.choice(_NOUN)}"
+
+    # --- geo anchor (T2) ---
+    if rng.random() < 0.10:
+        epsg = 32609  # UTM 9N; anchor inside zone 9
+        lon0 = float(rng.uniform(-131.5, -126.5))
+        lat0 = float(rng.uniform(5.0, 75.0))
+        s = float(np.exp(rng.uniform(np.log(0.1), np.log(10.0))))  # m/px
+        e0, n0 = utm9n_forward(np.array([lon0]), np.array([lat0]))
+        origin_x, origin_y = float(e0[0]), float(n0[0])
+    else:
+        epsg = 4326
+        if rng.random() < 0.20:
+            cx, cy = _HOT[int(rng.integers(0, len(_HOT)))]
+            lon0 = float(cx + rng.normal(0, 0.5))
+            lat0 = float(cy + rng.normal(0, 0.5))
+        else:
+            lon0 = float(rng.uniform(-170.0, 170.0))
+            lat0 = float(rng.uniform(-80.0, 80.0))
+        s = float(np.exp(rng.uniform(np.log(1e-5), np.log(1e-3))))  # deg/px
+        origin_x, origin_y = lon0, lat0
+
+    xmin, ymin, xmax, ymax = bounds_lat_lon(epsg, origin_x, origin_y, s * w, s * h)
+    return dict(
+        image_id=image_id,
+        bytes=data,
+        w=w,
+        h=h,
+        fmt=fmt,
+        caption=caption,
+        phash=phash,
+        epsg=epsg,
+        origin_x=origin_x,
+        origin_y=origin_y,
+        scale_px=s,
+        xmin=xmin,
+        ymin=ymin,
+        xmax=xmax,
+        ymax=ymax,
+    )
+
+
+def gen_query(j: int) -> dict:
+    query_id = f"q_{j:06d}"
+    rng = _rng_for(f"qry:{query_id}")
+    kind = ["pip", "knn", "region", "wmts"][j % 4]
+    # center: 30% hot region, else uniform band (FIXTURES.md T4)
+    if rng.random() < 0.30:
+        cx0, cy0 = _HOT[int(rng.integers(0, len(_HOT)))]
+        cx = float(cx0 + rng.normal(0, 1.0))
+        cy = float(cy0 + rng.normal(0, 1.0))
+    else:
+        cx = float(rng.uniform(-170.0, 170.0))
+        cy = float(rng.uniform(-80.0, 80.0))
+
+    row: dict = dict(
+        query_id=query_id,
+        kind=kind,
+        poly_x=None,
+        poly_y=None,
+        px=None,
+        py=None,
+        k=None,
+        rxmin=None,
+        rymin=None,
+        rxmax=None,
+        rymax=None,
+        mp_limit=None,
+        qz=None,
+        qx=None,
+        qy=None,
+    )
+    if kind == "pip":
+        nv = int(rng.integers(5, 13))
+        rad = float(np.exp(rng.uniform(np.log(0.2), np.log(5.0))))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rr = rad * (0.4 + 0.6 * rng.uniform(0, 1, nv))
+        row["poly_x"] = (cx + rr * np.cos(ang)).tolist()
+        row["poly_y"] = (cy + rr * np.sin(ang) * 0.5).tolist()
+    elif kind == "knn":
+        row["px"], row["py"] = cx, cy
+        row["k"] = int(rng.choice([1, 5, 10]))
+    elif kind == "region":
+        rw = float(np.exp(rng.uniform(np.log(0.1), np.log(3.0))))
+        rh = float(np.exp(rng.uniform(np.log(0.1), np.log(3.0))))
+        row["rxmin"], row["rxmax"] = cx - rw / 2, cx + rw / 2
+        row["rymin"], row["rymax"] = cy - rh / 2, cy + rh / 2
+        row["mp_limit"] = float(rng.choice([0.25, 1.0]))
+    else:  # wmts
+        z = int(rng.integers(4, 9))
+        n = 1 << z
+        # slippy-map (web-mercator) tile containing the anchor point
+        lat_r = np.radians(max(-85.05112878, min(85.05112878, cy)))
+        row["qz"] = z
+        row["qx"] = int(min(n - 1, max(0, np.floor((cx + 180.0) / 360.0 * n))))
+        row["qy"] = int(
+            min(n - 1, max(0, np.floor((1.0 - np.arcsinh(np.tan(lat_r)) / np.pi) / 2.0 * n)))
+        )
+    return row
+
+
+_IMG_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+_META_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("epsg", pa.int32()),
+        ("origin_x", pa.float64()),
+        ("origin_y", pa.float64()),
+        ("scale_px", pa.float64()),
+        ("xmin", pa.float64()),
+        ("ymin", pa.float64()),
+        ("xmax", pa.float64()),
+        ("ymax", pa.float64()),
+        ("tile_w", pa.int32()),
+        ("tile_h", pa.int32()),
+    ]
+)
+
+_QRY_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("kind", pa.string()),
+        ("poly_x", pa.list_(pa.float64())),
+        ("poly_y", pa.list_(pa.float64())),
+        ("px", pa.float64()),
+        ("py", pa.float64()),
+        ("k", pa.int32()),
+        ("rxmin", pa.float64()),
+        ("rymin", pa.float64()),
+        ("rxmax", pa.float64()),
+        ("rymax", pa.float64()),
+        ("mp_limit", pa.float64()),
+        ("qz", pa.int32()),
+        ("qx", pa.int32()),
+        ("qy", pa.int32()),
+    ]
+)
+
+
+def _gen_image_chunk(idx: list[int]) -> list[dict]:
+    return [gen_image(i) for i in idx]
+
+
+def generate(sf_name: str, out_dir: str | None = None, workers: int | None = None) -> str:
+    n_img, n_qry = SF_SPECS[sf_name]
+    out_dir = out_dir or os.path.join(FIXTURE_ROOT, sf_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    workers = workers or min(16, os.cpu_count() or 4)
+    chunks = [list(range(i, n_img, workers)) for i in range(workers)]
+    if n_img <= 200:
+        rows = [gen_image(i) for i in range(n_img)]
+    else:
+        with ProcessPoolExecutor(workers) as ex:
+            rows = [r for part in ex.map(_gen_image_chunk, chunks) for r in part]
+        rows.sort(key=lambda r: r["image_id"])
+
+    img_tbl = pa.Table.from_pylist(
+        [{k: r[k] for k in _IMG_SCHEMA.names} for r in rows], schema=_IMG_SCHEMA
+    )
+    meta_rows = []
+    for r in rows:
+        m = {k: r[k] for k in _META_SCHEMA.names if k in r}
+        m["tile_w"] = TILE
+        m["tile_h"] = TILE
+        meta_rows.append(m)
+    meta_tbl = pa.Table.from_pylist(meta_rows, schema=_META_SCHEMA)
+    qry_tbl = pa.Table.from_pylist([gen_query(j) for j in range(n_qry)], schema=_QRY_SCHEMA)
+
+    pq.write_table(img_tbl, os.path.join(out_dir, "images.parquet"), compression="zstd")
+    pq.write_table(meta_tbl, os.path.join(out_dir, "images_meta.parquet"), compression="zstd")
+    pq.write_table(qry_tbl, os.path.join(out_dir, "queries.parquet"), compression="zstd")
+    with open(os.path.join(out_dir, "_COMPLETE"), "w") as f:
+        f.write(f"{sf_name} images={n_img} queries={n_qry}\n")
+    return out_dir
+
+
+def ensure_fixtures(sf_name: str) -> str:
+    """Generate-if-missing; returns the fixture directory for a scale."""
+    out_dir = os.path.join(FIXTURE_ROOT, sf_name)
+    if os.path.exists(os.path.join(out_dir, "_COMPLETE")):
+        return out_dir
+    return generate(sf_name, out_dir)
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    """Map a driver testdata dir (/root/testdata/sf0.01) to our fixture dir."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if sf_name not in SF_SPECS:
+        sf_name = "sf0.01"
+    return ensure_fixtures(sf_name)
+
+
+if __name__ == "__main__":
+    import sys
+
+    for sf in sys.argv[1:] or ["sf0.001", "sf0.01"]:
+        print(generate(sf))
