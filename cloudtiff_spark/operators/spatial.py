@@ -1,0 +1,382 @@
+"""Cell-keyed spatial joins: point-in-polygon, region extraction, WMTS.
+
+The benchmark stage (BASELINE.json metric): tile assignment -> cell-keyed
+equi-join against the vector (query) side -> exact refine. Join strategy is
+explicit (north_rule): the query side is broadcast when small, otherwise
+both sides are range-repartitioned on the cell key; hot cells (the fixture
+plants 3 hot regions) are salted with ``phash % S`` before the shuffle.
+
+Reference analogs: the tile-cache hash join (render/tiles.rs:26-57,
+renderer.rs:137-175) and the crop -> tile-range pruning (level.rs:204-231);
+the PIP refine generalizes the reference's in-bounds containment checks
+(level.rs:254-256, 384-402) to arbitrary polygons via a crossing-number
+test over Arrow coordinate arrays (vectorized numpy, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..cells import Z_JOIN, cell_xy_expr, pack_expr
+
+#: default salting factor for hot cells; queries explode x SALT on hot cells
+SALT = 8
+#: a cell is "hot" when it holds more than this fraction of all tiles
+HOT_FRACTION = 0.02
+#: query side under this many rows (post-explode) is broadcast
+BROADCAST_ROWS = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# exact point-in-polygon refine (J4) — crossing number, Arrow-vectorized
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(BooleanType())
+def pip_refine(
+    px: pd.Series, py: pd.Series, poly_x: pd.Series, poly_y: pd.Series, qid: pd.Series
+) -> pd.Series:
+    """Crossing-number (even-odd) containment of (px, py) in the polygon.
+
+    Vertices are NOT repeated (last edge wraps to the first vertex). Within
+    an Arrow batch, rows are grouped by query_id so each polygon is tested
+    against all its candidate points in one (n_edges x n_points) numpy
+    broadcast — no per-row Python.
+
+    The edge test is the textbook ray-cast: an edge (x1,y1)->(x2,y2) crosses
+    the +x ray from (px,py) iff (y1>py) != (y2>py) and
+    px < (x2-x1)*(py-y1)/(y2-y1) + x1. The DuckDB oracle in
+    __spark_entry__.oracle_sql uses the byte-identical formula.
+    """
+    out = np.zeros(len(px), dtype=bool)
+    pxv = px.to_numpy(dtype=np.float64)
+    pyv = py.to_numpy(dtype=np.float64)
+    for _, idx in pd.Series(range(len(qid))).groupby(qid.to_numpy(), sort=False).groups.items():
+        ii = np.asarray(idx)
+        vx = np.asarray(poly_x.iloc[ii[0]], dtype=np.float64)
+        vy = np.asarray(poly_y.iloc[ii[0]], dtype=np.float64)
+        x1, y1 = vx, vy
+        x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+        X = pxv[ii]  # (n,)
+        Y = pyv[ii]
+        # (m edges, n points) broadcast
+        straddle = (y1[:, None] > Y[None, :]) != (y2[:, None] > Y[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1)[:, None] * (Y[None, :] - y1[:, None]) / (y2 - y1)[:, None] + x1[
+                :, None
+            ]
+        crossings = np.sum(straddle & (X[None, :] < xint), axis=0)
+        out[ii] = (crossings % 2).astype(bool)
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# query-side cell covering (bbox of the polygon at Z_JOIN) — native exprs
+# ---------------------------------------------------------------------------
+
+
+def _bbox_cells(df: DataFrame, xmin: Column, ymin: Column, xmax: Column, ymax: Column, z: int) -> DataFrame:
+    """Explode a lon/lat rect into its covering cells at resolution z.
+    Mirrors cover_bbox (cells.py) / the reference's crop->tile-range
+    enumeration (level.rs:204-231) — F.sequence + explode, fully native."""
+    zc = F.lit(z)
+    x0, y0 = cell_xy_expr(xmin, ymax, zc)  # top-left
+    x1, y1 = cell_xy_expr(xmax, ymin, zc)
+    df = (
+        df.withColumn("_cx", F.explode(F.sequence(x0, x1)))
+        .withColumn("_cy", F.explode(F.sequence(y0, y1)))
+        .withColumn("cell_join", pack_expr(zc, F.col("_cx"), F.col("_cy")))
+        .drop("_cx", "_cy")
+    )
+    return df
+
+
+def hot_cells(tiles: DataFrame, fraction: float = HOT_FRACTION) -> DataFrame:
+    """Cheap pre-pass: cells holding > fraction of all tiles (skew list).
+    One partial+final hash aggregation; the result is tiny and broadcast."""
+    counts = tiles.groupBy("cell_join").agg(F.count(F.lit(1)).alias("n"))
+    total = tiles.count()
+    return counts.filter(F.col("n") > fraction * total).select("cell_join")
+
+
+def pip_join(
+    tiles: DataFrame,
+    queries: DataFrame,
+    salt: int = SALT,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """PIP spatial join: polygons x tile-centers -> exact containment rows.
+
+    Plan: queries (pip kind) -> bbox cells at Z_JOIN -> [salt explode on hot
+    cells] -> equi-join tiles on (cell_join[, salt]) -> crossing-number
+    refine -> project. Output grain matches FIXTURES.md golden_pip_rows:
+    (query_id, image_id, level, tile_idx, caption).
+    """
+    q = queries.filter(F.col("kind") == "pip").select(
+        "query_id",
+        "poly_x",
+        "poly_y",
+        F.array_min("poly_x").alias("bxmin"),
+        F.array_min("poly_y").alias("bymin"),
+        F.array_max("poly_x").alias("bxmax"),
+        F.array_max("poly_y").alias("bymax"),
+    )
+    qc = _bbox_cells(q, F.col("bxmin"), F.col("bymin"), F.col("bxmax"), F.col("bymax"), Z_JOIN)
+
+    t = tiles
+    if salt and salt > 1:
+        hot = hot_cells(tiles)
+        t = t.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "cell_join", "left")
+        t = t.withColumn(
+            "_salt",
+            F.when(F.col("_hot").isNotNull(), F.pmod(F.col("phash"), F.lit(salt))).otherwise(
+                F.lit(0)
+            ),
+        ).drop("_hot")
+        qc = qc.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "cell_join", "left")
+        qc = qc.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot").isNotNull(), F.sequence(F.lit(0), F.lit(salt - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("_hot")
+        join_keys = ["cell_join", "_salt"]
+    else:
+        join_keys = ["cell_join"]
+
+    if broadcast_queries is None:
+        broadcast_queries = True  # fixture query side is always small; at
+        # 10^12-image scale flip to range-repartition (see repartitioned path)
+    if broadcast_queries:
+        cand = t.join(F.broadcast(qc), join_keys, "inner")
+    else:
+        qc = qc.repartitionByRange(F.col("cell_join"))
+        t = t.repartitionByRange(F.col("cell_join"))
+        cand = t.join(qc, join_keys, "inner")
+
+    # cheap native bbox prune before the vectorized refine
+    cand = cand.filter(
+        (F.col("lon_c") >= F.col("bxmin"))
+        & (F.col("lon_c") <= F.col("bxmax"))
+        & (F.col("lat_c") >= F.col("bymin"))
+        & (F.col("lat_c") <= F.col("bymax"))
+    )
+    hit = cand.filter(
+        pip_refine(F.col("lon_c"), F.col("lat_c"), F.col("poly_x"), F.col("poly_y"), F.col("query_id"))
+    )
+    return hit.select("query_id", "image_id", "level", "tile_idx", "caption")
+
+
+# ---------------------------------------------------------------------------
+# region extraction (E2/E3 analog): LOD pick + covering tiles (P6)
+# ---------------------------------------------------------------------------
+
+
+def region_extract(levels: DataFrame, queries: DataFrame) -> DataFrame:
+    """For each 'region' query: images intersecting the lon/lat rect, the
+    LOD-selected level (sane variant of cog/mod.rs:218-236 + util.rs:34-100,
+    see SURVEY.md §1.3), and the covering tile indices (level.rs:204-231).
+
+    Output: (query_id, image_id, level, tile_idx).
+    """
+    q = queries.filter(F.col("kind") == "region").select(
+        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
+    )
+    # output dims from megapixel cap + aspect (O4, util.rs:131-142)
+    rw = F.col("rxmax") - F.col("rxmin")
+    rh = F.col("rymax") - F.col("rymin")
+    out_h = F.sqrt(F.col("mp_limit") * 1e6 / (rw / rh))
+    out_w = (rw / rh) * out_h
+    q = q.withColumn("req_x", rw / out_w).withColumn("req_y", rh / out_h)
+
+    # bbox-overlap join on cell cover at Z_JOIN (same key as pip_join)
+    qc = _bbox_cells(q, F.col("rxmin"), F.col("rymin"), F.col("rxmax"), F.col("rymax"), Z_JOIN)
+    lv = levels.withColumn(
+        "cell_join",
+        pack_expr(
+            F.lit(Z_JOIN),
+            *cell_xy_expr(
+                (F.col("xmin") + F.col("xmax")) / 2, (F.col("ymin") + F.col("ymax")) / 2, F.lit(Z_JOIN)
+            ),
+        ),
+    )
+    # NOTE: image footprints are tiny (<= ~0.5 deg) vs Z_JOIN cells (5.6
+    # deg); keying the image by its center cell and expanding the query bbox
+    # by one cell ring keeps the equi-join lossless for overlap tests.
+    qc = (
+        qc.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn(
+            "cell_join",
+            F.col("cell_join") + F.shiftleft(F.col("_dx").cast("long"), 29) + F.col("_dy"),
+        )
+        .drop("_dx", "_dy")
+        .dropDuplicates(["query_id", "cell_join"])
+    )
+    cand = lv.join(F.broadcast(qc), "cell_join", "inner")
+    # exact rect-overlap predicate (native)
+    cand = cand.filter(
+        (F.col("xmin") < F.col("rxmax"))
+        & (F.col("xmax") > F.col("rxmin"))
+        & (F.col("ymin") < F.col("rymax"))
+        & (F.col("ymax") > F.col("rymin"))
+    )
+    # LOD: greatest level whose pixel scale beats the requirement, else 0
+    ps_x = (F.col("xmax") - F.col("xmin")) / F.col("lw")
+    ps_y = (F.col("ymax") - F.col("ymin")) / F.col("lh")
+    cand = cand.withColumn(
+        "_ok",
+        F.when(
+            F.greatest(ps_x, ps_y) < F.least(F.col("req_x"), F.col("req_y")), F.col("level")
+        ).otherwise(F.lit(0)),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id", "image_id")
+    picked = (
+        cand.withColumn("_pick", F.max("_ok").over(w))
+        .filter(F.col("level") == F.col("_pick"))
+        .drop("_ok", "_pick")
+    )
+    # crop rect -> normalized image coords (P3 affine with the y flip),
+    # clamped to [0,1] (UnitFloat, primatives.rs:48-50)
+    dx = F.col("xmax") - F.col("xmin")
+    dy = F.col("ymax") - F.col("ymin")
+    clamp = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))  # noqa: E731
+    picked = (
+        picked.withColumn("cu0", clamp((F.col("rxmin") - F.col("xmin")) / dx))
+        .withColumn("cu1", clamp((F.col("rxmax") - F.col("xmin")) / dx))
+        .withColumn("cv0", clamp((F.col("ymax") - F.col("rymax")) / dy))
+        .withColumn("cv1", clamp((F.col("ymax") - F.col("rymin")) / dy))
+    )
+    # P6: covered tile range (floor .. ceil-1, clamped)
+    tw, th, lw, lh = F.col("tile_w"), F.col("tile_h"), F.col("lw"), F.col("lh")
+    c0 = F.greatest(F.lit(0), F.least(F.col("cols") - 1, F.floor(F.col("cu0") * lw / tw)))
+    c1 = F.greatest(F.lit(0), F.least(F.col("cols") - 1, F.ceil(F.col("cu1") * lw / tw) - 1))
+    r0 = F.greatest(F.lit(0), F.least(F.col("rows") - 1, F.floor(F.col("cv0") * lh / th)))
+    r1 = F.greatest(F.lit(0), F.least(F.col("rows") - 1, F.ceil(F.col("cv1") * lh / th) - 1))
+    out = (
+        picked.withColumn("_r", F.explode(F.sequence(r0, r1)))
+        .withColumn("_c", F.explode(F.sequence(c0, c1)))
+        .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
+    )
+    return out.select("query_id", "image_id", "level", "tile_idx")
+
+
+# ---------------------------------------------------------------------------
+# WMTS slippy tiles (F11/F12, render/wmts.rs) — fully native column math
+# ---------------------------------------------------------------------------
+
+_LAT_LIMIT = 85.05112878  # web-mercator clamp (wmts.rs:9-11)
+
+
+def _sinh(x: Column) -> Column:
+    # spelled out for DuckDB-oracle expression parity (no sinh in DuckDB 1.0)
+    return (F.exp(x) - F.exp(-x)) / 2.0
+
+
+def _merc_x(lon: Column, n: Column) -> Column:
+    return F.floor((lon + 180.0) / 360.0 * n)
+
+
+def _merc_y(lat: Column, n: Column) -> Column:
+    lat_c = F.greatest(F.lit(-_LAT_LIMIT), F.least(F.lit(_LAT_LIMIT), lat))
+    t = F.tan(F.radians(lat_c))
+    # asinh spelled out (ln(t+sqrt(t^2+1))) so the DuckDB oracle (which has
+    # no asinh) evaluates the byte-identical expression tree
+    asinh_t = F.log(t + F.sqrt(t * t + 1.0))
+    return F.floor((1.0 - asinh_t / float(np.pi)) / 2.0 * n)
+
+
+def wmts_enumerate(meta: DataFrame, max_z: int = 18, tile_px: int = 256) -> DataFrame:
+    """Per image: all web-mercator (z, x, y) tiles covering its bounds for
+    z in [min_z, max_z_img] (tile-tree enumeration, wmts.rs:22-113):
+
+    - min_z: coarsest z where the image spans <= ~one tile on both axes,
+    - max_z_img: z where the slippy tile resolution (360/(2^z*tile_px)
+      deg/px) reaches the image's own base pixel scale — rendering deeper
+      gains nothing (wmts.rs:84-109 semantics).
+
+    Output: (image_id, z, x, y). Pure native math: log2/floor/asinh/tan.
+    """
+    span_x = F.col("xmax") - F.col("xmin")
+    s_x = span_x / F.col("w")  # base-level deg/px
+    # cap min_z at max_z: tiny images enumerate exactly one tile at max_z.
+    # (also keeps F.sequence ascending — Spark would happily generate a
+    # DESCENDING sequence for min_z > max_z, DuckDB an empty one)
+    min_z = F.least(F.lit(max_z), F.greatest(F.lit(0), F.floor(F.log2(360.0 / span_x)).cast("int")))
+    max_z_img = F.least(
+        F.lit(max_z),
+        F.greatest(min_z, F.ceil(F.log2(360.0 / (s_x * tile_px))).cast("int")),
+    )
+    df = meta.withColumn("z", F.explode(F.sequence(min_z, max_z_img)))
+    n = F.pow(F.lit(2.0), F.col("z")).cast("long")
+    clampn = lambda c: F.greatest(F.lit(0).cast("long"), F.least(n - 1, c))  # noqa: E731
+    x0 = clampn(_merc_x(F.col("xmin"), n))
+    x1 = clampn(_merc_x(F.col("xmax"), n))
+    y0 = clampn(_merc_y(F.col("ymax"), n))  # ymax (north) -> smaller y
+    y1 = clampn(_merc_y(F.col("ymin"), n))
+    df = (
+        df.withColumn("x", F.explode(F.sequence(x0, x1)))
+        .withColumn("y", F.explode(F.sequence(y0, y1)))
+    )
+    return df.select("image_id", "z", F.col("x").cast("long"), F.col("y").cast("long"))
+
+
+def wmts_lookup(meta: DataFrame, queries: DataFrame) -> DataFrame:
+    """Images intersecting a queried slippy tile (query kind 'wmts').
+
+    Inverse slippy math (wmts.rs:124-179): tile (x,y,z) -> lon/lat bounds
+    via atan(sinh(...)), then a native bbox-overlap join. Output:
+    (query_id, image_id).
+    """
+    q = queries.filter(F.col("kind") == "wmts").select("query_id", "qx", "qy", "qz")
+    n = F.pow(F.lit(2.0), F.col("qz")).cast("long")
+    q = (
+        q.withColumn("t_xmin", F.col("qx") / n * 360.0 - 180.0)
+        .withColumn("t_xmax", (F.col("qx") + 1) / n * 360.0 - 180.0)
+        .withColumn(
+            "t_ymax",
+            F.degrees(F.atan(_sinh(float(np.pi) * (1.0 - 2.0 * F.col("qy") / n)))),
+        )
+        .withColumn(
+            "t_ymin",
+            F.degrees(F.atan(_sinh(float(np.pi) * (1.0 - 2.0 * (F.col("qy") + 1) / n)))),
+        )
+    )
+    # small query side -> broadcast nested-loop-free: join via Z_JOIN cells
+    qc = _bbox_cells(q, F.col("t_xmin"), F.col("t_ymin"), F.col("t_xmax"), F.col("t_ymax"), Z_JOIN)
+    m = meta.withColumn(
+        "cell_join",
+        pack_expr(
+            F.lit(Z_JOIN),
+            *cell_xy_expr(
+                (F.col("xmin") + F.col("xmax")) / 2, (F.col("ymin") + F.col("ymax")) / 2, F.lit(Z_JOIN)
+            ),
+        ),
+    )
+    qc = (
+        qc.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn(
+            "cell_join",
+            F.col("cell_join") + F.shiftleft(F.col("_dx").cast("long"), 29) + F.col("_dy"),
+        )
+        .drop("_dx", "_dy")
+        .dropDuplicates(["query_id", "cell_join"])
+    )
+    cand = m.join(F.broadcast(qc), "cell_join", "inner")
+    hit = cand.filter(
+        (F.col("xmin") < F.col("t_xmax"))
+        & (F.col("xmax") > F.col("t_xmin"))
+        & (F.col("ymin") < F.col("t_ymax"))
+        & (F.col("ymax") > F.col("t_ymin"))
+    )
+    return hit.select("query_id", "image_id")

@@ -38,6 +38,15 @@ class TestLZW:
     def test_roundtrip_property(self, data):
         assert codecs.lzw_decode(codecs.lzw_encode(data)) == data
 
+    def test_end_of_stream_early_change(self):
+        # regression: streams whose FINAL data code lands the decoder table
+        # exactly on a width boundary (2^w - 2) must widen before EOI.
+        # fixtures.gen_image(4403) produced such a stream (24578 != 24576).
+        from cloudtiff_spark import fixtures
+
+        row = fixtures.gen_image(4403)
+        assert row["fmt"] == "lzw_raw"
+
     def test_known_vector(self):
         # Hand-computed: encode of b"\x07\x07\x07" (TIFF style):
         # CLEAR(256)@9b, 7@9b, 258(="\x07\x07")@9b, EOI(257)@9b
