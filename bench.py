@@ -1,0 +1,103 @@
+"""Benchmark: north-star stage = tile assignment + cell-keyed PIP join.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline stage sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ..., "throughput_rows_per_sec": ...,
+   "cpus": ..., "tiles": ..., "joined_rows": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input scale dir (default /root/testdata/sf0.1);
+                      mapped to the deterministic fixture of the same scale
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_ITERS         steady-state iterations for the headline stage (3)
+
+The headline is steady-state stage throughput: inputs are cached and the
+stage is run BENCH_ITERS times; the best run is reported (SURVEY.md §6 —
+the scaling criterion compares this number between local[8] and local[32],
+see tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    import __spark_entry__ as E
+    from cloudtiff_spark.fixtures import fixture_dir_for
+    from cloudtiff_spark.operators.meta import tile_assignments
+    from cloudtiff_spark.operators.spatial import pip_join
+    from cloudtiff_spark.session import get_spark
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    spark = get_spark("cloudtiff-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fdir = fixture_dir_for(sf_dir)
+    meta = spark.read.parquet(os.path.join(fdir, "images_meta.parquet")).cache()
+    queries = spark.read.parquet(os.path.join(fdir, "queries.parquet")).cache()
+    meta.count()
+    queries.count()
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    def force_eval(df: DataFrame) -> int:
+        """Count rows while forcing EVERY output column to be computed —
+        a bare count() lets Catalyst prune the projected columns away."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+        ).first()
+        return row["n"]
+
+    # ---- headline: tile assignment + PIP join, steady state ----
+    best = float("inf")
+    tiles_n = joined_n = 0
+    for _ in range(max(1, iters)):
+        t0 = time.time()
+        ta = tile_assignments(meta)
+        tiles_n = force_eval(ta)
+        joined_n = force_eval(pip_join(ta, queries))
+        best = min(best, time.time() - t0)
+    throughput = (tiles_n + joined_n) / best
+
+    # ---- per-query timings (one pass each) ----
+    qtimes: dict[str, float] = {}
+    names = [] if os.environ.get("BENCH_HEADLINE_ONLY") else list(E.queries())
+    for name, fn in ((n, E.queries()[n]) for n in names):
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            force_eval(df)
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            qtimes[name] = -1.0
+            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+
+    out = {
+        "metric": "tile_assignment_plus_pip_join_stage",
+        "value": round(best, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_name,
+        "throughput_rows_per_sec": round(throughput, 1),
+        "tiles": tiles_n,
+        "joined_rows": joined_n,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1  # keep the int small (O(1) shifts)
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -129,6 +130,7 @@ def lzw_decode(data: bytes) -> bytes:
             break
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # keep the int small (O(1) shifts)
         if code == _EOI:
             break
         if code == _CLEAR:

@@ -49,34 +49,39 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, tau: float = 0.4, n: int = 3) -> DataFrame:
-    """Near-duplicate pairs with shingle-Jaccard >= tau, exact, via lossless
-    size-band blocking (|A| between tau*|B| and |B|/tau). Output:
-    (doc_id_a, doc_id_b, jaccard) with a < b, jaccard rounded to 6 dp.
+    """Near-duplicate pairs with shingle-Jaccard >= tau — EXACT, via an
+    inverted-index self-join (the scale path for exact all-pairs):
+
+      explode (doc, shingle) -> self-join on shingle -> groupBy pair ->
+      count = |A n B| -> jaccard = c / (na + nb - c).
+
+    Lossless for tau > 0 (a pair with zero shared shingles has J = 0); the
+    intersection is computed by a shuffle AGGREGATION (map-side combine,
+    whole-stage codegen), never by pairwise array ops — the cross-join-
+    with-array-intersect formulation dies quadratically at corpus scale.
+    Additionally applies the size-band prune (J >= tau implies
+    tau <= |A|/|B| <= 1/tau) inside the join condition.
+    Output: (doc_id_a, doc_id_b, jaccard) with a < b.
     """
-    s = shingles(docs, n=n).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    s = shingles(docs, n=n).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    ex = s.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    a = ex.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"), "g")
+    b = ex.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"), "g")
+    co = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id_a") < F.col("b.doc_id_b"))
+            & (F.col("a.na") >= F.ceil(F.lit(tau) * F.col("b.nb")))
+            & (F.col("b.nb") >= F.ceil(F.lit(tau) * F.col("a.na"))),
+        )
+        .groupBy("doc_id_a", "doc_id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    a = s.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_sh").alias("na"),
-    )
-    b = s.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_sh").alias("nb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("doc_id_a") < F.col("doc_id_b"))
-        & (F.col("na") >= F.ceil(F.lit(tau) * F.col("nb")))
-        & (F.col("nb") >= F.ceil(F.lit(tau) * F.col("na"))),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.col("na") + F.col("nb") - inter
-    j = inter / union
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.withColumn("jaccard", j)
+        co.withColumn("jaccard", j)
         .filter(F.col("jaccard") >= tau)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -221,8 +226,8 @@ def lsh_cosine_topk(
     emb: DataFrame,
     probe_ids: list[int],
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 6,
+    n_planes: int = 6,
+    n_tables: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

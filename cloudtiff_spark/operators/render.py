@@ -1,0 +1,222 @@
+"""Raster extraction: crop render (E2) and reprojected region render (E3).
+
+Mirrors the reference render paths (/root/reference/src/render/renderer.rs):
+
+- E2 crop render (renderer.rs:110-148): pick the cheapest level satisfying
+  the output resolution (cog/mod.rs:218-236 via util.rs:34-56), prune to
+  the covered tile rectangle (level.rs:204-231), fetch+decode those tiles
+  (tiles.rs:26-57 — here: an equi inner join against the tiles table, J1),
+  then nearest-neighbor gather into the output raster.
+- E3 reprojected region (renderer.rs:157-185 + util.rs:155-204): build the
+  output pixel grid in the target CRS, transform every pixel center into
+  source image coords (P3, vectorized), gather nearest pixels.
+
+Output grain: one row per (query, image) with the assembled raster as a
+binary column + dims — the Spark shape of the reference's Raster return.
+All pixel math is numpy inside applyInPandas keyed by (query_id, image_id);
+the shuffle that groups a render's tiles together is the Spark analog of
+the reference's tokio/rayon fan-in (SURVEY.md §3 E2 step 4-5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..codecs import decode_image
+from .spatial import region_extract
+
+RENDER_SCHEMA = StructType(
+    [
+        StructField("query_id", StringType()),
+        StructField("image_id", StringType()),
+        StructField("level", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("raster", BinaryType()),
+    ]
+)
+
+
+def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> DataFrame:
+    """Render every 'region' query against every intersecting image.
+
+    Pipeline: region_extract (LOD pick + tile-range pruning) -> inner join
+    to the materialized tiles table on (image_id, level, tile_idx) [J1] ->
+    groupBy(query, image).applyInPandas(assemble + nearest gather).
+    """
+    wanted = region_extract(levels, queries)  # query_id, image_id, level, tile_idx
+    # re-attach the per-(query,image) render parameters
+    q = queries.filter(F.col("kind") == "region").select(
+        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
+    )
+    lv = levels.select(
+        "image_id", "level", "lw", "lh", "tile_w", "tile_h", "cols", "rows",
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    joined = (
+        wanted.join(F.broadcast(q), "query_id")
+        .join(lv, ["image_id", "level"])
+        .join(
+            tiles.select("image_id", "level", "tile_idx", "fmt", "tile_bytes"),
+            ["image_id", "level", "tile_idx"],
+            "inner",
+        )
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf.iloc[0]
+        lw, lh = int(r0["lw"]), int(r0["lh"])
+        tw, th, cols = int(r0["tile_w"]), int(r0["tile_h"]), int(r0["cols"])
+        xmin, ymin, xmax, ymax = (float(r0[k]) for k in ("xmin", "ymin", "xmax", "ymax"))
+        rxmin, rymin, rxmax, rymax = (float(r0[k]) for k in ("rxmin", "rymin", "rxmax", "rymax"))
+        # output dims: mp cap + aspect (util.rs:131-142)
+        rw, rh = rxmax - rxmin, rymax - rymin
+        out_h = int(max(1, round(np.sqrt(float(r0["mp_limit"]) * 1e6 / (rw / rh)))))
+        out_w = int(max(1, round((rw / rh) * out_h)))
+        # output pixel centers in CRS -> normalized image coords (P3, y flip)
+        lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
+        lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
+        u = (lon - xmin) / (xmax - xmin)
+        v = (ymax - lat) / (ymax - ymin)
+        # nearest source pixel at this level; outside image -> transparent 0
+        px = np.floor(u * lw).astype(np.int64)
+        py = np.floor(v * lh).astype(np.int64)
+        ok_x = (px >= 0) & (px < lw)
+        ok_y = (py >= 0) & (py < lh)
+        pxc = np.clip(px, 0, lw - 1)
+        pyc = np.clip(py, 0, lh - 1)
+        # mosaic only the needed tiles into a sparse level canvas
+        canvas = np.zeros((lh, lw, 3), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            tile = decode_image(row["tile_bytes"], row["fmt"], tw, th)
+            c, r = int(row["tile_idx"]) % cols, int(row["tile_idx"]) // cols
+            y0, x0 = r * th, c * tw
+            hh = min(th, lh - y0)
+            ww = min(tw, lw - x0)
+            canvas[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+        out = canvas[pyc][:, pxc]
+        out[~ok_y, :, :] = 0
+        out[:, ~ok_x, :] = 0
+        return pd.DataFrame(
+            [
+                {
+                    "query_id": r0["query_id"],
+                    "image_id": r0["image_id"],
+                    "level": int(r0["level"]),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "raster": out.tobytes(),
+                }
+            ]
+        )
+
+    return joined.groupBy("query_id", "image_id").applyInPandas(assemble, RENDER_SCHEMA)
+
+
+CROP_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("level", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("raster", BinaryType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def crop_render(
+    levels: DataFrame,
+    tiles: DataFrame,
+    crop: tuple[float, float, float, float],
+    mp_limit: float = 0.25,
+) -> DataFrame:
+    """E2: render a normalized-coordinate crop of EVERY image (the
+    reference's single-image `of_crop` path, render/mod.rs:162-165,
+    vectorized over the whole table).
+
+    LOD rule (sane §1.3 variant of util.rs:34-56): required per-axis pixel
+    count = out dims; pick the greatest level that still has more pixels
+    than required inside the crop on both axes, else 0.
+    """
+    u0, v0, u1, v1 = crop
+    du, dv = u1 - u0, v1 - v0
+    out_h_f = F.sqrt(F.lit(mp_limit) * 1e6 / F.lit(du / dv))
+    out_w_f = F.lit(du / dv) * out_h_f
+    cand = levels.withColumn(
+        "_ok",
+        F.when(
+            (F.col("lw") * du >= out_w_f) & (F.col("lh") * dv >= out_h_f), F.col("level")
+        ).otherwise(F.lit(0)),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("image_id")
+    picked = (
+        cand.withColumn("_pick", F.max("_ok").over(w))
+        .filter(F.col("level") == F.col("_pick"))
+        .drop("_ok", "_pick")
+    )
+    # P6 pruning: covered tile range at the picked level
+    tw, th, lw, lh = F.col("tile_w"), F.col("tile_h"), F.col("lw"), F.col("lh")
+    c0 = F.greatest(F.lit(0), F.least(F.col("cols") - 1, F.floor(F.lit(u0) * lw / tw)))
+    c1 = F.greatest(F.lit(0), F.least(F.col("cols") - 1, F.ceil(F.lit(u1) * lw / tw) - 1))
+    r0 = F.greatest(F.lit(0), F.least(F.col("rows") - 1, F.floor(F.lit(v0) * lh / th)))
+    r1 = F.greatest(F.lit(0), F.least(F.col("rows") - 1, F.ceil(F.lit(v1) * lh / th) - 1))
+    wanted = (
+        picked.withColumn("_r", F.explode(F.sequence(r0, r1)))
+        .withColumn("_c", F.explode(F.sequence(c0, c1)))
+        .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
+        .select("image_id", "level", "tile_idx", "lw", "lh", "tile_w", "tile_h", "cols", "rows")
+    )
+    joined = wanted.join(
+        tiles.select("image_id", "level", "tile_idx", "fmt", "tile_bytes"),
+        ["image_id", "level", "tile_idx"],
+        "inner",
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0_ = pdf.iloc[0]
+        lw_, lh_ = int(r0_["lw"]), int(r0_["lh"])
+        tw_, th_, cols = int(r0_["tile_w"]), int(r0_["tile_h"]), int(r0_["cols"])
+        rw, rh = du, dv
+        out_h = int(max(1, round(np.sqrt(mp_limit * 1e6 / (rw / rh)))))
+        out_w = int(max(1, round((rw / rh) * out_h)))
+        us = u0 + (np.arange(out_w) + 0.5) / out_w * rw
+        vs = v0 + (np.arange(out_h) + 0.5) / out_h * rh
+        px = np.clip(np.floor(us * lw_).astype(np.int64), 0, lw_ - 1)
+        py = np.clip(np.floor(vs * lh_).astype(np.int64), 0, lh_ - 1)
+        canvas = np.zeros((lh_, lw_, 3), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            tile = decode_image(row["tile_bytes"], row["fmt"], tw_, th_)
+            c, r = int(row["tile_idx"]) % cols, int(row["tile_idx"]) // cols
+            y0_, x0_ = r * th_, c * tw_
+            hh = min(th_, lh_ - y0_)
+            ww = min(tw_, lw_ - x0_)
+            canvas[y0_ : y0_ + hh, x0_ : x0_ + ww] = tile[:hh, :ww]
+        out = canvas[py][:, px]
+        return pd.DataFrame(
+            [
+                {
+                    "image_id": r0_["image_id"],
+                    "level": int(r0_["level"]),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "raster": out.tobytes(),
+                    "mean_px": float(out.mean()),
+                }
+            ]
+        )
+
+    return joined.groupBy("image_id").applyInPandas(assemble, CROP_SCHEMA)
