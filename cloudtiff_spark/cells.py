@@ -31,7 +31,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MAX_RES = 20
-Z_JOIN = 6  # fixed coarse resolution for the PIP equi-join (see spatial.py)
+#: fixed resolution for the PIP equi-join key (see spatial.py). Measured on
+#: the sf0.1 fixture: z=9 (0.70 x 0.35 deg cells) cuts false candidates ~4x
+#: vs z=6 while keeping the query-side cell cover small (polygons <= 5 deg).
+Z_JOIN = 9
 
 _ZSHIFT = 58
 _XSHIFT = 29

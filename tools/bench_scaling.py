@@ -22,15 +22,17 @@ def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env.setdefault("BENCH_ITERS", "3")
+    env.setdefault("BENCH_ITERS", "5")
+    env.setdefault("BENCH_REPL", "32")  # see bench.py — keeps the parallel
+    # region dominant over fixed per-job cost at sandbox data sizes
+    env.setdefault("SPARK_DRIVER_MEMORY", "24g")
     env["BENCH_HEADLINE_ONLY"] = "1"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if cpus < (os.cpu_count() or cpus):
+        # pin the N-core run to N physical CPUs so GC/JIT/python workers
+        # can't silently use the whole machine (honest small-cluster proxy)
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
