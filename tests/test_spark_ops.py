@@ -96,6 +96,18 @@ class TestPipJoin:
         b = {tuple(r) for r in pip_join(ta, queries, salt=8).collect()}
         assert a == b and len(a) > 0
 
+    def test_refine_variants_agree(self, tables):
+        from cloudtiff_spark.operators.meta import tile_assignments
+        from cloudtiff_spark.operators.spatial import pip_join
+
+        _, meta, queries = tables
+        ta = tile_assignments(meta)
+        outs = [
+            {tuple(r) for r in pip_join(ta, queries, refine=m).collect()}
+            for m in ("native", "arrow", "arrow_bcast")
+        ]
+        assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
 
 class TestKnn:
     def test_matches_bruteforce(self, tables, meta_pd):
