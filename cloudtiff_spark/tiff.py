@@ -1,0 +1,418 @@
+"""Minimal tiled GeoTIFF (COG) container: writer + parser, pure python/numpy.
+
+Parity targets in the reference:
+- writer: Encoder::encode (/root/reference/src/encode/mod.rs:258-620) —
+  classic little-endian TIFF, one IFD per pyramid level (level i resampled
+  from level i-1, dims full//2^i, encode/mod.rs:398-408), tiled layout with
+  zero-padded edge tiles (559-567), tags sorted ascending (509), chunky
+  planar config only (264), GTRasterType=1 for both CRSs (327, 359 — quirk
+  kept for parity), Deflate or TIFF-LZW tile compression.
+- parser: Tiff::open (src/tiff/mod.rs:85-124) + Ifd::parse (ifd.rs:36-93):
+  II/MM magic, classic (42) AND BigTIFF (43) IFD chains, inline-or-offset
+  tag data; CloudTiff::from_tiff_and_geo (cog/mod.rs:91-135): levels sorted
+  desc by megapixels, overview numbering; GeoTags/Projection rebuild
+  (geotags/mod.rs:166-193, projection/mod.rs:72-166) incl. rejecting the
+  Transformed model (projection/mod.rs:114-123).
+
+Only the features the reference encoder emits are written; the parser is
+deliberately more liberal (like the reference's reader).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import TILE
+from .codecs import lzw_decode, lzw_encode
+from .grid import grid_shape, level_dims, num_levels
+from .operators.tiling import resample_nearest
+
+# TIFF tag codes
+T_NEWSUBFILETYPE = 254
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITSPERSAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_SAMPLESPERPIXEL = 277
+T_PLANARCONFIG = 284
+T_TILEWIDTH = 322
+T_TILELENGTH = 323
+T_TILEOFFSETS = 324
+T_TILEBYTECOUNTS = 325
+T_SAMPLEFORMAT = 339
+T_MODELPIXELSCALE = 33550
+T_MODELTIEPOINT = 33922
+T_MODELTRANSFORMATION = 34264
+T_GEOKEYDIRECTORY = 34735
+T_GEODOUBLEPARAMS = 34736
+T_GEOASCIIPARAMS = 34737
+
+# GeoKey ids (public GeoTIFF spec)
+GK_MODEL_TYPE = 1024
+GK_RASTER_TYPE = 1025
+GK_GEOGRAPHIC_TYPE = 2048
+GK_ANGULAR_UNITS = 2054
+GK_PROJECTED_CS_TYPE = 3072
+
+COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE = 8  # "Adobe deflate" (zlib), compression.rs:217-221
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8}
+_SHORT, _LONG, _DOUBLE, _LONG8 = 3, 4, 12, 16
+
+
+@dataclass
+class Tag:
+    code: int
+    dtype: int
+    values: list
+
+    def payload(self, endian: str = "<") -> bytes:
+        fmt = {1: "B", 3: "H", 4: "I", 12: "d", 16: "Q"}[self.dtype]
+        return struct.pack(f"{endian}{len(self.values)}{fmt}", *self.values)
+
+
+@dataclass
+class Level:
+    width: int
+    height: int
+    tile_w: int
+    tile_h: int
+    compression: int
+    overview: int | None
+    tile_offsets: list[int] = field(default_factory=list)
+    tile_byte_counts: list[int] = field(default_factory=list)
+
+    @property
+    def grid(self) -> tuple[int, int]:
+        return grid_shape(self.width, self.height, self.tile_w, self.tile_h)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _compress_tile(arr: np.ndarray, compression: int) -> bytes:
+    raw = arr.tobytes()
+    if compression == COMPRESSION_DEFLATE:
+        return zlib.compress(raw, 6)
+    if compression == COMPRESSION_LZW:
+        return lzw_encode(raw)
+    raise ValueError(f"CompressionNotSupported: {compression}")
+
+
+def _geokey_directory(epsg: int) -> list[int]:
+    """GeoKeyDirectory shorts — mirrors the two encoder paths
+    (encode/mod.rs:294-393): EPSG 4326 (geographic, angular deg) and
+    32609 (projected). GTRasterType=1 in both (quirk parity)."""
+    if epsg == 4326:
+        keys = [
+            (GK_MODEL_TYPE, 0, 1, 2),
+            (GK_RASTER_TYPE, 0, 1, 1),
+            (GK_GEOGRAPHIC_TYPE, 0, 1, 4326),
+            (GK_ANGULAR_UNITS, 0, 1, 9102),
+        ]
+    elif epsg == 32609:
+        keys = [
+            (GK_MODEL_TYPE, 0, 1, 1),
+            (GK_RASTER_TYPE, 0, 1, 1),
+            (GK_PROJECTED_CS_TYPE, 0, 1, 32609),
+        ]
+    else:
+        raise ValueError(f"unsupported epsg {epsg}")  # encode/mod.rs:321-393
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
+
+
+def encode_cog(
+    pixels: np.ndarray,
+    epsg: int,
+    origin_x: float,
+    origin_y: float,
+    scale_px: float,
+    tile: int = TILE,
+    compression: int = COMPRESSION_DEFLATE,
+) -> bytes:
+    """Write a classic little-endian tiled GeoTIFF with a full overview
+    pyramid. pixels: (h, w, 3) uint8; origin = top-left corner in CRS units
+    (ModelTiepoint with raster point (0,0,0)); scale_px = CRS units/pixel.
+    """
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    n_lv = num_levels(w, h, tile, tile)
+
+    # per-level tile payloads (level i resampled from level i-1)
+    levels: list[Level] = []
+    level_tiles: list[list[bytes]] = []
+    cur = pixels
+    for lv in range(n_lv):
+        if lv > 0:
+            lw, lh = level_dims(w, h, lv)
+            cur = resample_nearest(cur, lw, lh)
+        lh_, lw_ = cur.shape[:2]
+        lev = Level(lw_, lh_, tile, tile, compression, None if lv == 0 else lv)
+        cols, rows = lev.grid
+        tiles = []
+        for r in range(rows):
+            for cc in range(cols):
+                t = np.zeros((tile, tile, 3), dtype=np.uint8)
+                src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
+                t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
+                tiles.append(_compress_tile(t, compression))
+        levels.append(lev)
+        level_tiles.append(tiles)
+
+    # tag lists per IFD (values with placeholder offsets)
+    def ifd_tags(lv: int) -> list[Tag]:
+        lev = levels[lv]
+        n_tiles = len(level_tiles[lv])
+        tags = [
+            Tag(T_NEWSUBFILETYPE, _LONG, [0 if lv == 0 else 1]),
+            Tag(T_WIDTH, _LONG, [lev.width]),
+            Tag(T_LENGTH, _LONG, [lev.height]),
+            Tag(T_BITSPERSAMPLE, _SHORT, [8, 8, 8]),
+            Tag(T_COMPRESSION, _SHORT, [lev.compression]),
+            Tag(T_PHOTOMETRIC, _SHORT, [2]),
+            Tag(T_SAMPLESPERPIXEL, _SHORT, [3]),
+            Tag(T_PLANARCONFIG, _SHORT, [1]),
+            Tag(T_TILEWIDTH, _LONG, [lev.tile_w]),
+            Tag(T_TILELENGTH, _LONG, [lev.tile_h]),
+            Tag(T_TILEOFFSETS, _LONG, [0] * n_tiles),
+            Tag(T_TILEBYTECOUNTS, _LONG, [len(t) for t in level_tiles[lv]]),
+            Tag(T_SAMPLEFORMAT, _SHORT, [1, 1, 1]),
+        ]
+        if lv == 0:  # geo tags on the full-resolution IFD
+            tags += [
+                Tag(T_MODELPIXELSCALE, _DOUBLE, [scale_px, scale_px, 0.0]),
+                Tag(T_MODELTIEPOINT, _DOUBLE, [0.0, 0.0, 0.0, origin_x, origin_y, 0.0]),
+                Tag(T_GEOKEYDIRECTORY, _SHORT, _geokey_directory(epsg)),
+            ]
+        return sorted(tags, key=lambda t: t.code)  # TIFF requirement (O2)
+
+    all_tags = [ifd_tags(lv) for lv in range(n_lv)]
+
+    # ---- layout: header | per-level (IFD block + external data) | tiles ----
+    pos = 8  # after classic header
+    ifd_positions = []
+    ext_positions: list[dict[int, int]] = []
+    for tags in all_tags:
+        ifd_positions.append(pos)
+        pos += 2 + 12 * len(tags) + 4
+        ext = {}
+        for t in tags:
+            size = _TYPE_SIZES[t.dtype] * len(t.values)
+            if size > 4:
+                ext[t.code] = pos
+                pos += size + (size & 1)
+        ext_positions.append(ext)
+    # tile data
+    for lv, tiles in enumerate(level_tiles):
+        for t in tiles:
+            levels[lv].tile_offsets.append(pos)
+            pos += len(t)
+
+    # fill tile offsets into the tag values
+    for lv, tags in enumerate(all_tags):
+        for t in tags:
+            if t.code == T_TILEOFFSETS:
+                t.values = levels[lv].tile_offsets
+
+    # ---- serialize ----
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd_positions[0])
+    for lv, tags in enumerate(all_tags):
+        assert len(out) == ifd_positions[lv]
+        out += struct.pack("<H", len(tags))
+        for t in tags:
+            size = _TYPE_SIZES[t.dtype] * len(t.values)
+            out += struct.pack("<HHI", t.code, t.dtype, len(t.values))
+            if size <= 4:
+                out += t.payload().ljust(4, b"\x00")
+            else:
+                out += struct.pack("<I", ext_positions[lv][t.code])
+        next_ifd = ifd_positions[lv + 1] if lv + 1 < n_lv else 0
+        out += struct.pack("<I", next_ifd)
+        for t in tags:
+            size = _TYPE_SIZES[t.dtype] * len(t.values)
+            if size > 4:
+                assert len(out) == ext_positions[lv][t.code]
+                p = t.payload()
+                out += p + (b"\x00" if len(p) & 1 else b"")
+    for tiles in level_tiles:
+        out += b"".join(tiles)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser (classic + BigTIFF, both endians)
+# ---------------------------------------------------------------------------
+
+
+def parse_tiff(data: bytes) -> dict:
+    """-> {endian, big, ifds: [ {code: [values]} ]} (S1, tiff/mod.rs:85-124)."""
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    (magic,) = struct.unpack_from(f"{e}H", data, 2)
+    if magic == 42:
+        big = False
+        (first,) = struct.unpack_from(f"{e}I", data, 4)
+    elif magic == 43:
+        big = True
+        off_size, zero = struct.unpack_from(f"{e}HH", data, 4)
+        if off_size != 8 or zero != 0:
+            raise ValueError("bad BigTIFF header")
+        (first,) = struct.unpack_from(f"{e}Q", data, 8)
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    fmt_by_type = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+    ifds = []
+    pos = first
+    while pos:
+        if big:
+            (count,) = struct.unpack_from(f"{e}Q", data, pos)
+            entry_pos = pos + 8
+            entry_sz = 20
+            inline = 8
+        else:
+            (count,) = struct.unpack_from(f"{e}H", data, pos)
+            entry_pos = pos + 2
+            entry_sz = 12
+            inline = 4
+        tags: dict[int, list] = {}
+        for i in range(count):
+            p = entry_pos + i * entry_sz
+            code, dtype = struct.unpack_from(f"{e}HH", data, p)
+            if big:
+                (n,) = struct.unpack_from(f"{e}Q", data, p + 4)
+                vpos = p + 12
+            else:
+                (n,) = struct.unpack_from(f"{e}I", data, p + 4)
+                vpos = p + 8
+            if dtype == 5 or dtype == 10:  # RATIONAL: pairs -> f64 division
+                size = 8 * n
+                if size > inline:
+                    (vpos,) = struct.unpack_from(f"{e}Q" if big else f"{e}I", data, vpos)
+                f = "I" if dtype == 5 else "i"
+                raw = struct.unpack_from(f"{e}{2 * n}{f}", data, vpos)
+                tags[code] = [
+                    (raw[2 * k] / raw[2 * k + 1]) if raw[2 * k + 1] else 0.0 for k in range(n)
+                ]
+                continue
+            f = fmt_by_type.get(dtype)
+            if f is None:
+                continue  # unknown type: skip (liberal reader)
+            size = struct.calcsize(f) * n
+            if size > inline:
+                (vpos,) = struct.unpack_from(f"{e}Q" if big else f"{e}I", data, vpos)
+            vals = list(struct.unpack_from(f"{e}{n}{f}", data, vpos))
+            if dtype == 2:  # ASCII
+                vals = [b"".join(vals).rstrip(b"\x00").decode("ascii", "replace")]
+            tags[code] = vals
+        if big:
+            (pos,) = struct.unpack_from(f"{e}Q", data, entry_pos + count * entry_sz)
+        else:
+            (pos,) = struct.unpack_from(f"{e}I", data, entry_pos + count * entry_sz)
+        ifds.append(tags)
+    return {"endian": e, "big": big, "ifds": ifds}
+
+
+def _parse_geokeys(tags: dict) -> dict[int, int | float | str]:
+    """Unpack the GeoKeyDirectory (keys.rs:105-191): location==0 -> value
+    inline; else slice GeoDoubleParams / GeoAsciiParams."""
+    directory = tags.get(T_GEOKEYDIRECTORY)
+    if not directory:
+        return {}
+    out: dict[int, int | float | str] = {}
+    n_keys = directory[3]
+    doubles = tags.get(T_GEODOUBLEPARAMS, [])
+    asciis = tags.get(T_GEOASCIIPARAMS, [""])[0] if T_GEOASCIIPARAMS in tags else ""
+    for k in range(n_keys):
+        key, loc, cnt, off = directory[4 + 4 * k : 8 + 4 * k]
+        if loc == 0:
+            out[key] = off
+        elif loc == T_GEODOUBLEPARAMS:
+            out[key] = doubles[off] if cnt == 1 else doubles[off : off + cnt]
+        elif loc == T_GEOASCIIPARAMS:
+            out[key] = asciis[off : off + cnt].rstrip("|")
+    return out
+
+
+def cog_info(data: bytes) -> dict:
+    """S2 analyze (CloudTiff::open): parsed levels sorted desc by megapixels
+    with overview numbering + projection columns. Raises like the reference
+    on a Transformed model or missing scaled tags."""
+    t = parse_tiff(data)
+    levels = []
+    for tags in t["ifds"]:
+        if T_TILEWIDTH not in tags or T_WIDTH not in tags:
+            continue  # strip-based or malformed IFD: skipped (cog/mod.rs:115)
+        levels.append(
+            dict(
+                width=tags[T_WIDTH][0],
+                height=tags[T_LENGTH][0],
+                tile_w=tags[T_TILEWIDTH][0],
+                tile_h=tags[T_TILELENGTH][0],
+                compression=tags[T_COMPRESSION][0],
+                bits_per_sample=tags.get(T_BITSPERSAMPLE, [8]),
+                offsets=tags[T_TILEOFFSETS],
+                byte_counts=tags[T_TILEBYTECOUNTS],
+            )
+        )
+    if not levels:
+        raise ValueError("NoLevels")  # cog/mod.rs:127-129
+    levels.sort(key=lambda l: l["width"] * l["height"], reverse=True)
+    for i, lev in enumerate(levels):
+        lev["overview"] = None if i == 0 else i
+
+    tags0 = t["ifds"][0]
+    if T_MODELTRANSFORMATION in tags0:
+        raise ValueError("TransformedModelUnsupported")  # projection/mod.rs:114-123
+    geokeys = _parse_geokeys(tags0)
+    epsg = geokeys.get(GK_PROJECTED_CS_TYPE) or geokeys.get(GK_GEOGRAPHIC_TYPE)
+    tiepoint = tags0.get(T_MODELTIEPOINT)
+    pixel_scale = tags0.get(T_MODELPIXELSCALE)
+    proj = None
+    if epsg and tiepoint and pixel_scale:
+        proj = dict(
+            epsg=int(epsg),
+            origin_x=tiepoint[3],
+            origin_y=tiepoint[4],
+            scale_px=pixel_scale[0],
+            angular_units=geokeys.get(GK_ANGULAR_UNITS),
+            raster_type=geokeys.get(GK_RASTER_TYPE),
+        )
+    return {"levels": levels, "projection": proj, "big": t["big"]}
+
+
+def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarray:
+    """Fetch + decode one tile by byte range (S4/S8 + decode chain
+    level.rs:301-373). Returns (tile_h, tile_w, 3) uint8."""
+    lev = info["levels"][level]
+    off = lev["offsets"][tile_idx]
+    cnt = lev["byte_counts"][tile_idx]
+    raw = data[off : off + cnt]
+    if lev["compression"] == COMPRESSION_DEFLATE:
+        buf = zlib.decompress(raw)
+    elif lev["compression"] == COMPRESSION_LZW:
+        buf = lzw_decode(raw)
+    elif lev["compression"] == 1:
+        buf = raw
+    else:
+        raise ValueError(f"CompressionNotSupported: {lev['compression']}")
+    tw, th = lev["tile_w"], lev["tile_h"]
+    if len(buf) != tw * th * 3:  # raster/mod.rs:73-86
+        raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x3")
+    return np.frombuffer(buf, dtype=np.uint8).reshape(th, tw, 3)
