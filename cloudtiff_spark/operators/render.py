@@ -62,7 +62,8 @@ def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> Da
     )
     lv = levels.select(
         "image_id", "level", "lw", "lh", "tile_w", "tile_h", "cols", "rows",
-        "xmin", "ymin", "xmax", "ymax",
+        "xmin", "ymin", "xmax", "ymax", "epsg", "origin_x", "origin_y", "scale_px",
+        "w", "h",
     )
     joined = (
         wanted.join(F.broadcast(q), "query_id")
@@ -84,18 +85,13 @@ def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> Da
         rw, rh = rxmax - rxmin, rymax - rymin
         out_h = int(max(1, round(np.sqrt(float(r0["mp_limit"]) * 1e6 / (rw / rh)))))
         out_w = int(max(1, round((rw / rh) * out_h)))
-        # output pixel centers in CRS -> normalized image coords (P3, y flip)
+        # output pixel centers (EPSG:4326 target grid) -> normalized image
+        # coords. For 4326 images the affine is direct; for 32609 images
+        # every pixel center goes through the exact CRS transform first
+        # (P3 / the pixel-map reprojection join J2, util.rs:155-204) — not
+        # the bounds-box linear approximation.
         lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
         lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
-        u = (lon - xmin) / (xmax - xmin)
-        v = (ymax - lat) / (ymax - ymin)
-        # nearest source pixel at this level; outside image -> transparent 0
-        px = np.floor(u * lw).astype(np.int64)
-        py = np.floor(v * lh).astype(np.int64)
-        ok_x = (px >= 0) & (px < lw)
-        ok_y = (py >= 0) & (py < lh)
-        pxc = np.clip(px, 0, lw - 1)
-        pyc = np.clip(py, 0, lh - 1)
         # mosaic only the needed tiles into a sparse level canvas
         canvas = np.zeros((lh, lw, 3), dtype=np.uint8)
         for _, row in pdf.iterrows():
@@ -105,9 +101,34 @@ def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> Da
             hh = min(th, lh - y0)
             ww = min(tw, lw - x0)
             canvas[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
-        out = canvas[pyc][:, pxc]
-        out[~ok_y, :, :] = 0
-        out[:, ~ok_x, :] = 0
+
+        epsg = int(r0["epsg"])
+        if epsg == 4326:
+            # separable affine: gather rows x cols
+            u = (lon - xmin) / (xmax - xmin)
+            v = (ymax - lat) / (ymax - ymin)
+            px = np.floor(u * lw).astype(np.int64)
+            py = np.floor(v * lh).astype(np.int64)
+            ok_x = (px >= 0) & (px < lw)
+            ok_y = (py >= 0) & (py < lh)
+            out = canvas[np.clip(py, 0, lh - 1)][:, np.clip(px, 0, lw - 1)]
+            out[~ok_y, :, :] = 0
+            out[:, ~ok_x, :] = 0
+        else:
+            from ..projection import image_coords_from_crs, transform_coords
+
+            LON, LAT = np.meshgrid(lon, lat)
+            X, Y = transform_coords(LON.ravel(), LAT.ravel(), 4326, epsg)
+            sx = float(r0["scale_px"]) * int(r0["w"])
+            sy = float(r0["scale_px"]) * int(r0["h"])
+            U, V = image_coords_from_crs(
+                X, Y, float(r0["origin_x"]), float(r0["origin_y"]), sx, sy
+            )
+            px = np.floor(U * lw).astype(np.int64).reshape(out_h, out_w)
+            py = np.floor(V * lh).astype(np.int64).reshape(out_h, out_w)
+            ok = (px >= 0) & (px < lw) & (py >= 0) & (py < lh)
+            out = canvas[np.clip(py, 0, lh - 1), np.clip(px, 0, lw - 1)]
+            out[~ok] = 0
         return pd.DataFrame(
             [
                 {
