@@ -76,6 +76,25 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token estimate: words split on whitespace AND punctuation,
+    long words counted as ceil(len/4) subword tokens (the usual ~4 chars
+    per BPE token heuristic). Output: (doc_id, n_words, n_bpe_est)."""
+    words = F.split(F.col("text"), "[\\s\\p{Punct}]+")
+    words = F.filter(words, lambda w: w != "")
+    n_words = F.size(words)
+    bpe = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        bpe.alias("n_bpe_est"),
+    )
+
+
 def fingerprint(docs: DataFrame, window: int = 8, prime: int = 1_000_003) -> DataFrame:
     """Karp-Rabin rolling hash fingerprint: min rolling hash over all
     length-`window` codepoint windows (a 1-fingerprint winnowing). Output:
