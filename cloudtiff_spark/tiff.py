@@ -44,6 +44,7 @@ T_TILEWIDTH = 322
 T_TILELENGTH = 323
 T_TILEOFFSETS = 324
 T_TILEBYTECOUNTS = 325
+T_PREDICTOR = 317
 T_SAMPLEFORMAT = 339
 T_MODELPIXELSCALE = 33550
 T_MODELTIEPOINT = 33922
@@ -98,7 +99,11 @@ class Level:
 # ---------------------------------------------------------------------------
 
 
-def _compress_tile(arr: np.ndarray, compression: int) -> bytes:
+def _compress_tile(arr: np.ndarray, compression: int, predictor: int = 1) -> bytes:
+    if predictor == 2:  # horizontal differencing (compression.rs:298-330)
+        from .codecs import predictor2_encode
+
+        arr = predictor2_encode(arr)
     raw = arr.tobytes()
     if compression == COMPRESSION_DEFLATE:
         return zlib.compress(raw, 6)
@@ -140,6 +145,7 @@ def encode_cog(
     scale_px: float,
     tile: int = TILE,
     compression: int = COMPRESSION_DEFLATE,
+    predictor: int = 1,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. pixels: (h, w, 3) uint8; origin = top-left corner in CRS units
@@ -166,7 +172,7 @@ def encode_cog(
                 t = np.zeros((tile, tile, 3), dtype=np.uint8)
                 src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
                 t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
-                tiles.append(_compress_tile(t, compression))
+                tiles.append(_compress_tile(t, compression, predictor))
         levels.append(lev)
         level_tiles.append(tiles)
 
@@ -189,6 +195,8 @@ def encode_cog(
             Tag(T_TILEBYTECOUNTS, _LONG, [len(t) for t in level_tiles[lv]]),
             Tag(T_SAMPLEFORMAT, _SHORT, [1, 1, 1]),
         ]
+        if predictor != 1:
+            tags.append(Tag(T_PREDICTOR, _SHORT, [predictor]))
         if lv == 0:  # geo tags on the full-resolution IFD
             tags += [
                 Tag(T_MODELPIXELSCALE, _DOUBLE, [scale_px, scale_px, 0.0]),
@@ -366,6 +374,7 @@ def cog_info(data: bytes) -> dict:
                 tile_w=tags[T_TILEWIDTH][0],
                 tile_h=tags[T_TILELENGTH][0],
                 compression=tags[T_COMPRESSION][0],
+                predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
                 bits_per_sample=tags.get(T_BITSPERSAMPLE, [8]),
                 offsets=tags[T_TILEOFFSETS],
                 byte_counts=tags[T_TILEBYTECOUNTS],
@@ -415,4 +424,9 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     tw, th = lev["tile_w"], lev["tile_h"]
     if len(buf) != tw * th * 3:  # raster/mod.rs:73-86
         raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x3")
-    return np.frombuffer(buf, dtype=np.uint8).reshape(th, tw, 3)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(th, tw, 3)
+    if lev.get("predictor", 1) == 2:  # F6 undo (compression.rs:298-330)
+        from .codecs import predictor2_decode
+
+        arr = predictor2_decode(arr)
+    return arr

@@ -37,6 +37,23 @@ class TestRoundTrip:
             for idx in range(len(info["levels"][lv]["offsets"])):
                 assert np.array_equal(tiff.decode_tile(data, info, lv, idx), expect_lv[idx])
 
+    def test_predictor2_roundtrip(self):
+        img = _img(96, 128)
+        data = tiff.encode_cog(img, 4326, 0.0, 0.0, 1e-4, predictor=2)
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["predictor"] == 2
+        expect = {i: a for i, _, _, a in cut_tiles(img)}
+        for idx in range(len(info["levels"][0]["offsets"])):
+            assert np.array_equal(tiff.decode_tile(data, info, 0, idx), expect[idx])
+
+    def test_predictor2_shrinks_gradients(self):
+        # smooth gradient: differencing should help deflate measurably
+        yy, xx = np.mgrid[0:256, 0:256]
+        img = np.stack([yy, xx, (yy + xx) // 2], axis=-1).astype(np.uint8)
+        plain = tiff.encode_cog(img, 4326, 0.0, 0.0, 1e-4)
+        pred = tiff.encode_cog(img, 4326, 0.0, 0.0, 1e-4, predictor=2)
+        assert len(pred) < len(plain)
+
     def test_levels_sorted_and_dims(self):
         img = _img(300, 300)
         info = tiff.cog_info(tiff.encode_cog(img, 4326, 0.0, 0.0, 1e-4))
