@@ -274,11 +274,18 @@ def generate(sf_name: str, out_dir: str | None = None, workers: int | None = Non
     meta_tbl = pa.Table.from_pylist(meta_rows, schema=_META_SCHEMA)
     qry_tbl = pa.Table.from_pylist([gen_query(j) for j in range(n_qry)], schema=_QRY_SCHEMA)
 
-    pq.write_table(img_tbl, os.path.join(out_dir, "images.parquet"), compression="zstd")
-    pq.write_table(meta_tbl, os.path.join(out_dir, "images_meta.parquet"), compression="zstd")
-    pq.write_table(qry_tbl, os.path.join(out_dir, "queries.parquet"), compression="zstd")
-    with open(os.path.join(out_dir, "_COMPLETE"), "w") as f:
+    # tmp-write + atomic rename: concurrent generators (e.g. parallel driver
+    # processes) converge on identical deterministic bytes without ever
+    # exposing a half-written file
+    pid = os.getpid()
+    for name, tbl in [("images", img_tbl), ("images_meta", meta_tbl), ("queries", qry_tbl)]:
+        tmp = os.path.join(out_dir, f".{name}.{pid}.tmp")
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(out_dir, f"{name}.parquet"))
+    tmp = os.path.join(out_dir, f"._COMPLETE.{pid}.tmp")
+    with open(tmp, "w") as f:
         f.write(f"{sf_name} images={n_img} queries={n_qry}\n")
+    os.replace(tmp, os.path.join(out_dir, "_COMPLETE"))
     return out_dir
 
 
