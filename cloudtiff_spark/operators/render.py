@@ -48,6 +48,35 @@ RENDER_SCHEMA = StructType(
 )
 
 
+def _mosaic_bbox(
+    pdf: pd.DataFrame, tw: int, th: int, cols: int, lw: int, lh: int
+) -> tuple[np.ndarray, int, int]:
+    """Decode the group's tiles into a canvas sized to their bounding box.
+
+    Returns (canvas, y_off, x_off) where offsets are the level-pixel coords
+    of the canvas origin. Missing tiles inside the box stay zero — the same
+    value a full-level sparse canvas would have yielded, so renders are
+    byte-identical to the old full-level allocation while peak memory is
+    O(covered tiles) instead of O(level pixels).
+    """
+    idx = pdf["tile_idx"].to_numpy().astype(np.int64)
+    rs, cs = idx // cols, idx % cols
+    r_min, r_max = int(rs.min()), int(rs.max())
+    c_min, c_max = int(cs.min()), int(cs.max())
+    y_off, x_off = r_min * th, c_min * tw
+    canvas = np.zeros(((r_max - r_min + 1) * th, (c_max - c_min + 1) * tw, 3), dtype=np.uint8)
+    for pos in range(len(pdf)):
+        row = pdf.iloc[pos]
+        tile = decode_image(row["tile_bytes"], row["fmt"], tw, th)
+        y0 = int(rs[pos]) * th - y_off
+        x0 = int(cs[pos]) * tw - x_off
+        # clip the last row/col of tiles to the level edge (zero-pad beyond)
+        hh = min(th, lh - int(rs[pos]) * th)
+        ww = min(tw, lw - int(cs[pos]) * tw)
+        canvas[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+    return canvas, y_off, x_off
+
+
 def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> DataFrame:
     """Render every 'region' query against every intersecting image.
 
@@ -92,26 +121,25 @@ def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> Da
         # the bounds-box linear approximation.
         lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
         lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
-        # mosaic only the needed tiles into a sparse level canvas
-        canvas = np.zeros((lh, lw, 3), dtype=np.uint8)
-        for _, row in pdf.iterrows():
-            tile = decode_image(row["tile_bytes"], row["fmt"], tw, th)
-            c, r = int(row["tile_idx"]) % cols, int(row["tile_idx"]) // cols
-            y0, x0 = r * th, c * tw
-            hh = min(th, lh - y0)
-            ww = min(tw, lw - x0)
-            canvas[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+        # mosaic only the needed tiles into a canvas bounded by the COVERED
+        # tile-range bounding box (NOT the full level): peak memory per group
+        # is O(crop tiles), independent of image size — the Spark analog of
+        # the reference allocating only output-raster-sized buffers
+        # (renderer.rs:110-148). Pixels mapping outside the box are masked
+        # to 0, identical to reading an all-zero missing tile.
+        canvas, y_off, x_off = _mosaic_bbox(pdf, tw, th, cols, lw, lh)
+        ch, cw = canvas.shape[0], canvas.shape[1]
 
         epsg = int(r0["epsg"])
         if epsg == 4326:
             # separable affine: gather rows x cols
             u = (lon - xmin) / (xmax - xmin)
             v = (ymax - lat) / (ymax - ymin)
-            px = np.floor(u * lw).astype(np.int64)
-            py = np.floor(v * lh).astype(np.int64)
-            ok_x = (px >= 0) & (px < lw)
-            ok_y = (py >= 0) & (py < lh)
-            out = canvas[np.clip(py, 0, lh - 1)][:, np.clip(px, 0, lw - 1)]
+            px = np.floor(u * lw).astype(np.int64) - x_off
+            py = np.floor(v * lh).astype(np.int64) - y_off
+            ok_x = (px >= 0) & (px < cw) & (px + x_off < lw)
+            ok_y = (py >= 0) & (py < ch) & (py + y_off < lh)
+            out = canvas[np.clip(py, 0, ch - 1)][:, np.clip(px, 0, cw - 1)]
             out[~ok_y, :, :] = 0
             out[:, ~ok_x, :] = 0
         else:
@@ -124,10 +152,17 @@ def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> Da
             U, V = image_coords_from_crs(
                 X, Y, float(r0["origin_x"]), float(r0["origin_y"]), sx, sy
             )
-            px = np.floor(U * lw).astype(np.int64).reshape(out_h, out_w)
-            py = np.floor(V * lh).astype(np.int64).reshape(out_h, out_w)
-            ok = (px >= 0) & (px < lw) & (py >= 0) & (py < lh)
-            out = canvas[np.clip(py, 0, lh - 1), np.clip(px, 0, lw - 1)]
+            px = np.floor(U * lw).astype(np.int64).reshape(out_h, out_w) - x_off
+            py = np.floor(V * lh).astype(np.int64).reshape(out_h, out_w) - y_off
+            ok = (
+                (px >= 0)
+                & (px < cw)
+                & (py >= 0)
+                & (py < ch)
+                & (px + x_off < lw)
+                & (py + y_off < lh)
+            )
+            out = canvas[np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1)]
             out[~ok] = 0
         return pd.DataFrame(
             [
