@@ -48,23 +48,69 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", "text_md5", "group_size")
 
 
-def jaccard_pairs(docs: DataFrame, tau: float = 0.4, n: int = 3) -> DataFrame:
-    """Near-duplicate pairs with shingle-Jaccard >= tau — EXACT, via an
+def jaccard_pairs(
+    docs: DataFrame, tau: float = 0.4, n: int = 3, max_df: int | None = 100
+) -> DataFrame:
+    """Near-duplicate pairs with shingle-Jaccard >= tau via an
     inverted-index self-join (the scale path for exact all-pairs):
 
       explode (doc, shingle) -> self-join on shingle -> groupBy pair ->
       count = |A n B| -> jaccard = c / (na + nb - c).
 
-    Lossless for tau > 0 (a pair with zero shared shingles has J = 0); the
-    intersection is computed by a shuffle AGGREGATION (map-side combine,
+    The intersection is computed by a shuffle AGGREGATION (map-side combine,
     whole-stage codegen), never by pairwise array ops — the cross-join-
     with-array-intersect formulation dies quadratically at corpus scale.
     Additionally applies the size-band prune (J >= tau implies
     tau <= |A|/|B| <= 1/tau) inside the join condition.
+
+    ``max_df`` is the hot-key guard for corpus scale: a shingle appearing in
+    f documents contributes f^2 candidate rows to the self-join, so one
+    stopword-like shingle in 10^6 docs is 10^12 rows. Shingles with document
+    frequency > max_df are dropped from CANDIDATE GENERATION only; surviving
+    candidate pairs are verified EXACTLY by re-joining the full shingle sets
+    per doc_id (arrays ride only the candidate rows, never the inverted
+    index). A true pair is missed only if EVERY shingle it shares is
+    corpus-hot (df > max_df) — for near-duplicate detection those pairs
+    share nothing but boilerplate. max_df=None disables the cap and the
+    two-phase verify (single-pass exact aggregation).
     Output: (doc_id_a, doc_id_b, jaccard) with a < b.
     """
     s = shingles(docs, n=n).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
     ex = s.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    if max_df is not None:
+        # document frequency per shingle; hot list is tiny by construction
+        # (only keys with df > max_df), so it broadcasts
+        hot = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        ).select("g")
+        capped = ex.join(F.broadcast(hot), "g", "left_anti")
+        a = capped.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"), "g")
+        b = capped.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"), "g")
+        cand = (
+            a.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id_a") < F.col("b.doc_id_b"))
+                & (F.col("a.na") >= F.ceil(F.lit(tau) * F.col("b.nb")))
+                & (F.col("b.nb") >= F.ceil(F.lit(tau) * F.col("a.na"))),
+            )
+            .select("doc_id_a", "doc_id_b")
+            .dropDuplicates(["doc_id_a", "doc_id_b"])
+        )
+        # exact verify: full shingle sets (hot ones included) per candidate
+        sh = s.select("doc_id", "shingles")
+        verified = (
+            cand.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "shingles": "sh_a"}), "doc_id_a")
+            .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "shingles": "sh_b"}), "doc_id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            verified.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= tau)
+            .select("doc_id_a", "doc_id_b", "jaccard")
+        )
     a = ex.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"), "g")
     b = ex.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"), "g")
     co = (
@@ -101,7 +147,6 @@ def minhash_lsh_pairs(
     s = shingles(docs, n=n).select("doc_id", "shingles")
     sig = s.select(
         "doc_id",
-        "shingles",
         F.array(
             *[
                 F.array_min(
@@ -111,9 +156,13 @@ def minhash_lsh_pairs(
             ]
         ).alias("sig"),
     )
+    # band/bucket explode carries ONLY (doc_id, band, bucket) — the shingle
+    # arrays must NOT ride the `bands`-way fan-out or the bucket join, or
+    # every byte of the corpus is shuffled `bands` times (the round-1
+    # payload-amplification weakness). Full sets are re-joined by doc_id
+    # only for the deduplicated candidate pairs.
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -133,22 +182,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
-    left = banded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = banded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
-    )
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    verified = (
+        cand.join(s.withColumnsRenamed({"doc_id": "doc_id_a", "shingles": "sh_a"}), "doc_id_a")
+        .join(s.withColumnsRenamed({"doc_id": "doc_id_b", "shingles": "sh_b"}), "doc_id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= tau)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -253,18 +303,28 @@ def lsh_cosine_topk(
             sigs.append(list(row))
         return pd.Series(sigs)
 
+    # the n_tables-way posexplode and the bucket join carry ONLY
+    # (id, table, bucket) — embedding vectors must not ride the fan-out
+    # (round-1 weakness: ~n_tables x payload shuffle amplification).
+    # Vectors are re-attached by id for the deduplicated candidates only.
     sig = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), signatures(F.col(vec_col)).alias("sig")
-    ).select("id", "vec", F.posexplode("sig").alias("table", "bucket"))
+        F.col(id_col).alias("id"), signatures(F.col(vec_col)).alias("sig")
+    ).select("id", F.posexplode("sig").alias("table", "bucket"))
 
     probes = sig.filter(F.col("id").isin(probe_ids)).select(
-        "table", "bucket", F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+        "table", "bucket", F.col("id").alias("query_id")
     )
     cand = (
         sig.join(F.broadcast(probes), ["table", "bucket"])
         .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])
     )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qvecs = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = cand.join(vecs, "id").join(F.broadcast(qvecs), "query_id")
 
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:

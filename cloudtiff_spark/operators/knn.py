@@ -57,11 +57,20 @@ def knn(meta: DataFrame, queries: DataFrame, z: int = Z_KNN, max_rounds: int = 8
     r_hi = 0
     done: DataFrame | None = None
     for _ in range(max_rounds):
-        # enumerate this round's ring cells (chebyshev distance in [r_lo, r_hi])
+        # enumerate this round's ring cells (chebyshev distance in
+        # [r_lo, r_hi]) — O(annulus), not O(square): rows with |dy| >= r_lo
+        # span the full dx range; interior rows only the two side strips.
+        # (r_lo == 0 always takes the full-range branch, so no duplicates.)
+        dx_full = F.sequence(F.lit(-r_hi), F.lit(r_hi))
+        dx_sides = F.concat(
+            F.sequence(F.lit(-r_hi), F.lit(-r_lo)), F.sequence(F.lit(r_lo), F.lit(r_hi))
+        )
         ring = (
-            active.withColumn("_dx", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
-            .filter(F.greatest(F.abs("_dx"), F.abs("_dy")) >= r_lo)
+            active.withColumn("_dy", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
+            .withColumn(
+                "_dx",
+                F.explode(F.when(F.abs(F.col("_dy")) >= F.lit(r_lo), dx_full).otherwise(dx_sides)),
+            )
             .withColumn("icx", F.col("qcx") + F.col("_dx"))
             .withColumn("icy", F.col("qcy") + F.col("_dy"))
             .filter(

@@ -55,3 +55,49 @@ class TestPlanShape:
             .toString()
         )
         assert "PushedFilters: [IsNotNull(epsg), EqualTo(epsg,4326)]" in plan
+
+
+class TestLshPayloadShape:
+    """The LSH fan-outs must stay payload-free: the band/bucket (minhash)
+    and table/bucket (cosine) explodes may carry only ids + keys. Shingle
+    arrays / embedding vectors ride the plan only AFTER candidate-pair
+    dedup, re-joined by id (round-2 de-amplification — a corpus byte must
+    never be shuffled bands/n_tables times)."""
+
+    def _generate_lines(self, plan: str, generate_marker: str) -> list[str]:
+        # a Generate node prints `Generate <generator>, [pass-through cols],
+        # ...` — the pass-through list IS the fan-out payload
+        return [line for line in plan.splitlines() if generate_marker in line]
+
+    def test_minhash_band_explode_is_lean(self, spark):
+        from cloudtiff_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            minhash_lsh_pairs(docs, tau=0.15)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the band struct mentions sig-array lambdas, so split off the
+        # pass-through section after the generator expression
+        gens = self._generate_lines(plan, "Generate explode(array(struct(band")
+        assert gens, "band explode not found in plan"
+        for g in gens:
+            passthrough = g.rsplit(")), [", 1)[-1]
+            assert "shingles" not in passthrough, g[:200]
+
+    def test_lsh_cosine_table_explode_is_lean(self, spark):
+        from cloudtiff_spark.operators.dedup import lsh_cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            lsh_cosine_topk(emb, [0, 7, 13], k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        gens = self._generate_lines(plan, "Generate posexplode(sig")
+        assert gens, "table explode not found in plan"
+        for g in gens:
+            assert "vec" not in g and "embedding" not in g, g[:200]

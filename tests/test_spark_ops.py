@@ -272,6 +272,54 @@ class TestDedupRecall:
         if exact:
             assert len(lsh) / len(exact) >= 0.8  # banding recall at tau=0.15
 
+    def test_jaccard_hot_shingle_cap(self, spark):
+        """max_df drops corpus-hot shingles from CANDIDATE GENERATION only:
+        near-dupe pairs sharing any non-hot shingle are still found with
+        EXACT jaccard (the verify re-joins full shingle sets); a pair whose
+        every shared shingle is hot is the documented miss. On a skewed
+        corpus (one boilerplate prefix in every doc) the uncapped inverted
+        index generates O(n^2) candidate rows from the hot key alone."""
+        from cloudtiff_spark.operators.dedup import jaccard_pairs
+
+        n_docs = 60
+        rows = []
+        for i in range(n_docs):
+            # shared boilerplate prefix (hot shingles) + unique tail;
+            # (2i, 2i+1) are near-dupe pairs through their NON-hot tails
+            tail = f"u{i // 2}a u{i // 2}b u{i // 2}c u{i // 2}d u{i // 2}e"
+            rows.append((i, f"aa bb cc dd ee {tail}"))
+        # two pure-boilerplate docs: their only shared shingles are hot
+        rows.append((1000, "aa bb cc dd ee"))
+        rows.append((1001, "aa bb cc dd ee"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        capped = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in jaccard_pairs(docs, tau=0.3, n=3, max_df=10).collect()
+        }
+        exact = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in jaccard_pairs(docs, tau=0.3, n=3, max_df=None).collect()
+        }
+        dupe_pairs = {(2 * i, 2 * i + 1) for i in range(n_docs // 2)}
+        assert dupe_pairs <= capped  # non-hot-sharing pairs all survive the cap
+        assert (1000, 1001) in exact  # uncapped finds the boilerplate twins
+        assert (1000, 1001) not in capped  # the documented miss
+        # every miss involves a pure-boilerplate doc (shares ONLY hot
+        # shingles); all other exact pairs survive the cap
+        assert capped == {p for p in exact if p[0] < 1000 and p[1] < 1000}
+        # capped jaccard values are EXACT (hot shingles count in the verify)
+        cj = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in jaccard_pairs(docs, tau=0.3, n=3, max_df=10).collect()
+        }
+        ej = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in jaccard_pairs(docs, tau=0.3, n=3, max_df=None).collect()
+        }
+        for p in capped:
+            assert abs(cj[p] - ej[p]) < 1e-12
+
     def test_lsh_cosine_recall(self, spark):
         from cloudtiff_spark.operators.dedup import cosine_topk, lsh_cosine_topk
 
