@@ -289,6 +289,56 @@ def generate(sf_name: str, out_dir: str | None = None, workers: int | None = Non
     return out_dir
 
 
+def _write_cog_chunk(args: tuple[str, list[int]]) -> int:
+    """Encode one chunk of fixture images as .tif files (worker process)."""
+    cog_dir, idx = args
+    from .tiff import COMPRESSION_DEFLATE, COMPRESSION_LZW, encode_cog
+
+    n = 0
+    for i in idx:
+        r = gen_image(i)
+        if not r["image_id"].endswith("0"):
+            continue
+        arr = decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        comp = COMPRESSION_LZW if r["fmt"] == "lzw_raw" else COMPRESSION_DEFLATE
+        cog = encode_cog(
+            arr, r["epsg"], r["origin_x"], r["origin_y"], r["scale_px"], compression=comp
+        )
+        tmp = os.path.join(cog_dir, f".{r['image_id']}.{os.getpid()}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(cog)
+        os.replace(tmp, os.path.join(cog_dir, f"{r['image_id']}.tif"))
+        n += 1
+    return n
+
+
+def ensure_cog_dir(sf_name: str) -> str:
+    """Materialize the 10% image subset (image_id LIKE '%0', the same subset
+    every pixel-heavy query uses) as REAL .tif files under
+    <fixture>/cogs/ — the external-COG ingestion surface for the ranged
+    header-only analyze (sources.analyze_cog_headers). Deterministic, cached
+    by marker file."""
+    out_dir = ensure_fixtures(sf_name)
+    cog_dir = os.path.join(out_dir, "cogs")
+    marker = os.path.join(cog_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return cog_dir
+    os.makedirs(cog_dir, exist_ok=True)
+    n_img, _ = SF_SPECS[sf_name]
+    workers = min(16, os.cpu_count() or 4)
+    chunks = [(cog_dir, list(range(i, n_img, workers))) for i in range(workers)]
+    if n_img <= 200:
+        total = sum(_write_cog_chunk(c) for c in chunks)
+    else:
+        with ProcessPoolExecutor(workers) as ex:
+            total = sum(ex.map(_write_cog_chunk, chunks))
+    tmp = marker + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{sf_name} cogs={total}\n")
+    os.replace(tmp, marker)
+    return cog_dir
+
+
 def ensure_fixtures(sf_name: str) -> str:
     """Generate-if-missing; returns the fixture directory for a scale."""
     out_dir = os.path.join(FIXTURE_ROOT, sf_name)

@@ -197,8 +197,11 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # unrounded: |A∪B| == na+nb-|A∩B| exactly (distinct arrays), so this is
+    # the byte-identical double jaccard_pairs computes — when banding recall
+    # is 1.0 the two operators' outputs are value-identical
     return (
-        verified.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= tau)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )

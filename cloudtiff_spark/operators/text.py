@@ -58,7 +58,9 @@ _LANG_MARKERS = {
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: CJK-codepoint share for zh, else argmax of
-    marker-trigram counts (ties -> en). Output: (doc_id, lang_pred)."""
+    marker-trigram counts. Score ties resolve to the lexicographically LAST
+    language code (F.greatest over (score, lang) structs; the DuckDB oracle
+    orders by `l DESC` to match). Output: (doc_id, lang_pred)."""
     t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     scores = []
     for lang, markers in _LANG_MARKERS.items():

@@ -10,6 +10,9 @@ the engine only sees a binary column.
 
 from __future__ import annotations
 
+import os
+import struct
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +39,115 @@ def analyze_cog_directory(spark: SparkSession, path: str, pattern: str = "*.tif"
     from .operators.cog import parse_cogs
 
     return parse_cogs(read_cog_directory(spark, path, pattern))
+
+
+def _local_path(spark_path: str) -> str:
+    """binaryFile reports 'file:/abs/path'; strip the scheme for local IO.
+    Non-file schemes need a ranged-GET client (HTTP Range / S3 GetObject
+    with Range — io/http.rs:100-140, io/s3.rs:54-92); none is available in
+    this sandbox, so they fail loudly instead of silently reading 100%."""
+    if spark_path.startswith("file:"):
+        p = spark_path[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" not in spark_path and ":" not in spark_path.split("/", 1)[0]:
+        return spark_path
+    raise NotImplementedError(
+        f"ranged reads for scheme of {spark_path!r} need an HTTP/S3 range client"
+    )
+
+
+def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
+    """Header-only COG analyze of a local file: read the first
+    ``initial_bytes``, run the full parse, and on truncation grow the prefix
+    geometrically and retry — the reference's incremental async open
+    (cog/mod.rs:272-320: parse from the first fetch, re-fetch on EOF).
+    Returns (cog_info dict, bytes_read). Never reads tile data unless the
+    IFD chain actually extends that far."""
+    from .tiff import cog_info
+
+    size = os.path.getsize(path)
+    n = min(initial_bytes, size)
+    with open(path, "rb") as f:
+        data = f.read(n)
+        while True:
+            try:
+                return cog_info(data), len(data)
+            except struct.error:
+                # truncated: an IFD entry / external value / next-IFD offset
+                # fell beyond the prefix -> grow and re-parse
+                if len(data) >= size:
+                    raise
+                grow = min(size - len(data), len(data))  # double, clamped
+                data += f.read(grow)
+
+
+HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
+
+
+def analyze_cog_headers(
+    spark: SparkSession, path: str, pattern: str = "*.tif", initial_bytes: int = 4096
+) -> DataFrame:
+    """S2 analyze over a COG directory reading ONLY file headers.
+
+    The binaryFile scan is pruned to (path, length) — Spark's binary source
+    never opens the files when `content` isn't projected — and the ranged
+    parse runs in a mapInPandas stage over the path list, so a directory of
+    N-gigabyte COGs costs megabytes of IO (vs read_cog_directory, which
+    ships every byte). bytes_read/file_bytes columns report the ratio."""
+    import pandas as pd
+
+    from .operators.cog import _COMP_NAME
+
+    paths = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.[^./]+$", 1).alias("image_id"),
+            "path",
+            F.col("length").alias("file_bytes"),
+        )
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                info, nread = header_info(_local_path(r["path"]), initial_bytes)
+                proj = info["projection"] or {}
+                for lv_i, lev in enumerate(info["levels"]):
+                    rows.append(
+                        (
+                            r["image_id"],
+                            lv_i,
+                            lev["width"],
+                            lev["height"],
+                            lev["tile_w"],
+                            lev["tile_h"],
+                            len(lev["offsets"]),
+                            _COMP_NAME.get(lev["compression"], "?"),
+                            int(proj.get("epsg", 0)),
+                            float(proj.get("origin_x", 0.0)),
+                            float(proj.get("origin_y", 0.0)),
+                            float(proj.get("scale_px", 0.0)),
+                            nread,
+                            r["file_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
+                    "compression", "epsg", "origin_x", "origin_y", "scale_px",
+                    "bytes_read", "file_bytes",
+                ],
+            )
+
+    return paths.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, schema=HEADER_SCHEMA
+    )
 
 
 def disect(data: bytes) -> str:

@@ -36,3 +36,96 @@ class TestCogDirectory:
         assert "classic endian=LE" in out
         assert "level 0 (full): 300x96 tiles 5x2@64" in out
         assert "projection epsg=32609" in out
+
+
+class TestHeaderOnlyAnalyze:
+    def test_header_analyze_matches_full_parse(self, spark, tmp_path):
+        """Ranged header-only analyze recovers the identical metadata the
+        full-bytes parse does, while reading a small fraction of the bytes
+        (the S3 incremental-open semantics, cog/mod.rs:272-320)."""
+        from cloudtiff_spark.sources import analyze_cog_headers
+
+        total_bytes = 0
+        for i in range(6):
+            w, h = int(RNG.choice([256, 300, 512])), int(RNG.choice([256, 300, 512]))
+            img = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = tiff.encode_cog(img, 4326, float(i), 50.0, 1e-4)
+            (tmp_path / f"scene_{i}.tif").write_bytes(data)
+            total_bytes += len(data)
+
+        full = {
+            (r.image_id, r.level): (r.lw, r.lh, r.n_tiles, r.compression, r.epsg,
+                                    r.origin_x, r.origin_y, r.scale_px)
+            for r in analyze_cog_directory(spark, str(tmp_path)).collect()
+        }
+        hdr_rows = analyze_cog_headers(spark, str(tmp_path)).collect()
+        hdr = {
+            (r.image_id, r.level): (r.lw, r.lh, r.n_tiles, r.compression, r.epsg,
+                                    r.origin_x, r.origin_y, r.scale_px)
+            for r in hdr_rows
+        }
+        assert hdr == full and len(hdr) > 6
+        # bytes accounting: ranged open reads ~a header per file, not the
+        # tile payload (ratio shrinks further as files grow toward GB scale)
+        read = {r.image_id: r.bytes_read for r in hdr_rows}
+        assert sum(read.values()) <= 0.05 * total_bytes
+        for r in hdr_rows:
+            assert r.bytes_read <= max(8192, r.file_bytes // 8)
+
+    def test_truncation_retry_growth(self, tmp_path):
+        """A tiny initial prefix forces the grow-and-reparse loop; the result
+        must still be exact and bytes_read must stay bounded by doubling."""
+        from cloudtiff_spark.sources import header_info
+        from cloudtiff_spark.tiff import cog_info
+
+        img = RNG.integers(0, 256, (300, 512, 3), dtype=np.uint8)
+        data = tiff.encode_cog(img, 32609, 500000.0, 5400000.0, 2.0)
+        p = tmp_path / "x.tif"
+        p.write_bytes(data)
+        info, nread = header_info(str(p), initial_bytes=64)
+        want = cog_info(data)
+        assert [l["width"] for l in info["levels"]] == [l["width"] for l in want["levels"]]
+        assert info["projection"] == want["projection"]
+        assert 64 < nread < len(data)
+
+    def test_non_tiff_raises(self, tmp_path):
+        from cloudtiff_spark.sources import header_info
+
+        p = tmp_path / "bogus.tif"
+        p.write_bytes(b"not a tiff at all" * 100)
+        try:
+            header_info(str(p))
+            raised = False
+        except ValueError as exc:
+            raised = "byte-order" in str(exc)
+        assert raised
+
+    def test_transformed_geomodel_rejected(self, tmp_path):
+        """ModelTransformation (tag 34264) parses but is rejected with the
+        reference's typed error (projection/mod.rs:114-123 parity) — through
+        the header-only path too."""
+        import struct
+
+        from cloudtiff_spark.sources import header_info
+
+        img = RNG.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+        data = bytearray(tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4))
+        # graft a ModelTransformation tag into IFD0 by rewriting the tag
+        # count is messy; instead append a second ModelTiepoint-free variant:
+        # simplest spec-true injection is to rename ModelPixelScale (33550)
+        # to ModelTransformation (34264) — count/type stay legal (DOUBLE n=3)
+        pos = struct.unpack_from("<I", data, 4)[0]
+        (count,) = struct.unpack_from("<H", data, pos)
+        for k in range(count):
+            ep = pos + 2 + 12 * k
+            code, dtype = struct.unpack_from("<HH", data, ep)
+            if code == 33550:
+                struct.pack_into("<H", data, ep, 34264)
+        p = tmp_path / "transformed.tif"
+        p.write_bytes(bytes(data))
+        try:
+            header_info(str(p))
+            raised = False
+        except ValueError as exc:
+            raised = "Transformed" in str(exc)
+        assert raised

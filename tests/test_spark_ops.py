@@ -261,6 +261,40 @@ class TestLineage:
         assert int(mpd.rows_in.sum()) == meta.count()
 
 
+class TestOracleExpected:
+    def test_xxh64_matches_spark(self, spark):
+        """The oracle-side xxHash64 recompute must agree with Spark's
+        F.xxhash64 (seed 42, UTF-8) on adversarial lengths (0, <4, <8, <32,
+        32, >32) and non-ASCII."""
+        from cloudtiff_spark.oracle_expected import xxh64_str
+
+        cases = [
+            "", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+            "x" * 31, "x" * 32, "x" * 33, "x" * 100,
+            "the_quick_brown fox", "über straße 中文 🌍", "gram_a gram_b",
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "g string")
+        got = {r.g: r.h for r in df.select("g", F.xxhash64("g").alias("h")).collect()}
+        for c in cases:
+            assert got[c] == xxh64_str(c), repr(c)
+
+    def test_simhash_fingerprint_expected_match_engine(self, spark):
+        """The scalar-Python expected values (the DuckDB oracle tables) must
+        equal the Spark operators' output on a fixture corpus."""
+        from cloudtiff_spark.operators.dedup import simhash
+        from cloudtiff_spark.operators.text import fingerprint
+        from cloudtiff_spark.oracle_expected import expected_fingerprint, expected_simhash
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        texts = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+        want_sim = dict(expected_simhash(texts))
+        got_sim = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        assert got_sim == want_sim
+        want_fp = dict(expected_fingerprint(texts))
+        got_fp = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+        assert got_fp == want_fp
+
+
 class TestDedupRecall:
     def test_minhash_lsh_finds_exact_pairs(self, spark):
         from cloudtiff_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
