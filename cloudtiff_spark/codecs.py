@@ -162,16 +162,16 @@ def lzw_decode(data: bytes) -> bytes:
 
 
 def predictor2_encode(arr: np.ndarray) -> np.ndarray:
-    """(h, w, c) uint8 -> horizontal-differenced uint8 (same shape)."""
-    a = arr.astype(np.uint8)
-    out = a.copy()
-    out[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]  # uint8 wraps == wrapping_sub
+    """(h, w, c) uint -> horizontal-differenced (same shape/dtype); unsigned
+    wraparound == the reference's wrapping_sub for u8 AND u16 samples."""
+    out = arr.copy()
+    out[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
     return out
 
 
 def predictor2_decode(arr: np.ndarray) -> np.ndarray:
-    """Undo predictor 2: per-row cumulative sum mod 256 (wrapping_add)."""
-    return np.cumsum(arr.astype(np.uint8), axis=1, dtype=np.uint8)
+    """Undo predictor 2: per-row cumulative sum with unsigned wraparound."""
+    return np.cumsum(arr, axis=1, dtype=arr.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -225,36 +225,40 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * 3
     rows = raw.reshape(h, stride)
     out = np.zeros((h, w * 3), dtype=np.uint8)
-    bpp = 3
     for y in range(h):
         f = rows[y, 0]
-        line = rows[y, 1:].astype(np.int32)
+        line = rows[y, 1:]
         if f == 0:
             out[y] = line
-        elif f == 2:  # Up
-            out[y] = (line + (out[y - 1] if y else 0)) & 0xFF
-        elif f == 1:  # Sub — sequential along x per channel
-            cur = out[y]
-            cur[:bpp] = line[:bpp]
-            for x in range(bpp, w * 3):
-                cur[x] = (line[x] + cur[x - bpp]) & 0xFF
-        elif f == 3:  # Average
-            up = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, np.int32)
-            cur = out[y]
-            for x in range(w * 3):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (line[x] + ((left + int(up[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            up = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, np.int32)
-            cur = out[y]
-            for x in range(w * 3):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(up[x])
-                cc = int(up[x - bpp]) if x >= bpp else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                cur[x] = (line[x] + pr) & 0xFF
+        elif f == 2:  # Up — whole-row vector add (uint8 wraps)
+            out[y] = line + (out[y - 1] if y else 0)
+        elif f == 1:  # Sub: cur[x] = line[x] + cur[x-3] is a per-channel
+            # prefix sum mod 256 — one vectorized cumsum per row
+            out[y] = np.cumsum(line.reshape(w, 3), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 3:  # Average — serial in x, vectorized across channels
+            up = out[y - 1].reshape(w, 3).astype(np.int32) if y else np.zeros((w, 3), np.int32)
+            ln = line.reshape(w, 3).astype(np.int32)
+            cur = np.zeros((w, 3), dtype=np.int32)
+            left = np.zeros(3, dtype=np.int32)
+            for x in range(w):
+                left = (ln[x] + ((left + up[x]) >> 1)) & 0xFF
+                cur[x] = left
+            out[y] = cur.astype(np.uint8).reshape(-1)
+        elif f == 4:  # Paeth — serial in x, vectorized across channels
+            up = out[y - 1].reshape(w, 3).astype(np.int32) if y else np.zeros((w, 3), np.int32)
+            ln = line.reshape(w, 3).astype(np.int32)
+            cur = np.zeros((w, 3), dtype=np.int32)
+            a = np.zeros(3, dtype=np.int32)  # left
+            c = np.zeros(3, dtype=np.int32)  # upper-left
+            for x in range(w):
+                b = up[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (ln[x] + pr) & 0xFF
+                cur[x] = a
+                c = b
+            out[y] = cur.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"bad PNG filter {f}")
     return out.reshape(h, w, 3)
@@ -314,6 +318,28 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if arr.size != w * h * 3:  # raster/mod.rs:73-86 buffer-size invariant
         raise ValueError(f"buffer size {arr.size} != {w}x{h}x3")
     return arr.reshape(h, w, 3)
+
+
+def raster_to_rgb8(arr: np.ndarray) -> np.ndarray:
+    """Convert a decoded raster in any supported pixel format to (h, w, 3)
+    uint8 — the reference's DynamicImage conversions (raster/image.rs:26-95,
+    photometrics.rs:16-55): gray8 replicates, gray16 takes the high byte,
+    RGBA drops unassociated alpha."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    c = arr.shape[2]
+    if arr.dtype == np.uint16:
+        if c != 1:
+            raise ValueError("16-bit is gray-only")
+        g = (arr >> 8).astype(np.uint8)
+        return np.repeat(g, 3, axis=2)
+    if c == 1:
+        return np.repeat(arr, 3, axis=2)
+    if c == 3:
+        return arr
+    if c == 4:
+        return arr[:, :, :3]
+    raise ValueError(f"unsupported raster shape {arr.shape}")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

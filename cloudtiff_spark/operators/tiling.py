@@ -62,6 +62,47 @@ def resample_nearest(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+def _catmull_weights(src_n: int, dst_n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-destination-index source indices + normalized Catmull-Rom weights
+    for one axis. Kernel a=-0.5 with support scaled by the minification
+    ratio (the image crate scales filter support when downsampling, which
+    the reference inherits via image::imageops::CatmullRom)."""
+    scale = src_n / dst_n
+    sup = 2.0 * max(1.0, scale)  # kernel support in source pixels
+    k = int(np.ceil(sup)) * 2  # taps per destination sample
+    centers = (np.arange(dst_n) + 0.5) * scale - 0.5  # (d,)
+    first = np.floor(centers - sup + 1).astype(np.int64)  # leftmost tap
+    taps = first[:, None] + np.arange(k)[None, :]  # (d, k)
+    t = np.abs((taps - centers[:, None]) / max(1.0, scale))  # kernel coords
+    # Catmull-Rom: w(t) = 1.5t^3-2.5t^2+1 for t<1; -0.5t^3+2.5t^2-4t+2 for t<2
+    w = np.where(
+        t < 1.0,
+        ((1.5 * t - 2.5) * t) * t + 1.0,
+        np.where(t < 2.0, ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0, 0.0),
+    )
+    w /= w.sum(axis=1, keepdims=True)
+    return np.clip(taps, 0, src_n - 1), w
+
+
+def resample_catmullrom(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
+    """Separable Catmull-Rom resize (ops.rs:129-146 — the reference's
+    ResizeFilter::CatmulRod path, which calls image::imageops::CatmullRom).
+    Interpolating: an up-sampled linear ramp stays exactly linear; identity
+    dims return the input bit-exactly. Works for any supported pixel format
+    (u8/u16, 1/3/4 channels); output is clipped back to the input dtype."""
+    sh, sw = arr.shape[:2]
+    squeeze = arr.ndim == 2
+    a = (arr[:, :, None] if squeeze else arr).astype(np.float64)
+    xi, xw = _catmull_weights(sw, dw)
+    yi, yw = _catmull_weights(sh, dh)
+    # x axis: gather (h, dw, k, c) -> weighted sum over k
+    mid = np.einsum("hdkc,dk->hdc", a[:, xi, :], xw)
+    out = np.einsum("dkwc,dk->dwc", mid[yi, :, :], yw)
+    info = np.iinfo(arr.dtype)
+    out = np.clip(np.rint(out), info.min, info.max).astype(arr.dtype)
+    return out[:, :, 0] if squeeze else out
+
+
 def resample_maximum(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
     """Per-channel maximum over the source footprint (ops.rs:89-128); for
     the common exact-halving case this is a vectorized 2x2 block-max."""
@@ -96,7 +137,11 @@ def cut_tiles(arr: np.ndarray, tw: int = TILE, th: int = TILE) -> list[tuple[int
 
 def build_tiles(images: DataFrame, tw: int = TILE, th: int = TILE, resample: str = "nearest") -> DataFrame:
     """images (input_hint shape) -> tiles table with encoded tile bytes."""
-    resampler = resample_nearest if resample == "nearest" else resample_maximum
+    resampler = {
+        "nearest": resample_nearest,
+        "maximum": resample_maximum,
+        "catmullrom": resample_catmullrom,
+    }[resample]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

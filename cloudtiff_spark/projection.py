@@ -9,11 +9,12 @@ Mirrors the reference Projection (/root/reference/src/projection/mod.rs:52-337):
 - Forward: u = (x - origin_x)/scale_x ; v = (origin_y - y)/scale_y — note
   the y-axis flip (mod.rs:215-217, 255-257).
 - Inverse: x = origin_x + u*scale_x ; y = origin_y - v*scale_y.
-- Only EPSG 4326 and 32609 are supported, matching the reference encoder
-  (encode/mod.rs:321-393). CRS<->CRS conversion (proj4rs in the reference)
-  is a from-scratch Transverse Mercator implementation below (public
-  formulas: Snyder, "Map Projections — A Working Manual", USGS PP 1395,
-  eqs. 8-9..8-25). No pyproj in this container.
+- CRS<->CRS conversion (proj4rs in the reference, projection/mod.rs:224-244)
+  is a from-scratch implementation below: Transverse Mercator for all 120
+  UTM zones (EPSG 326zz/327zz; public formulas: Snyder, "Map Projections —
+  A Working Manual", USGS PP 1395, eqs. 8-9..8-25) plus spherical web
+  mercator (EPSG 3857); arbitrary pairs route through a 4326 hub. No pyproj
+  in this container.
 
 All functions are numpy-vectorized; Spark exposure is via pandas UDFs in
 operators/. Pure 4326 paths stay in native column math (no UDF).
@@ -34,13 +35,32 @@ _K0 = 0.9996
 UTM9N_LON0 = np.radians(-129.0)
 _FE = 500000.0
 _FN = 0.0
+_FN_SOUTH = 10_000_000.0
+_R_MERC = 6378137.0  # web-mercator sphere radius (EPSG:3857)
 
 
-def utm9n_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(lon, lat) degrees -> (easting, northing) meters in EPSG:32609.
+def utm_params(epsg: int) -> tuple[float, float, float]:
+    """(central meridian rad, false easting, false northing) for any UTM
+    zone EPSG — 326zz north, 327zz south, zz in 1..60 (the reference
+    accepts arbitrary proj4 CRSs via proj4rs; UTM + web-mercator cover the
+    COG corpus this engine targets)."""
+    base = epsg // 100
+    zone = epsg % 100
+    if base == 326 and 1 <= zone <= 60:
+        return np.radians(-183.0 + 6.0 * zone), _FE, 0.0
+    if base == 327 and 1 <= zone <= 60:
+        return np.radians(-183.0 + 6.0 * zone), _FE, _FN_SOUTH
+    raise ValueError(f"unsupported CRS {epsg}")
+
+
+def utm_forward(
+    lon_deg: np.ndarray, lat_deg: np.ndarray, epsg: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees -> (easting, northing) meters in any UTM zone.
 
     Snyder eqs. 8-9..8-15 (series form, mm-level accuracy in-zone).
     """
+    lon0, fe, fn = utm_params(epsg)
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     sin_lat = np.sin(lat)
@@ -50,7 +70,7 @@ def utm9n_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray,
     n = _A / np.sqrt(1 - _E2 * sin_lat**2)
     t = tan_lat**2
     c = _EP2 * cos_lat**2
-    a_ = cos_lat * (lon - UTM9N_LON0)
+    a_ = cos_lat * (lon - lon0)
 
     # meridional arc (Snyder 3-21)
     e2, e4, e6 = _E2, _E2**2, _E2**3
@@ -64,7 +84,7 @@ def utm9n_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray,
         a_
         + (1 - t + c) * a_**3 / 6
         + (5 - 18 * t + t**2 + 72 * c - 58 * _EP2) * a_**5 / 120
-    ) + _FE
+    ) + fe
     y = _K0 * (
         m
         + n
@@ -74,14 +94,18 @@ def utm9n_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray,
             + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
             + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a_**6 / 720
         )
-    ) + _FN
+    ) + fn
     return x, y
 
 
-def utm9n_inverse(x_m: np.ndarray, y_m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(easting, northing) EPSG:32609 -> (lon, lat) degrees. Snyder 8-17..8-25."""
-    x = np.asarray(x_m, dtype=np.float64) - _FE
-    y = np.asarray(y_m, dtype=np.float64) - _FN
+def utm_inverse(
+    x_m: np.ndarray, y_m: np.ndarray, epsg: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(easting, northing) any UTM zone -> (lon, lat) degrees.
+    Snyder 8-17..8-25."""
+    lon0, fe, fn = utm_params(epsg)
+    x = np.asarray(x_m, dtype=np.float64) - fe
+    y = np.asarray(y_m, dtype=np.float64) - fn
 
     m = y / _K0
     e2, e4, e6 = _E2, _E2**2, _E2**3
@@ -106,7 +130,7 @@ def utm9n_inverse(x_m: np.ndarray, y_m: np.ndarray) -> tuple[np.ndarray, np.ndar
         - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * _EP2) * d**4 / 24
         + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * _EP2 - 3 * c1**2) * d**6 / 720
     )
-    lon = UTM9N_LON0 + (
+    lon = lon0 + (
         d
         - (1 + 2 * t1 + c1) * d**3 / 6
         + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2) * d**5 / 120
@@ -114,17 +138,62 @@ def utm9n_inverse(x_m: np.ndarray, y_m: np.ndarray) -> tuple[np.ndarray, np.ndar
     return np.degrees(lon), np.degrees(lat)
 
 
+def utm9n_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees -> EPSG:32609 meters (zone-9N shorthand)."""
+    return utm_forward(lon_deg, lat_deg, 32609)
+
+
+def utm9n_inverse(x_m: np.ndarray, y_m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:32609 meters -> (lon, lat) degrees (zone-9N shorthand)."""
+    return utm_inverse(x_m, y_m, 32609)
+
+
+def webmercator_forward(
+    lon_deg: np.ndarray, lat_deg: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees -> EPSG:3857 meters (spherical web mercator)."""
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    return _R_MERC * lon, _R_MERC * np.log(np.tan(np.pi / 4 + lat / 2))
+
+
+def webmercator_inverse(
+    x_m: np.ndarray, y_m: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:3857 meters -> (lon, lat) degrees."""
+    x = np.asarray(x_m, np.float64)
+    y = np.asarray(y_m, np.float64)
+    lon = np.degrees(x / _R_MERC)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2)
+    return lon, lat
+
+
+def _to_4326(xs: np.ndarray, ys: np.ndarray, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    if epsg == 4326:
+        return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+    if epsg == 3857:
+        return webmercator_inverse(xs, ys)
+    return utm_inverse(xs, ys, epsg)  # raises on unsupported EPSG
+
+
+def _from_4326(lon: np.ndarray, lat: np.ndarray, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    if epsg == 4326:
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if epsg == 3857:
+        return webmercator_forward(lon, lat)
+    return utm_forward(lon, lat, epsg)
+
+
 def transform_coords(
     xs: np.ndarray, ys: np.ndarray, from_epsg: int, to_epsg: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Batch CRS->CRS. Supported: 4326 and 32609 (encode/mod.rs:321-393)."""
+    """Batch CRS->CRS through a 4326 hub (the reference converts arbitrary
+    pairs via proj4rs, projection/mod.rs:224-244; here: 4326, 3857, and all
+    120 UTM zones 326zz/327zz — the CRSs real COG corpora use)."""
     if from_epsg == to_epsg:
         return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
-    if from_epsg == 4326 and to_epsg == 32609:
-        return utm9n_forward(xs, ys)
-    if from_epsg == 32609 and to_epsg == 4326:
-        return utm9n_inverse(xs, ys)
-    raise ValueError(f"unsupported CRS pair {from_epsg}->{to_epsg}")
+    lon, lat = _to_4326(xs, ys, from_epsg)
+    return _from_4326(lon, lat, to_epsg)
 
 
 def image_coords_from_crs(

@@ -83,7 +83,7 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
                 data += f.read(grow)
 
 
-HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
+HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, spp int, bits int, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
 
 
 def analyze_cog_headers(
@@ -128,6 +128,8 @@ def analyze_cog_headers(
                             lev["tile_h"],
                             len(lev["offsets"]),
                             _COMP_NAME.get(lev["compression"], "?"),
+                            int(lev.get("samples_per_pixel", 3)),
+                            int(lev.get("bits_per_sample", [8])[0]),
                             int(proj.get("epsg", 0)),
                             float(proj.get("origin_x", 0.0)),
                             float(proj.get("origin_y", 0.0)),
@@ -140,8 +142,8 @@ def analyze_cog_headers(
                 rows,
                 columns=[
                     "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
-                    "compression", "epsg", "origin_x", "origin_y", "scale_px",
-                    "bytes_read", "file_bytes",
+                    "compression", "spp", "bits", "epsg", "origin_x", "origin_y",
+                    "scale_px", "bytes_read", "file_bytes",
                 ],
             )
 

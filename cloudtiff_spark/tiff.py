@@ -45,6 +45,7 @@ T_TILELENGTH = 323
 T_TILEOFFSETS = 324
 T_TILEBYTECOUNTS = 325
 T_PREDICTOR = 317
+T_EXTRASAMPLES = 338
 T_SAMPLEFORMAT = 339
 T_MODELPIXELSCALE = 33550
 T_MODELTIEPOINT = 33922
@@ -104,7 +105,9 @@ def _compress_tile(arr: np.ndarray, compression: int, predictor: int = 1) -> byt
         from .codecs import predictor2_encode
 
         arr = predictor2_encode(arr)
-    raw = arr.tobytes()
+    # explicit little-endian serialization for multi-byte samples (the
+    # container is written classic-LE regardless of host endianness)
+    raw = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
     if compression == COMPRESSION_DEFLATE:
         return zlib.compress(raw, 6)
     if compression == COMPRESSION_LZW:
@@ -113,9 +116,10 @@ def _compress_tile(arr: np.ndarray, compression: int, predictor: int = 1) -> byt
 
 
 def _geokey_directory(epsg: int) -> list[int]:
-    """GeoKeyDirectory shorts — mirrors the two encoder paths
-    (encode/mod.rs:294-393): EPSG 4326 (geographic, angular deg) and
-    32609 (projected). GTRasterType=1 in both (quirk parity)."""
+    """GeoKeyDirectory shorts — mirrors the encoder paths
+    (encode/mod.rs:294-393): EPSG 4326 (geographic, angular deg) or any
+    projected CRS the projection module can transform (UTM zones, 3857).
+    GTRasterType=1 in both (quirk parity)."""
     if epsg == 4326:
         keys = [
             (GK_MODEL_TYPE, 0, 1, 2),
@@ -123,11 +127,11 @@ def _geokey_directory(epsg: int) -> list[int]:
             (GK_GEOGRAPHIC_TYPE, 0, 1, 4326),
             (GK_ANGULAR_UNITS, 0, 1, 9102),
         ]
-    elif epsg == 32609:
+    elif epsg == 3857 or (epsg // 100 in (326, 327) and 1 <= epsg % 100 <= 60):
         keys = [
             (GK_MODEL_TYPE, 0, 1, 1),
             (GK_RASTER_TYPE, 0, 1, 1),
-            (GK_PROJECTED_CS_TYPE, 0, 1, 32609),
+            (GK_PROJECTED_CS_TYPE, 0, 1, epsg),
         ]
     else:
         raise ValueError(f"unsupported epsg {epsg}")  # encode/mod.rs:321-393
@@ -148,11 +152,26 @@ def encode_cog(
     predictor: int = 1,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
-    pyramid. pixels: (h, w, 3) uint8; origin = top-left corner in CRS units
-    (ModelTiepoint with raster point (0,0,0)); scale_px = CRS units/pixel.
-    """
+    pyramid. origin = top-left corner in CRS units (ModelTiepoint with
+    raster point (0,0,0)); scale_px = CRS units/pixel.
+
+    Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
+    (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
+    (unassociated alpha, ExtraSamples=2)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+    if pixels.dtype == np.uint8:
+        bits = 8
+    elif pixels.dtype == np.uint16:
+        bits = 16
+        if c != 1:
+            raise ValueError("16-bit is gray-only (raster/image.rs:40-47)")
+    else:
+        raise ValueError(f"unsupported dtype {pixels.dtype}")
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported samples/pixel {c}")
+    photometric = 1 if c == 1 else 2  # min-is-black / RGB
     n_lv = num_levels(w, h, tile, tile)
 
     # per-level tile payloads (level i resampled from level i-1)
@@ -169,7 +188,7 @@ def encode_cog(
         tiles = []
         for r in range(rows):
             for cc in range(cols):
-                t = np.zeros((tile, tile, 3), dtype=np.uint8)
+                t = np.zeros((tile, tile, c), dtype=pixels.dtype)
                 src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
                 t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
                 tiles.append(_compress_tile(t, compression, predictor))
@@ -184,17 +203,19 @@ def encode_cog(
             Tag(T_NEWSUBFILETYPE, _LONG, [0 if lv == 0 else 1]),
             Tag(T_WIDTH, _LONG, [lev.width]),
             Tag(T_LENGTH, _LONG, [lev.height]),
-            Tag(T_BITSPERSAMPLE, _SHORT, [8, 8, 8]),
+            Tag(T_BITSPERSAMPLE, _SHORT, [bits] * c),
             Tag(T_COMPRESSION, _SHORT, [lev.compression]),
-            Tag(T_PHOTOMETRIC, _SHORT, [2]),
-            Tag(T_SAMPLESPERPIXEL, _SHORT, [3]),
+            Tag(T_PHOTOMETRIC, _SHORT, [photometric]),
+            Tag(T_SAMPLESPERPIXEL, _SHORT, [c]),
             Tag(T_PLANARCONFIG, _SHORT, [1]),
             Tag(T_TILEWIDTH, _LONG, [lev.tile_w]),
             Tag(T_TILELENGTH, _LONG, [lev.tile_h]),
             Tag(T_TILEOFFSETS, _LONG, [0] * n_tiles),
             Tag(T_TILEBYTECOUNTS, _LONG, [len(t) for t in level_tiles[lv]]),
-            Tag(T_SAMPLEFORMAT, _SHORT, [1, 1, 1]),
+            Tag(T_SAMPLEFORMAT, _SHORT, [1] * c),
         ]
+        if c == 4:  # unassociated alpha (raster/image.rs RGBA path)
+            tags.append(Tag(T_EXTRASAMPLES, _SHORT, [2]))
         if predictor != 1:
             tags.append(Tag(T_PREDICTOR, _SHORT, [predictor]))
         if lv == 0:  # geo tags on the full-resolution IFD
@@ -376,12 +397,19 @@ def cog_info(data: bytes) -> dict:
                 compression=tags[T_COMPRESSION][0],
                 predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
                 bits_per_sample=tags.get(T_BITSPERSAMPLE, [8]),
+                samples_per_pixel=tags.get(
+                    T_SAMPLESPERPIXEL, [len(tags.get(T_BITSPERSAMPLE, [8]))]
+                )[0],
+                photometric=tags.get(T_PHOTOMETRIC, [1])[0],
+                endian=None,  # filled below (file-level)
                 offsets=tags[T_TILEOFFSETS],
                 byte_counts=tags[T_TILEBYTECOUNTS],
             )
         )
     if not levels:
         raise ValueError("NoLevels")  # cog/mod.rs:127-129
+    for lev in levels:
+        lev["endian"] = t["endian"]
     levels.sort(key=lambda l: l["width"] * l["height"], reverse=True)
     for i, lev in enumerate(levels):
         lev["overview"] = None if i == 0 else i
@@ -408,7 +436,10 @@ def cog_info(data: bytes) -> dict:
 
 def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarray:
     """Fetch + decode one tile by byte range (S4/S8 + decode chain
-    level.rs:301-373). Returns (tile_h, tile_w, 3) uint8."""
+    level.rs:301-373). Returns (tile_h, tile_w, spp) in the level's native
+    sample type — u8 for 8-bit, u16 for 16-bit gray (raster/image.rs:26-95
+    format coverage); convert with codecs.raster_to_rgb8 when RGB8 output
+    is needed."""
     lev = info["levels"][level]
     off = lev["offsets"][tile_idx]
     cnt = lev["byte_counts"][tile_idx]
@@ -422,9 +453,21 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     else:
         raise ValueError(f"CompressionNotSupported: {lev['compression']}")
     tw, th = lev["tile_w"], lev["tile_h"]
-    if len(buf) != tw * th * 3:  # raster/mod.rs:73-86
-        raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x3")
-    arr = np.frombuffer(buf, dtype=np.uint8).reshape(th, tw, 3)
+    spp = lev.get("samples_per_pixel", 3)
+    bits = lev.get("bits_per_sample", [8])[0]
+    if set(lev.get("bits_per_sample", [8])) - {bits}:
+        raise ValueError("mixed bits_per_sample unsupported (image.rs:26-95)")
+    if bits == 8:
+        dtype = np.uint8
+    elif bits == 16:
+        dtype = np.dtype(">u2" if lev.get("endian") == ">" else "<u2")
+    else:
+        raise ValueError(f"bits_per_sample {bits} unsupported")
+    if len(buf) != tw * th * spp * (bits // 8):  # raster/mod.rs:73-86
+        raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x{spp}x{bits // 8}B")
+    arr = np.frombuffer(buf, dtype=dtype).reshape(th, tw, spp)
+    if dtype != np.uint8:
+        arr = arr.astype(np.uint16)  # native byte order for downstream math
     if lev.get("predictor", 1) == 2:  # F6 undo (compression.rs:298-330)
         from .codecs import predictor2_decode
 

@@ -117,3 +117,123 @@ class TestUnified:
     def test_unsupported_fmt_raises(self):
         with pytest.raises(ValueError, match="CompressionNotSupported"):
             codecs.encode_image(np.zeros((2, 2, 3), np.uint8), "webp")
+
+
+class TestPngFilterDecoding:
+    """The decoder must invert all five PNG filters; rows are crafted with a
+    straightforward per-byte reference filterer, then decoded vectorized."""
+
+    def _encode_with_filters(self, img, filters):
+        import struct
+        import zlib
+
+        from cloudtiff_spark.codecs import _PNG_SIG, _chunk
+
+        h, w, _ = img.shape
+        prev = np.zeros(w * 3, dtype=np.int32)
+        raw = bytearray()
+        for y in range(h):
+            line = img[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            raw.append(f)
+            for x in range(w * 3):
+                a = int(line[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] - pr
+                raw.append(v & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b"")
+        )
+
+    def test_all_filters_bit_exact(self):
+        from cloudtiff_spark.codecs import decode_png
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (40, 37, 3), dtype=np.uint8)
+        for filters in ([1], [3], [4], [0, 1, 2, 3, 4]):
+            data = self._encode_with_filters(img, filters)
+            assert np.array_equal(decode_png(data), img), filters
+
+    def test_filter_speed_is_not_per_byte(self):
+        """A filter-1 image decodes via one cumsum per row — decoding a
+        512x512 Sub-filtered PNG must be fast (was a per-byte Python loop)."""
+        import time
+
+        from cloudtiff_spark.codecs import decode_png
+
+        rng = np.random.default_rng(32)
+        img = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+        data = self._encode_with_filters(img, [1])
+        t0 = time.time()
+        out = decode_png(data)
+        dt = time.time() - t0
+        assert np.array_equal(out, img)
+        assert dt < 1.0, f"filter-1 decode took {dt:.2f}s"
+
+
+class TestCatmullRom:
+    """resample_catmullrom — the reference's ResizeFilter::CatmulRod path
+    (ops.rs:129-146, image::imageops::CatmullRom semantics)."""
+
+    def test_identity_dims_bit_exact(self):
+        from cloudtiff_spark.operators.tiling import resample_catmullrom
+
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        assert np.array_equal(resample_catmullrom(img, 47, 33), img)
+
+    def test_upsample_linear_ramp_stays_linear(self):
+        from cloudtiff_spark.operators.tiling import resample_catmullrom
+
+        # Catmull-Rom is an interpolating cubic: exact on linear signals
+        ramp = np.tile(np.linspace(0, 25000, 40, dtype=np.uint16)[None, :], (8, 1))
+        up = resample_catmullrom(ramp, 80, 8).astype(np.float64)
+        interior = up[:, 4:-4]
+        dx = np.diff(interior, axis=1)
+        assert np.all(np.abs(dx - dx.mean()) <= 1.0)  # constant slope +-rounding
+
+    def test_downsample_antialiases_vs_nearest(self):
+        from cloudtiff_spark.operators.tiling import (
+            resample_catmullrom,
+            resample_nearest,
+        )
+
+        # 1px black/white columns at 4x downsample: nearest keeps full
+        # contrast (aliasing); scaled-support catmull averages toward gray
+        img = np.zeros((32, 64, 3), dtype=np.uint8)
+        img[:, ::2] = 255
+        cr = resample_catmullrom(img, 16, 8).astype(np.float64)
+        nn = resample_nearest(img, 16, 8).astype(np.float64)
+        # nearest samples only the white columns (mean 255, pure aliasing);
+        # scaled-support catmull preserves the true mean (~127.5)
+        assert abs(nn.mean() - img.mean()) > 100.0
+        assert abs(cr.mean() - img.mean()) < 8.0
+
+    def test_all_pixel_formats(self):
+        from cloudtiff_spark.operators.tiling import resample_catmullrom
+
+        rng = np.random.default_rng(42)
+        for shape, dtype in [((20, 30), np.uint8), ((20, 30), np.uint16),
+                             ((20, 30, 3), np.uint8), ((20, 30, 4), np.uint8)]:
+            img = rng.integers(0, np.iinfo(dtype).max + 1, shape, dtype=dtype)
+            out = resample_catmullrom(img, 17, 11)
+            assert out.dtype == dtype
+            assert out.shape == ((11, 17) if len(shape) == 2 else (11, 17, shape[2]))

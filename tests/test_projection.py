@@ -79,5 +79,84 @@ class TestTransformDispatch:
         assert x[0] == 1.0 and y[0] == 2.0
 
     def test_unsupported_raises(self):
+        # Lambert-93 (2154) is outside the UTM/web-mercator family we cover
         with pytest.raises(ValueError, match="unsupported CRS"):
-            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 3857)
+            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2154)
+
+
+class TestGeneralCrs:
+    """Arbitrary-CRS coverage (projection/mod.rs:224-244 proj4rs parity for
+    the CRSs real COG corpora use: all UTM zones + web mercator)."""
+
+    def test_utm_roundtrip_many_zones(self):
+        from cloudtiff_spark.projection import transform_coords
+
+        rng = np.random.default_rng(51)
+        for epsg in [32601, 32609, 32633, 32660, 32701, 32733, 32760]:
+            zone = epsg % 100
+            lon0 = -183.0 + 6.0 * zone
+            lon = lon0 + rng.uniform(-2.5, 2.5, 50)
+            south = epsg // 100 == 327
+            lat = rng.uniform(-75.0, -1.0, 50) if south else rng.uniform(1.0, 75.0, 50)
+            x, y = transform_coords(lon, lat, 4326, epsg)
+            lon2, lat2 = transform_coords(x, y, epsg, 4326)
+            assert np.allclose(lon, lon2, atol=1e-8), epsg
+            assert np.allclose(lat, lat2, atol=1e-8), epsg
+
+    def test_utm_invariants(self):
+        from cloudtiff_spark.projection import utm_forward
+
+        # central meridian -> false easting exactly; k0 scale at the CM
+        x, y = utm_forward(np.array([15.0]), np.array([40.0]), 32633)
+        assert abs(x[0] - 500000.0) < 1e-6
+        # equator northing: 0 north, 10,000,000 south
+        xn, yn = utm_forward(np.array([15.0]), np.array([0.0]), 32633)
+        xs, ys = utm_forward(np.array([15.0]), np.array([0.0]), 32733)
+        assert abs(yn[0]) < 1e-6 and abs(ys[0] - 10_000_000.0) < 1e-6
+        # meter-level agreement with the EPSG test point for UTM 31N:
+        # lat 0, lon 3 (CM) -> (500000, 0); offset point via known k0
+        x2, _ = utm_forward(np.array([3.0 + 1.0]), np.array([0.0]), 32631)
+        # 1 deg of longitude at the equator ~= 111.32 km * k0 ~= 111275 m
+        assert abs((x2[0] - 500000.0) - 111320.7 * 0.9996) < 60.0
+
+    def test_webmercator_known_points(self):
+        from cloudtiff_spark.projection import transform_coords
+
+        x, y = transform_coords(np.array([0.0, 180.0]), np.array([0.0, 0.0]), 4326, 3857)
+        assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+        assert abs(x[1] - 20037508.342789244) < 1e-3
+        lon, lat = transform_coords(
+            np.array([1113194.9079327357]), np.array([6446275.841017158]), 3857, 4326
+        )
+        assert abs(lon[0] - 10.0) < 1e-9 and abs(lat[0] - 50.0) < 1e-9
+
+    def test_cross_zone_hub(self):
+        from cloudtiff_spark.projection import transform_coords
+
+        # UTM 32N -> UTM 33N directly (through the 4326 hub)
+        lon, lat = np.array([11.9]), np.array([48.1])  # near the 32/33 border
+        x32, y32 = transform_coords(lon, lat, 4326, 32632)
+        x33, y33 = transform_coords(x32, y32, 32632, 32633)
+        want_x, want_y = transform_coords(lon, lat, 4326, 32633)
+        # cm-level: two 5-deg-from-CM series evaluations compose in the hub
+        assert abs(x33[0] - want_x[0]) < 0.01 and abs(y33[0] - want_y[0]) < 0.01
+
+    def test_unsupported_crs_raises(self):
+        from cloudtiff_spark.projection import transform_coords
+
+        try:
+            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2154)
+            raised = False
+        except ValueError as exc:
+            raised = "unsupported CRS" in str(exc)
+        assert raised
+
+    def test_cog_roundtrip_any_utm_zone(self):
+        from cloudtiff_spark import tiff
+
+        rng = np.random.default_rng(52)
+        img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+        for epsg in [32733, 3857]:
+            data = tiff.encode_cog(img, epsg, 350000.0, 8200000.0, 10.0)
+            info = tiff.cog_info(data)
+            assert info["projection"]["epsg"] == epsg

@@ -89,8 +89,9 @@ class TestRoundTrip:
         assert tiff.T_MODELTRANSFORMATION in parsed["ifds"][0]
 
     def test_unsupported_epsg_raises(self):
+        # outside the geographic/UTM/web-mercator family the writer covers
         with pytest.raises(ValueError, match="unsupported epsg"):
-            tiff.encode_cog(_img(64, 64), 3857, 0, 0, 1.0)
+            tiff.encode_cog(_img(64, 64), 2154, 0, 0, 1.0)
 
     def test_no_levels_raises(self):
         # valid empty IFD chain (0 tags, next=0) -> NoLevels
@@ -118,3 +119,98 @@ class TestBigTiffParse:
         data = b"MM" + struct.pack(">HI", 42, 8) + ifd
         parsed = tiff.parse_tiff(data)
         assert parsed["ifds"][0][tiff.T_WIDTH] == [9]
+
+
+class TestPixelFormats:
+    """Multi-format container round trips (raster/image.rs:26-95 coverage:
+    gray8 [8], gray16 [16], RGB [8,8,8], RGBA [8,8,8,8])."""
+
+    def _roundtrip(self, img, **kw):
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.grid import grid_shape
+
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, **kw)
+        info = tiff.cog_info(data)
+        lev = info["levels"][0]
+        h, w = img.shape[:2]
+        assert (lev["width"], lev["height"]) == (w, h)
+        cols, rows = grid_shape(w, h, lev["tile_w"], lev["tile_h"])
+        got = np.zeros(
+            (rows * lev["tile_h"], cols * lev["tile_w"])
+            + ((img.shape[2],) if img.ndim == 3 else (1,)),
+            dtype=img.dtype,
+        )
+        for idx in range(len(lev["offsets"])):
+            t = tiff.decode_tile(data, info, 0, idx)
+            r, c = idx // cols, idx % cols
+            got[
+                r * lev["tile_h"] : (r + 1) * lev["tile_h"],
+                c * lev["tile_w"] : (c + 1) * lev["tile_w"],
+            ] = t
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert np.array_equal(got[:h, :w], want)
+        return info
+
+    def test_gray8(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (96, 130), dtype=np.uint8)
+        info = self._roundtrip(img)
+        assert info["levels"][0]["bits_per_sample"] == [8]
+        assert info["levels"][0]["samples_per_pixel"] == 1
+        assert info["levels"][0]["photometric"] == 1
+
+    def test_gray16(self):
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 1 << 16, (70, 200), dtype=np.uint16)
+        info = self._roundtrip(img)
+        assert info["levels"][0]["bits_per_sample"] == [16]
+
+    def test_gray16_lzw_predictor(self):
+        from cloudtiff_spark.tiff import COMPRESSION_LZW
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 1 << 16, (64, 64), dtype=np.uint16)
+        self._roundtrip(img, compression=COMPRESSION_LZW, predictor=2)
+
+    def test_rgba8(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (96, 96, 4), dtype=np.uint8)
+        info = self._roundtrip(img)
+        assert info["levels"][0]["samples_per_pixel"] == 4
+        assert info["levels"][0]["bits_per_sample"] == [8, 8, 8, 8]
+
+    def test_rgb8_conversions(self):
+        from cloudtiff_spark.codecs import raster_to_rgb8
+
+        g8 = np.full((4, 4), 77, dtype=np.uint8)
+        assert np.array_equal(raster_to_rgb8(g8), np.full((4, 4, 3), 77, np.uint8))
+        g16 = np.full((4, 4), 0xABCD, dtype=np.uint16)
+        assert np.array_equal(raster_to_rgb8(g16), np.full((4, 4, 3), 0xAB, np.uint8))
+        rgba = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4)
+        assert np.array_equal(raster_to_rgb8(rgba), rgba[:, :, :3])
+
+    def test_mixed_bits_rejected(self):
+        import struct
+
+        from cloudtiff_spark import tiff
+
+        rng = np.random.default_rng(9)
+        data = bytearray(
+            tiff.encode_cog(rng.integers(0, 256, (64, 64, 3), np.uint8), 4326, 0.0, 0.0, 1e-4)
+        )
+        # rewrite BitsPerSample inline values to [8, 16, 8]
+        pos = struct.unpack_from("<I", data, 4)[0]
+        (count,) = struct.unpack_from("<H", data, pos)
+        for k in range(count):
+            ep = pos + 2 + 12 * k
+            code, dtype = struct.unpack_from("<HH", data, ep)
+            if code == 258:
+                (voff,) = struct.unpack_from("<I", data, ep + 8)
+                struct.pack_into("<HHH", data, voff, 8, 16, 8)
+        info = tiff.cog_info(bytes(data))
+        try:
+            tiff.decode_tile(bytes(data), info, 0, 0)
+            raised = False
+        except ValueError as exc:
+            raised = "mixed" in str(exc)
+        assert raised
