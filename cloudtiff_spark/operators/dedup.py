@@ -67,9 +67,11 @@ def jaccard_pairs(
     f documents contributes f^2 candidate rows to the self-join, so one
     stopword-like shingle in 10^6 docs is 10^12 rows. Shingles with document
     frequency > max_df are dropped from CANDIDATE GENERATION only; surviving
-    candidate pairs are verified EXACTLY by re-joining the full shingle sets
-    per doc_id (arrays ride only the candidate rows, never the inverted
-    index). A true pair is missed only if EVERY shingle it shares is
+    candidate pairs get an EXACT jaccard by adding back the hot overlap:
+    |A n B| = capped-join count + |hot(A) n hot(B)|, where each doc's hot
+    subset is bounded by the (tiny, broadcast) hot list — full shingle
+    arrays never ride any join. A true pair is missed only if EVERY shingle
+    it shares is
     corpus-hot (df > max_df) — for near-duplicate detection those pairs
     share nothing but boilerplate. max_df=None disables the cap and the
     two-phase verify (single-pass exact aggregation).
@@ -86,7 +88,10 @@ def jaccard_pairs(
         capped = ex.join(F.broadcast(hot), "g", "left_anti")
         a = capped.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"), "g")
         b = capped.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"), "g")
-        cand = (
+        # shared NON-hot shingles per pair via the same shuffle AGGREGATION
+        # the exact path uses (shingles are distinct per doc, so the count
+        # is exactly |A n B minus hot|)
+        co = (
             a.alias("a")
             .join(
                 b.alias("b"),
@@ -95,19 +100,31 @@ def jaccard_pairs(
                 & (F.col("a.na") >= F.ceil(F.lit(tau) * F.col("b.nb")))
                 & (F.col("b.nb") >= F.ceil(F.lit(tau) * F.col("a.na"))),
             )
-            .select("doc_id_a", "doc_id_b")
-            .dropDuplicates(["doc_id_a", "doc_id_b"])
+            .groupBy("doc_id_a", "doc_id_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("inter_c"))
         )
-        # exact verify: full shingle sets (hot ones included) per candidate
-        sh = s.select("doc_id", "shingles")
+        # exact verify WITHOUT shipping full shingle sets: each doc's HOT
+        # subset (bounded by the tiny hot list) is re-joined per candidate;
+        # |A n B| = capped count + |hot(A) n hot(B)|
+        hs = (
+            ex.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("g").alias("hs"))
+        )
         verified = (
-            cand.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "shingles": "sh_a"}), "doc_id_a")
-            .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "shingles": "sh_b"}), "doc_id_b")
+            co.join(hs.withColumnsRenamed({"doc_id": "doc_id_a", "hs": "hs_a"}), "doc_id_a", "left")
+            .join(hs.withColumnsRenamed({"doc_id": "doc_id_b", "hs": "hs_b"}), "doc_id_b", "left")
         )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
+        hot_inter = F.size(
+            F.array_intersect(
+                F.coalesce("hs_a", F.array().cast("array<string>")),
+                F.coalesce("hs_b", F.array().cast("array<string>")),
+            )
+        )
+        inter = F.col("inter_c") + hot_inter
+        j = inter / (F.col("na") + F.col("nb") - inter)
         return (
-            verified.withColumn("jaccard", inter / union)
+            verified.withColumn("jaccard", j)
             .filter(F.col("jaccard") >= tau)
             .select("doc_id_a", "doc_id_b", "jaccard")
         )
@@ -272,6 +289,89 @@ def cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 8,
+    train_cap: int = 20_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    other classic ANN scale path next to lsh_cosine_topk:
+
+    1. train a coarse quantizer: deterministic k-means on a bounded sample
+       (driver-side numpy; the codebook is tiny and broadcast),
+    2. assign every vector to its nearest centroid (one Arrow-batched pass
+       — at corpus scale this is the partitioning key of the index),
+    3. probes scan only their n_probe closest lists; candidates are an
+       equi-join on list_id, then exact cosine re-rank.
+
+    Recall grows with n_probe (n_probe == n_lists is exhaustive). Output
+    contract matches cosine_topk.
+    """
+    rng = np.random.default_rng(seed)
+    sample = emb.select(id_col, vec_col).limit(train_cap).toPandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # k-means++-free deterministic init: evenly spaced sample rows
+    cents = Xn[np.linspace(0, len(Xn) - 1, n_lists).astype(int)].copy()
+    for _ in range(kmeans_iters):
+        assign = (Xn @ cents.T).argmax(axis=1)  # cosine == dot on normalized
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # dead list: reseed deterministically
+                cents[c] = Xn[int(rng.integers(len(Xn)))]
+
+    @pandas_udf("int")
+    def list_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    indexed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), list_of(F.col(vec_col)).alias("list_id")
+    )
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pdfp = probes.toPandas()
+    qm = np.stack(pdfp["qvec"].to_numpy()).astype(np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    top_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_lists = [
+        (int(q), [int(l) for l in ls]) for q, ls in zip(pdfp["query_id"], top_lists)
+    ]
+    pl = emb.sparkSession.createDataFrame(
+        [(q, l) for q, ls in probe_lists for l in ls], "query_id long, list_id int"
+    )
+    cand = indexed.join(F.broadcast(pl), "list_id").filter(F.col("id") != F.col("query_id"))
+    cand = cand.join(F.broadcast(probes), "query_id")
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        cand.withColumn("sim", cos(F.col("vec"), F.col("qvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
     )
 
 

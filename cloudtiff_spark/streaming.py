@@ -33,6 +33,57 @@ def stream_tile_assignments(
     return tile_assignments(stream)
 
 
+def stream_sessionize(
+    spark: SparkSession, events_dir: str, gap_s: int = 1800, max_files: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: incremental
+    per-user sessionization with a `gap_s` inactivity rule — the streaming
+    twin of the batch sessionize query (__spark_entry__.q_sessionize).
+
+    State per user: (last_ts_us, n_sessions, n_events), carried across
+    micro-batches; each batch emits the user's updated totals (update
+    output mode). With every event processed exactly once in ts order, the
+    final emitted totals equal the batch query's output — the pytest
+    replays the same events through >=2 micro-batches and asserts equality.
+    """
+    import pandas as pd
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    ev = reader.parquet(events_dir)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+
+    gap_us = gap_s * 1_000_000
+
+    def update(key, pdfs, state) -> "pd.DataFrame":
+        (user_id,) = key
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        for ts in rows["ts_us"]:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap_us:
+                n_sessions += 1
+            last_ts = ts
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        # contract: the function YIELDS pandas DataFrames (iterator shape)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_event_counts(
     spark: SparkSession, events_dir: str, window: str = "10 minutes", late: str = "30 minutes"
 ) -> DataFrame:

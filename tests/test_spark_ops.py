@@ -354,6 +354,26 @@ class TestDedupRecall:
         for p in capped:
             assert abs(cj[p] - ej[p]) < 1e-12
 
+    def test_ivf_cosine_recall_and_exhaustive_exactness(self, spark):
+        from cloudtiff_spark.operators.dedup import cosine_topk, ivf_cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = [0, 7, 13]
+        exact = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb, probes, k=5).collect()}
+        # exhaustive probing (n_probe == n_lists) must reproduce exact
+        full = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_cosine_topk(emb, probes, k=5, n_lists=8, n_probe=8).collect()
+        }
+        assert full == exact
+        # partial probing: meaningful recall on the structureless corpus
+        part = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_cosine_topk(emb, probes, k=5, n_lists=8, n_probe=4).collect()
+        }
+        epairs = {(q, n) for q, _, n in exact}
+        assert len(part & epairs) / len(epairs) >= 0.3
+
     def test_lsh_cosine_recall(self, spark):
         from cloudtiff_spark.operators.dedup import cosine_topk, lsh_cosine_topk
 

@@ -64,3 +64,48 @@ class TestStreamingEvents:
         # emitted count is a prefix of the batch total
         total = spark.read.parquet(src).count()
         assert 0 < got <= total
+
+
+class TestStatefulSessionize:
+    def test_multi_batch_state_equals_batch_query(self, spark, tmp_path):
+        """Replay the events table through TWO micro-batches (state must
+        carry across batches) and assert the final per-user totals equal
+        the batch sessionize query's output."""
+        import __spark_entry__ as E
+        from cloudtiff_spark.streaming import stream_sessionize
+
+        ev = E._t(spark, "/root/testdata/sf0.001", "events")
+        # time-split into two files so each user's sequence arrives in order
+        cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp_ltz)), 0.5) p").first()["p"]
+        src = tmp_path / "stream_src"
+        ev.filter(F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= cut).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+        ev.filter(F.unix_micros(F.col("ts").cast("timestamp_ltz")) > cut).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+
+        out = stream_sessionize(spark, str(src), max_files=1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_rows = spark.sql(
+            "SELECT user_id, n_sessions, n_events FROM sess_stream"
+        ).collect()
+        assert q.lastProgress["batchId"] >= 1  # state really crossed batches
+        # update mode re-emits users per batch: keep the LAST emission per
+        # user = the one with the max n_events
+        got = {}
+        for r in got_rows:
+            if r.user_id not in got or r.n_events > got[r.user_id][1]:
+                got[r.user_id] = (r.n_sessions, r.n_events)
+        want = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in E.q_sessionize(spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want and len(want) > 10
