@@ -253,15 +253,17 @@ def crop_render(
         vs = v0 + (np.arange(out_h) + 0.5) / out_h * rh
         px = np.clip(np.floor(us * lw_).astype(np.int64), 0, lw_ - 1)
         py = np.clip(np.floor(vs * lh_).astype(np.int64), 0, lh_ - 1)
-        canvas = np.zeros((lh_, lw_, 3), dtype=np.uint8)
-        for _, row in pdf.iterrows():
-            tile = decode_image(row["tile_bytes"], row["fmt"], tw_, th_)
-            c, r = int(row["tile_idx"]) % cols, int(row["tile_idx"]) // cols
-            y0_, x0_ = r * th_, c * tw_
-            hh = min(th_, lh_ - y0_)
-            ww = min(tw_, lw_ - x0_)
-            canvas[y0_ : y0_ + hh, x0_ : x0_ + ww] = tile[:hh, :ww]
-        out = canvas[py][:, px]
+        # bounded canvas (see _mosaic_bbox): peak memory O(crop tiles);
+        # pixels landing outside the covered box read 0, byte-identical to
+        # the old full-level sparse canvas
+        canvas, y_off, x_off = _mosaic_bbox(pdf, tw_, th_, cols, lw_, lh_)
+        ch, cw = canvas.shape[0], canvas.shape[1]
+        lpx, lpy = px - x_off, py - y_off
+        ok_x = (lpx >= 0) & (lpx < cw)
+        ok_y = (lpy >= 0) & (lpy < ch)
+        out = canvas[np.clip(lpy, 0, ch - 1)][:, np.clip(lpx, 0, cw - 1)]
+        out[~ok_y, :, :] = 0
+        out[:, ~ok_x, :] = 0
         return pd.DataFrame(
             [
                 {

@@ -75,6 +75,38 @@ def pip_refine(
     return pd.Series(out)
 
 
+@pandas_udf(BooleanType())
+def pip_refine_winding(
+    px: pd.Series, py: pd.Series, poly_x: pd.Series, poly_y: pd.Series, qid: pd.Series
+) -> pd.Series:
+    """Winding-number (nonzero rule) containment — the north-star's named
+    refine. For simple polygons (the fixture's star-shaped queries and any
+    non-self-intersecting geometry) it agrees with the crossing-number
+    refine exactly (tests assert it); they differ only on self-intersecting
+    polygons, where nonzero counts the overlap region as inside.
+
+    wn += 1 for an upward edge (y1 <= py < y2) with the point strictly left
+    of it; wn -= 1 for a downward edge (y2 <= py < y1) with the point
+    strictly right. Inside iff wn != 0. Vectorized (edges x points)."""
+    out = np.zeros(len(px), dtype=bool)
+    pxv = px.to_numpy(dtype=np.float64)
+    pyv = py.to_numpy(dtype=np.float64)
+    for _, idx in pd.Series(range(len(qid))).groupby(qid.to_numpy(), sort=False).groups.items():
+        ii = np.asarray(idx)
+        vx = np.asarray(poly_x.iloc[ii[0]], dtype=np.float64)
+        vy = np.asarray(poly_y.iloc[ii[0]], dtype=np.float64)
+        x1, y1 = vx[:, None], vy[:, None]
+        x2, y2 = np.roll(vx, -1)[:, None], np.roll(vy, -1)[:, None]
+        X, Y = pxv[ii][None, :], pyv[ii][None, :]
+        # signed area of (p1, p2, P): >0 when P is left of p1->p2
+        cross = (x2 - x1) * (Y - y1) - (X - x1) * (y2 - y1)
+        up = (y1 <= Y) & (y2 > Y) & (cross > 0)
+        dn = (y2 <= Y) & (y1 > Y) & (cross < 0)
+        wn = up.sum(axis=0).astype(np.int64) - dn.sum(axis=0).astype(np.int64)
+        out[ii] = wn != 0
+    return pd.Series(out)
+
+
 def pip_refine_native(px: Column, py: Column, poly_x: Column, poly_y: Column) -> Column:
     """Crossing-number containment as a pure Catalyst expression (no Python
     round-trip), bit-identical double math to both pip_refine (the Arrow
@@ -284,6 +316,10 @@ def pip_join(
         if refine == "native":
             pred = pip_refine_native(
                 F.col("lon_c"), F.col("lat_c"), F.col("poly_x"), F.col("poly_y")
+            )
+        elif refine == "winding":
+            pred = pip_refine_winding(
+                F.col("lon_c"), F.col("lat_c"), F.col("poly_x"), F.col("poly_y"), F.col("query_id")
             )
         else:
             pred = pip_refine(

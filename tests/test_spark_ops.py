@@ -96,6 +96,19 @@ class TestPipJoin:
         b = {tuple(r) for r in pip_join(ta, queries, salt=8).collect()}
         assert a == b and len(a) > 0
 
+    def test_repartitioned_path_equals_broadcast(self, tables):
+        """The 10^12-scale plan variant (range-repartition both sides on the
+        cell key instead of broadcasting the query cover) must produce the
+        identical row set."""
+        from cloudtiff_spark.operators.meta import tile_assignments
+        from cloudtiff_spark.operators.spatial import pip_join
+
+        _, meta, queries = tables
+        ta = tile_assignments(meta)
+        bc = {tuple(r) for r in pip_join(ta, queries, broadcast_queries=True).collect()}
+        rp = {tuple(r) for r in pip_join(ta, queries, broadcast_queries=False).collect()}
+        assert bc == rp and len(bc) > 0
+
     def test_refine_variants_agree(self, tables):
         from cloudtiff_spark.operators.meta import tile_assignments
         from cloudtiff_spark.operators.spatial import pip_join
@@ -104,9 +117,38 @@ class TestPipJoin:
         ta = tile_assignments(meta)
         outs = [
             {tuple(r) for r in pip_join(ta, queries, refine=m).collect()}
-            for m in ("native", "arrow", "arrow_bcast")
+            for m in ("native", "arrow", "arrow_bcast", "winding")
         ]
-        assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+        # winding (nonzero) == crossing (even-odd) on simple polygons
+        assert outs[0] == outs[1] == outs[2] == outs[3] and len(outs[0]) > 0
+
+    def test_winding_differs_on_self_intersection(self, spark):
+        """On a self-intersecting bowtie the nonzero and even-odd rules
+        disagree in the overlap wedge — pin the semantic difference."""
+        import pandas as pd
+
+        from cloudtiff_spark.operators.spatial import pip_refine, pip_refine_winding
+
+        # 5-pointed star drawn edge-to-edge (pentagram): center has wn=2
+        import numpy as np
+
+        ang = np.pi / 2 + np.arange(5) * (4 * np.pi / 5)  # skip-2 vertex order
+        vx, vy = list(np.cos(ang)), list(np.sin(ang))
+        pdf = pd.DataFrame(
+            {
+                "px": [0.0],
+                "py": [0.0],
+                "poly_x": [vx],
+                "poly_y": [vy],
+                "qid": ["q"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        both = df.select(
+            pip_refine("px", "py", "poly_x", "poly_y", "qid").alias("evenodd"),
+            pip_refine_winding("px", "py", "poly_x", "poly_y", "qid").alias("nonzero"),
+        ).first()
+        assert both.nonzero is True and both.evenodd is False
 
 
 class TestKnn:
