@@ -150,6 +150,7 @@ def encode_cog(
     tile: int = TILE,
     compression: int = COMPRESSION_DEFLATE,
     predictor: int = 1,
+    big: bool = False,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
@@ -157,7 +158,12 @@ def encode_cog(
 
     Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
     (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
-    (unassociated alpha, ExtraSamples=2)."""
+    (unassociated alpha, ExtraSamples=2).
+
+    ``big=True`` writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
+    offsets) — required once tile data passes the 4 GiB classic-TIFF
+    offset ceiling, which single-scene mosaics at the 10^12-image design
+    point do hit. The parser reads both transparently."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
@@ -210,7 +216,7 @@ def encode_cog(
             Tag(T_PLANARCONFIG, _SHORT, [1]),
             Tag(T_TILEWIDTH, _LONG, [lev.tile_w]),
             Tag(T_TILELENGTH, _LONG, [lev.tile_h]),
-            Tag(T_TILEOFFSETS, _LONG, [0] * n_tiles),
+            Tag(T_TILEOFFSETS, _LONG8 if big else _LONG, [0] * n_tiles),
             Tag(T_TILEBYTECOUNTS, _LONG, [len(t) for t in level_tiles[lv]]),
             Tag(T_SAMPLEFORMAT, _SHORT, [1] * c),
         ]
@@ -229,16 +235,22 @@ def encode_cog(
     all_tags = [ifd_tags(lv) for lv in range(n_lv)]
 
     # ---- layout: header | per-level (IFD block + external data) | tiles ----
-    pos = 8  # after classic header
+    # classic: 8-byte header, u16 entry count, 12-byte entries, u32 next
+    # ptr, 4-byte inline values; BigTIFF: 16-byte header, u64 count,
+    # 20-byte entries, u64 next ptr, 8-byte inline values
+    hdr_sz, cnt_sz, entry_sz, nxt_sz, inline = (
+        (16, 8, 20, 8, 8) if big else (8, 2, 12, 4, 4)
+    )
+    pos = hdr_sz
     ifd_positions = []
     ext_positions: list[dict[int, int]] = []
     for tags in all_tags:
         ifd_positions.append(pos)
-        pos += 2 + 12 * len(tags) + 4
+        pos += cnt_sz + entry_sz * len(tags) + nxt_sz
         ext = {}
         for t in tags:
             size = _TYPE_SIZES[t.dtype] * len(t.values)
-            if size > 4:
+            if size > inline:
                 ext[t.code] = pos
                 pos += size + (size & 1)
         ext_positions.append(ext)
@@ -255,23 +267,27 @@ def encode_cog(
                 t.values = levels[lv].tile_offsets
 
     # ---- serialize ----
-    out = bytearray(b"II*\x00")
-    out += struct.pack("<I", ifd_positions[0])
+    if big:
+        out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_positions[0]))
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_positions[0]))
+    cnt_fmt, off_fmt = ("<Q", "<Q") if big else ("<H", "<I")
     for lv, tags in enumerate(all_tags):
         assert len(out) == ifd_positions[lv]
-        out += struct.pack("<H", len(tags))
+        out += struct.pack(cnt_fmt, len(tags))
         for t in tags:
             size = _TYPE_SIZES[t.dtype] * len(t.values)
-            out += struct.pack("<HHI", t.code, t.dtype, len(t.values))
-            if size <= 4:
-                out += t.payload().ljust(4, b"\x00")
+            out += struct.pack("<HH", t.code, t.dtype)
+            out += struct.pack(off_fmt, len(t.values))
+            if size <= inline:
+                out += t.payload().ljust(inline, b"\x00")
             else:
-                out += struct.pack("<I", ext_positions[lv][t.code])
+                out += struct.pack(off_fmt, ext_positions[lv][t.code])
         next_ifd = ifd_positions[lv + 1] if lv + 1 < n_lv else 0
-        out += struct.pack("<I", next_ifd)
+        out += struct.pack(off_fmt, next_ifd)
         for t in tags:
             size = _TYPE_SIZES[t.dtype] * len(t.values)
-            if size > 4:
+            if size > inline:
                 assert len(out) == ext_positions[lv][t.code]
                 p = t.payload()
                 out += p + (b"\x00" if len(p) & 1 else b"")

@@ -129,3 +129,74 @@ class TestHeaderOnlyAnalyze:
         except ValueError as exc:
             raised = "Transformed" in str(exc)
         assert raised
+
+
+class TestSparkSubmitJob:
+    def test_spark_submit_py_files_end_to_end(self, tmp_path):
+        """The real deployment path: package cloudtiff_spark as a zip, launch
+        job.py via `spark-submit --py-files` in a FRESH driver process
+        (local[4] stands in for the cluster master), then assert the job's
+        committed output matches an independent in-process run."""
+        import json
+        import shutil
+        import subprocess
+        import zipfile
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pkg = os.path.join(repo, "cloudtiff_spark")
+        zpath = tmp_path / "cloudtiff_spark.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+        submit = shutil.which("spark-submit")
+        assert submit, "spark-submit not on PATH"
+        from cloudtiff_spark.fixtures import ensure_fixtures
+
+        fdir = ensure_fixtures("sf0.001")
+        out = subprocess.run(
+            [
+                submit,
+                "--master", "local[4]",
+                "--py-files", str(zpath),
+                os.path.join(repo, "job.py"),
+                "--meta", os.path.join(fdir, "images_meta.parquet"),
+                "--queries", os.path.join(fdir, "queries.parquet"),
+                "--output", str(tmp_path / "out"),
+                "--manifest", str(tmp_path / "manifest"),
+                "--run-id", "submit-e2e",
+                "--partitions", "4",
+                "--shuffle-partitions", "8",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=str(tmp_path),  # NOT the repo: package must come from the zip
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        summary = json.loads(out.stdout.strip().splitlines()[-1])
+        assert summary["partitions_done"] == 4
+        assert summary["rows_in"] == 100  # sf0.001 image count
+        assert summary["joined_rows"] > 0
+
+    def test_spark_submit_resume_skips_done(self, spark, tmp_path, sf_small):
+        """Re-submitting the same run-id is a no-op resume (idempotent)."""
+        # exercised in-process (fresh JVMs are slow): run, then re-run
+        from cloudtiff_spark.lineage import checkpointed_pip_run
+
+        meta = spark.read.parquet(os.path.join(sf_small, "images_meta.parquet"))
+        queries = spark.read.parquet(os.path.join(sf_small, "queries.parquet"))
+        man1 = checkpointed_pip_run(
+            spark, meta, queries, str(tmp_path / "o"), str(tmp_path / "m"), "rr", n_partitions=4
+        )
+        first = {tuple(r) for r in spark.read.parquet(str(tmp_path / "o") + "/part=*").collect()}
+        n_manifest_files = len(os.listdir(man1.dir))
+        checkpointed_pip_run(
+            spark, meta, queries, str(tmp_path / "o"), str(tmp_path / "m"), "rr", n_partitions=4
+        )
+        again = {tuple(r) for r in spark.read.parquet(str(tmp_path / "o") + "/part=*").collect()}
+        assert again == first
+        assert len(os.listdir(man1.dir)) == n_manifest_files  # nothing reprocessed

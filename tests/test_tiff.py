@@ -214,3 +214,35 @@ class TestPixelFormats:
         except ValueError as exc:
             raised = "mixed" in str(exc)
         assert raised
+
+
+class TestBigTiffWriter:
+    def test_bigtiff_roundtrip_bit_exact(self):
+        """big=True writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
+        offsets); our parser reads it back bit-exactly and the classic
+        variant of the same pixels decodes identically."""
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 256, (130, 200, 3), dtype=np.uint8)
+        big = tiff.encode_cog(img, 4326, -120.0, 45.0, 1e-4, big=True)
+        classic = tiff.encode_cog(img, 4326, -120.0, 45.0, 1e-4, big=False)
+        assert big[:4] == b"II+\x00"[:2] + bytes([43, 0])
+        ib, ic = tiff.cog_info(big), tiff.cog_info(classic)
+        assert ib["big"] and not ic["big"]
+        assert ib["projection"] == ic["projection"]
+        assert [(l["width"], l["height"]) for l in ib["levels"]] == [
+            (l["width"], l["height"]) for l in ic["levels"]
+        ]
+        for lv in range(len(ib["levels"])):
+            for idx in range(len(ib["levels"][lv]["offsets"])):
+                tb = tiff.decode_tile(big, ib, lv, idx)
+                tc = tiff.decode_tile(classic, ic, lv, idx)
+                assert np.array_equal(tb, tc)
+
+    def test_bigtiff_multiband(self):
+        rng = np.random.default_rng(62)
+        img = rng.integers(0, 1 << 16, (96, 96), dtype=np.uint16)
+        big = tiff.encode_cog(img, 32633, 500000.0, 4000000.0, 10.0, big=True)
+        info = tiff.cog_info(big)
+        assert info["big"] and info["levels"][0]["bits_per_sample"] == [16]
+        t = tiff.decode_tile(big, info, 0, 0)
+        assert np.array_equal(t[:64, :64, 0], img[:64, :64])
