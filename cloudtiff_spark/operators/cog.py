@@ -63,18 +63,17 @@ def write_cogs(images_with_geo: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_image(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
-                comp = COMPRESSION_LZW if r["fmt"] == "lzw_raw" else COMPRESSION_DEFLATE
+            cols = (
+                pdf[c].to_numpy()
+                for c in ("image_id", "bytes", "fmt", "w", "h", "epsg", "origin_x", "origin_y", "scale_px")
+            )
+            for image_id, data, fmt, w, h, epsg, ox, oy, sp in zip(*cols):
+                arr = decode_image(data, fmt, int(w), int(h))
+                comp = COMPRESSION_LZW if fmt == "lzw_raw" else COMPRESSION_DEFLATE
                 cog = encode_cog(
-                    arr,
-                    int(r["epsg"]),
-                    float(r["origin_x"]),
-                    float(r["origin_y"]),
-                    float(r["scale_px"]),
-                    compression=comp,
+                    arr, int(epsg), float(ox), float(oy), float(sp), compression=comp
                 )
-                rows.append((r["image_id"], cog, len(cog)))
+                rows.append((image_id, cog, len(cog)))
             yield pd.DataFrame(rows, columns=["image_id", "cog", "cog_bytes"])
 
     return images_with_geo.mapInPandas(gen, schema=COG_SCHEMA)
@@ -87,13 +86,13 @@ def parse_cogs(cogs: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                info = cog_info(r["cog"])
+            for image_id, cog_bytes in zip(pdf["image_id"].to_numpy(), pdf["cog"].to_numpy()):
+                info = cog_info(cog_bytes)
                 proj = info["projection"] or {}
                 for lv_i, lev in enumerate(info["levels"]):
                     rows.append(
                         (
-                            r["image_id"],
+                            image_id,
                             lv_i,
                             lev["width"],
                             lev["height"],

@@ -23,8 +23,10 @@ from ..codecs import decode_image
 @pandas_udf(LongType())
 def phash_udf(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     out = np.zeros(len(data), dtype=np.int64)
-    for i in range(len(data)):
-        arr = decode_image(data.iloc[i], fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
+    dv, fv = data.to_numpy(), fmt.to_numpy()
+    wv, hv = w.to_numpy(), h.to_numpy()
+    for i in range(len(out)):
+        arr = decode_image(dv[i], fv[i], int(wv[i]), int(hv[i]))
         digest = hashlib.sha256(arr.tobytes()).digest()
         out[i] = np.int64(np.uint64(int.from_bytes(digest[-8:], "big")))
     return pd.Series(out)

@@ -50,17 +50,16 @@ def image_features(images: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_image(r["bytes"], r["fmt"], int(r["w"]), int(r["h"])).astype(
-                    np.float64
-                )
+            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h"))
+            for image_id, data, fmt, w, h in zip(*cols):
+                arr = decode_image(data, fmt, int(w), int(h)).astype(np.float64)
                 luma = arr @ np.array([0.299, 0.587, 0.114])
                 gx = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(luma, axis=0)).mean() if luma.shape[0] > 1 else 0.0
                 hist, _ = np.histogram(luma, bins=8, range=(0, 256))
                 rows.append(
                     (
-                        r["image_id"],
+                        image_id,
                         arr.mean(axis=(0, 1)).round(6).tolist(),
                         arr.std(axis=(0, 1)).round(6).tolist(),
                         round(float(gx + gy), 6),
@@ -86,12 +85,13 @@ def image_thumbnails(images: DataFrame, max_px: int = 32) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_image(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h"))
+            for image_id, data, fmt, w0, h0 in zip(*cols):
+                arr = decode_image(data, fmt, int(w0), int(h0))
                 h, w = arr.shape[:2]
                 s = max(w, h) / max_px
                 tw, th = max(1, int(w / s)), max(1, int(h / s))
-                rows.append((r["image_id"], tw, th, resample_nearest(arr, tw, th).tobytes()))
+                rows.append((image_id, tw, th, resample_nearest(arr, tw, th).tobytes()))
             yield pd.DataFrame(rows, columns=[f.name for f in THUMB_SCHEMA.fields])
 
     return images.mapInPandas(gen, schema=THUMB_SCHEMA)

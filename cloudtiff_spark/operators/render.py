@@ -65,9 +65,10 @@ def _mosaic_bbox(
     c_min, c_max = int(cs.min()), int(cs.max())
     y_off, x_off = r_min * th, c_min * tw
     canvas = np.zeros(((r_max - r_min + 1) * th, (c_max - c_min + 1) * tw, 3), dtype=np.uint8)
-    for pos in range(len(pdf)):
-        row = pdf.iloc[pos]
-        tile = decode_image(row["tile_bytes"], row["fmt"], tw, th)
+    tb = pdf["tile_bytes"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+    for pos in range(len(idx)):
+        tile = decode_image(tb[pos], fmts[pos], tw, th)
         y0 = int(rs[pos]) * th - y_off
         x0 = int(cs[pos]) * tw - x_off
         # clip the last row/col of tiles to the level edge (zero-pad beyond)

@@ -146,9 +146,12 @@ def build_tiles(images: DataFrame, tw: int = TILE, th: int = TILE, resample: str
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                arr = decode_image(row["bytes"], row["fmt"], int(row["w"]), int(row["h"]))
-                w, h = int(row["w"]), int(row["h"])
+            # column-zip iteration: iterrows builds a Series per row (~30us
+            # each), which is pure overhead at image grain
+            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h"))
+            for image_id, data_in, fmt, w, h in zip(*cols):
+                w, h = int(w), int(h)
+                arr = decode_image(data_in, fmt, w, h)
                 n_lv = num_levels(w, h, tw, th)
                 cur = arr
                 for lv in range(n_lv):
@@ -156,20 +159,9 @@ def build_tiles(images: DataFrame, tw: int = TILE, th: int = TILE, resample: str
                         lw, lh = level_dims(w, h, lv)
                         cur = resampler(cur, lw, lh)  # from PREVIOUS level
                     for idx, c, r, tile in cut_tiles(cur, tw, th):
-                        data = encode_image(np.ascontiguousarray(tile), row["fmt"])
+                        data = encode_image(np.ascontiguousarray(tile), fmt)
                         rows.append(
-                            (
-                                row["image_id"],
-                                lv,
-                                idx,
-                                c,
-                                r,
-                                tw,
-                                th,
-                                row["fmt"],
-                                data,
-                                len(data),
-                            )
+                            (image_id, lv, idx, c, r, tw, th, fmt, data, len(data))
                         )
             yield pd.DataFrame(rows, columns=[f.name for f in TILES_SCHEMA.fields])
 
