@@ -58,6 +58,33 @@ def _local_path(spark_path: str) -> str:
     )
 
 
+def header_info_http(url: str, initial_bytes: int = 4096) -> tuple[dict, int]:
+    """Header-only COG analyze over HTTP using Range requests — the S6
+    analog of the reference's reqwest range reader (io/http.rs:100-140):
+    GET bytes=0..n, parse, and on truncation double the range and re-fetch
+    (each retry re-reads the prefix; io/http.rs does the same fresh ranged
+    GET per request). Raises if the server ignores Range (a full-body 200
+    would silently download everything — fail loudly instead)."""
+    import urllib.request
+
+    n = initial_bytes
+    data = b""
+    while True:
+        req = urllib.request.Request(url, headers={"Range": f"bytes=0-{n - 1}"})
+        with urllib.request.urlopen(req) as resp:
+            if resp.status == 200:
+                raise OSError(f"server ignored Range for {url!r} (status 200)")
+            data = resp.read()
+        from .tiff import cog_info
+
+        try:
+            return cog_info(data), len(data)
+        except struct.error:
+            if len(data) < n:  # short body: we already have the whole file
+                raise
+            n *= 2
+
+
 def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
     """Header-only COG analyze of a local file: read the first
     ``initial_bytes``, run the full parse, and on truncation grow the prefix
@@ -152,15 +179,76 @@ def analyze_cog_headers(
     )
 
 
-def disect(data: bytes) -> str:
-    """S10 debug dump (cog/mod.rs:249-261): printable structure of a COG."""
-    from .tiff import cog_info, parse_tiff
+def analyze_cog_urls(
+    spark: SparkSession, urls: list[str], initial_bytes: int = 4096
+) -> DataFrame:
+    """Header-only analyze over a list of HTTP(S) COG URLs: the URL list is
+    parallelized across the cluster and every task issues only ranged GETs
+    (header_info_http). The S6/S7 shape — for S3, point this at presigned
+    URLs or swap the fetcher for a ranged GetObject; the engine-side plan
+    is identical."""
+    import pandas as pd
+
+    from .operators.cog import _COMP_NAME
+
+    paths = spark.createDataFrame(
+        [(u.rsplit("/", 1)[-1].rsplit(".", 1)[0], u) for u in urls],
+        "image_id string, url string",
+    ).repartition(min(len(urls), spark.sparkContext.defaultParallelism))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, url in zip(pdf["image_id"].to_numpy(), pdf["url"].to_numpy()):
+                info, nread = header_info_http(url, initial_bytes)
+                proj = info["projection"] or {}
+                for lv_i, lev in enumerate(info["levels"]):
+                    rows.append(
+                        (
+                            image_id,
+                            lv_i,
+                            lev["width"],
+                            lev["height"],
+                            lev["tile_w"],
+                            lev["tile_h"],
+                            len(lev["offsets"]),
+                            _COMP_NAME.get(lev["compression"], "?"),
+                            int(lev.get("samples_per_pixel", 3)),
+                            int(lev.get("bits_per_sample", [8])[0]),
+                            int(proj.get("epsg", 0)),
+                            float(proj.get("origin_x", 0.0)),
+                            float(proj.get("origin_y", 0.0)),
+                            float(proj.get("scale_px", 0.0)),
+                            nread,
+                            -1,  # file size unknown without a HEAD request
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
+                    "compression", "spp", "bits", "epsg", "origin_x", "origin_y",
+                    "scale_px", "bytes_read", "file_bytes",
+                ],
+            )
+
+    return paths.mapInPandas(gen, schema=HEADER_SCHEMA)
+
+
+def disect(data: bytes, tags: bool = False) -> str:
+    """S10 debug dump (cog/mod.rs:249-261): printable structure of a COG.
+    ``tags=True`` additionally renders every IFD0 tag via tag_to_string
+    (the reference Tiff Display walks all tags, tiff/mod.rs:179-190)."""
+    from .tiff import cog_info, parse_tiff, tag_to_string
 
     t = parse_tiff(data)
     lines = [
         f"TIFF {'big' if t['big'] else 'classic'} endian={'LE' if t['endian'] == '<' else 'BE'}"
         f" ifds={len(t['ifds'])}"
     ]
+    if tags:
+        for code in sorted(t["ifds"][0]):
+            lines.append("  " + tag_to_string(code, t["ifds"][0][code]))
     info = cog_info(data)
     for i, lev in enumerate(info["levels"]):
         cols = -(-lev["width"] // lev["tile_w"])

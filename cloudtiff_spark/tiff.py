@@ -374,6 +374,38 @@ def parse_tiff(data: bytes) -> dict:
     return {"endian": e, "big": big, "ifds": ifds}
 
 
+_TAG_NAMES = {
+    254: "NewSubfileType", 256: "ImageWidth", 257: "ImageLength",
+    258: "BitsPerSample", 259: "Compression", 262: "PhotometricInterpretation",
+    277: "SamplesPerPixel", 284: "PlanarConfiguration", 317: "Predictor",
+    322: "TileWidth", 323: "TileLength", 324: "TileOffsets",
+    325: "TileByteCounts", 338: "ExtraSamples", 339: "SampleFormat",
+    33550: "ModelPixelScale", 33922: "ModelTiepoint",
+    34264: "ModelTransformation", 34735: "GeoKeyDirectory",
+    34736: "GeoDoubleParams", 34737: "GeoAsciiParams",
+}
+
+
+def tag_to_string(code: int, values: list) -> str:
+    """F3 parity: the reference's Tag::as_string_lossy + Display
+    (tiff/tag/mod.rs:113-185) — human string for any decoded tag: ASCII
+    verbatim (newlines escaped), single value bare, lists bracketed, the
+    whole thing truncated to 100 chars with '...', and unknown codes
+    rendered as Unknown(code)."""
+    if len(values) == 1 and isinstance(values[0], str):
+        value_string = values[0].replace("\n", "\\n")
+    elif len(values) == 1:
+        value_string = str(values[0])
+    elif not values:
+        value_string = "Undefined"
+    else:
+        value_string = "[" + ", ".join(str(v) for v in values) + "]"
+    if len(value_string) > 100:
+        value_string = value_string[:98] + "..."
+    name = _TAG_NAMES.get(code, f"Unknown({code})")
+    return f"{name}[{len(values)}]: {value_string}"
+
+
 def _parse_geokeys(tags: dict) -> dict[int, int | float | str]:
     """Unpack the GeoKeyDirectory (keys.rs:105-191): location==0 -> value
     inline; else slice GeoDoubleParams / GeoAsciiParams."""

@@ -200,3 +200,102 @@ class TestSparkSubmitJob:
         again = {tuple(r) for r in spark.read.parquet(str(tmp_path / "o") + "/part=*").collect()}
         assert again == first
         assert len(os.listdir(man1.dir)) == n_manifest_files  # nothing reprocessed
+
+
+class TestHttpRangeSource:
+    def test_http_ranged_analyze(self, spark, tmp_path):
+        """S6: ranged HTTP reads against a real local HTTP server (a
+        206-Partial-Content handler, the contract S3/CDNs provide) —
+        metadata identical to the local parse, bytes fetched ~a header per
+        file."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        sizes = {}
+        blobs = {}
+        for i in range(3):
+            w, h = 300 + 50 * i, 256
+            img = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = tiff.encode_cog(img, 4326, float(i), 50.0, 1e-4)
+            (tmp_path / f"web_{i}.tif").write_bytes(data)
+            sizes[f"web_{i}"] = len(data)
+            blobs[f"/web_{i}.tif"] = data
+
+        class RangeHandler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                body = blobs.get(self.path)
+                if body is None:
+                    self.send_error(404)
+                    return
+                rng = self.headers.get("Range")
+                if rng and rng.startswith("bytes="):
+                    lo, hi = rng[6:].split("-")
+                    lo = int(lo or 0)
+                    hi = min(int(hi) if hi else len(body) - 1, len(body) - 1)
+                    chunk = body[lo : hi + 1]
+                    self.send_response(206)
+                    self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(body)}")
+                else:
+                    chunk = body
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(chunk)))
+                self.end_headers()
+                self.wfile.write(chunk)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            from cloudtiff_spark.sources import analyze_cog_headers, analyze_cog_urls
+
+            urls = [f"http://127.0.0.1:{port}/web_{i}.tif" for i in range(3)]
+            got = analyze_cog_urls(spark, urls).collect()
+            want = {
+                (r.image_id, r.level): (r.lw, r.lh, r.n_tiles, r.epsg)
+                for r in analyze_cog_headers(spark, str(tmp_path), "web_*.tif").collect()
+            }
+            assert {
+                (r.image_id, r.level): (r.lw, r.lh, r.n_tiles, r.epsg) for r in got
+            } == want
+            for r in got:
+                assert r.bytes_read <= 8192 < sizes[r.image_id]  # ranged, not full
+        finally:
+            srv.shutdown()
+
+    def test_http_range_ignored_raises(self, tmp_path):
+        """A server that ignores Range (always 200 full body) must fail
+        loudly instead of silently downloading whole files."""
+        import threading
+        from functools import partial
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        payload = b"II*\x00" + b"\x00" * 100
+
+        class NoRange(BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), NoRange)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            from cloudtiff_spark.sources import header_info_http
+
+            try:
+                header_info_http(f"http://127.0.0.1:{port}/x.tif")
+                raised = False
+            except OSError as exc:
+                raised = "ignored Range" in str(exc)
+            assert raised
+        finally:
+            srv.shutdown()

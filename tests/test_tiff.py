@@ -246,3 +246,29 @@ class TestBigTiffWriter:
         assert info["big"] and info["levels"][0]["bits_per_sample"] == [16]
         t = tiff.decode_tile(big, info, 0, 0)
         assert np.array_equal(t[:64, :64, 0], img[:64, :64])
+
+
+class TestTagToString:
+    """F3 parity (tiff/tag/mod.rs:113-185): lossy human rendering of any
+    decoded tag."""
+
+    def test_rendering_rules(self):
+        from cloudtiff_spark.tiff import tag_to_string
+
+        assert tag_to_string(256, [300]) == "ImageWidth[1]: 300"
+        assert tag_to_string(258, [8, 8, 8]) == "BitsPerSample[3]: [8, 8, 8]"
+        assert tag_to_string(34737, ["WGS 84|"]) == "GeoAsciiParams[1]: WGS 84|"
+        assert tag_to_string(34737, ["a\nb"]) == "GeoAsciiParams[1]: a\\nb"
+        assert tag_to_string(9999, [1]) == "Unknown(9999)[1]: 1"
+        assert tag_to_string(650, []) == "Unknown(650)[0]: Undefined"
+        long = tag_to_string(324, list(range(200)))
+        assert long.endswith("...") and len(long.split(": ")[1]) == 101
+
+    def test_disect_tags_mode(self):
+        from cloudtiff_spark.sources import disect
+
+        img = RNG.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+        out = disect(tiff.encode_cog(img, 4326, 1.5, 50.0, 1e-4), tags=True)
+        assert "ImageWidth[1]: 128" in out
+        assert "ModelTiepoint[6]: [0.0, 0.0, 0.0, 1.5, 50.0, 0.0]" in out
+        assert "GeoKeyDirectory[" in out
