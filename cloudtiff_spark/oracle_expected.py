@@ -159,8 +159,233 @@ def expected_fingerprint(
 
 
 # ---------------------------------------------------------------------------
+# render / tiling expected values: a driver-side single-machine recompute of
+# the distributed pipelines (decode -> pyramid -> tile encode/decode round
+# trip -> LOD pick -> gather). Pixel math reuses the same numpy helpers the
+# engine's UDFs use; the JOIN / LOD / tile-range logic is recomposed here in
+# plain Python — the oracle therefore pins the distributed composition
+# (shuffles, joins, grouping) byte-for-byte against a sequential reference.
+# ---------------------------------------------------------------------------
+
+
+def _level_canvases(arr: "np.ndarray", fmt: str) -> list[tuple[int, int, "np.ndarray"]]:
+    """Per pyramid level: (lw, lh, canvas) where canvas holds the level's
+    pixels AFTER the per-tile encode/decode round trip (lossy for the jpeg
+    stand-in), zero beyond the level edge — exactly what the engine's
+    assemble sees when it mosaics decoded tiles."""
+    from . import TILE
+    from .codecs import decode_image, encode_image
+    from .grid import grid_shape, level_dims, num_levels
+    from .operators.tiling import resample_nearest
+
+    h, w = arr.shape[:2]
+    out = []
+    cur = arr
+    for lv in range(num_levels(w, h, TILE, TILE)):
+        if lv:
+            lw, lh = level_dims(w, h, lv)
+            cur = resample_nearest(cur, lw, lh)
+        lh_, lw_ = cur.shape[:2]
+        cols, rows = grid_shape(lw_, lh_, TILE, TILE)
+        canvas = np.zeros((rows * TILE, cols * TILE, 3), dtype=np.uint8)
+        for r in range(rows):
+            for c in range(cols):
+                t = np.zeros((TILE, TILE, 3), dtype=np.uint8)
+                src = cur[r * TILE : (r + 1) * TILE, c * TILE : (c + 1) * TILE]
+                t[: src.shape[0], : src.shape[1]] = src
+                dec = decode_image(encode_image(np.ascontiguousarray(t), fmt), fmt, TILE, TILE)
+                hh = min(TILE, lh_ - r * TILE)
+                ww = min(TILE, lw_ - c * TILE)
+                canvas[r * TILE : r * TILE + hh, c * TILE : c * TILE + ww] = dec[:hh, :ww]
+        out.append((lw_, lh_, canvas))
+    return out
+
+
+def _expected_crop_row(img_row: dict, crop: tuple, mp_limit: float) -> dict:
+    """Mirror of render.crop_render for one image (LOD rule + bounded-bbox
+    gather; pixels go through the real tile encode/decode)."""
+    from . import TILE
+    from .codecs import decode_image
+
+    u0, v0, u1, v1 = crop
+    du, dv = u1 - u0, v1 - v0
+    arr = decode_image(img_row["bytes"], img_row["fmt"], img_row["w"], img_row["h"])
+    levels = _level_canvases(arr, img_row["fmt"])
+    out_h_f = np.sqrt(mp_limit * 1e6 / (du / dv))
+    out_w_f = (du / dv) * out_h_f
+    pick = 0
+    for lv, (lw, lh, _) in enumerate(levels):
+        if lw * du >= out_w_f and lh * dv >= out_h_f:
+            pick = max(pick, lv)
+    lw, lh, canvas = levels[pick]
+    out_h = int(max(1, round(np.sqrt(mp_limit * 1e6 / (du / dv)))))
+    out_w = int(max(1, round((du / dv) * out_h)))
+    us = u0 + (np.arange(out_w) + 0.5) / out_w * du
+    vs = v0 + (np.arange(out_h) + 0.5) / out_h * dv
+    px = np.clip(np.floor(us * lw).astype(np.int64), 0, lw - 1)
+    py = np.clip(np.floor(vs * lh).astype(np.int64), 0, lh - 1)
+    out = canvas[py][:, px]
+    return {
+        "image_id": img_row["image_id"],
+        "level": pick,
+        "out_w": out_w,
+        "out_h": out_h,
+        "mean_px": float(out.mean()),
+    }
+
+
+def _region_pick_and_range(q: dict, m: dict, lw_lh: list[tuple[int, int]]) -> tuple | None:
+    """Mirror of spatial.region_extract for one (query, image): LOD pick +
+    covered tile range. Returns (level, c0, c1, r0, r1) or None if the
+    rects don't overlap."""
+    from . import TILE
+
+    if not (
+        m["xmin"] < q["rxmax"] and m["xmax"] > q["rxmin"]
+        and m["ymin"] < q["rymax"] and m["ymax"] > q["rymin"]
+    ):
+        return None
+    rw, rh = q["rxmax"] - q["rxmin"], q["rymax"] - q["rymin"]
+    out_h_f = np.sqrt(q["mp_limit"] * 1e6 / (rw / rh))
+    out_w_f = (rw / rh) * out_h_f
+    req_x, req_y = rw / out_w_f, rh / out_h_f
+    pick = 0
+    for lv, (lw, lh) in enumerate(lw_lh):
+        ps_x = (m["xmax"] - m["xmin"]) / lw
+        ps_y = (m["ymax"] - m["ymin"]) / lh
+        if max(ps_x, ps_y) < min(req_x, req_y):
+            pick = max(pick, lv)
+    lw, lh = lw_lh[pick]
+    dx, dy = m["xmax"] - m["xmin"], m["ymax"] - m["ymin"]
+    clamp = lambda c: max(0.0, min(1.0, c))  # noqa: E731
+    cu0 = clamp((q["rxmin"] - m["xmin"]) / dx)
+    cu1 = clamp((q["rxmax"] - m["xmin"]) / dx)
+    cv0 = clamp((m["ymax"] - q["rymax"]) / dy)
+    cv1 = clamp((m["ymax"] - q["rymin"]) / dy)
+    cols = -(-lw // TILE)
+    rows = -(-lh // TILE)
+    c0 = int(max(0, min(cols - 1, np.floor(cu0 * lw / TILE))))
+    c1 = int(max(0, min(cols - 1, np.ceil(cu1 * lw / TILE) - 1)))
+    r0 = int(max(0, min(rows - 1, np.floor(cv0 * lh / TILE))))
+    r1 = int(max(0, min(rows - 1, np.ceil(cv1 * lh / TILE) - 1)))
+    return pick, c0, c1, r0, r1
+
+
+def _expected_region_row(q: dict, m: dict, levels: list) -> dict | None:
+    """Mirror of render.region_render's assemble for one (query, image)."""
+    from . import TILE
+
+    pr = _region_pick_and_range(q, m, [(lw, lh) for lw, lh, _ in levels])
+    if pr is None:
+        return None
+    pick, c0, c1, r0, r1 = pr
+    lw, lh, canvas_full = levels[pick]
+    y_off, x_off = r0 * TILE, c0 * TILE
+    ch, cw = (r1 - r0 + 1) * TILE, (c1 - c0 + 1) * TILE
+    rxmin, rymin, rxmax, rymax = q["rxmin"], q["rymin"], q["rxmax"], q["rymax"]
+    rw, rh = rxmax - rxmin, rymax - rymin
+    out_h = int(max(1, round(np.sqrt(float(q["mp_limit"]) * 1e6 / (rw / rh)))))
+    out_w = int(max(1, round((rw / rh) * out_h)))
+    lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
+    lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
+    if m["epsg"] == 4326:
+        u = (lon - m["xmin"]) / (m["xmax"] - m["xmin"])
+        v = (m["ymax"] - lat) / (m["ymax"] - m["ymin"])
+        px = np.floor(u * lw).astype(np.int64) - x_off
+        py = np.floor(v * lh).astype(np.int64) - y_off
+        ok_x = (px >= 0) & (px < cw) & (px + x_off < lw)
+        ok_y = (py >= 0) & (py < ch) & (py + y_off < lh)
+        gx = np.clip(px + x_off, 0, canvas_full.shape[1] - 1)
+        gy = np.clip(py + y_off, 0, canvas_full.shape[0] - 1)
+        out = canvas_full[gy][:, gx]
+        out[~ok_y, :, :] = 0
+        out[:, ~ok_x, :] = 0
+    else:
+        from .projection import image_coords_from_crs, transform_coords
+
+        LON, LAT = np.meshgrid(lon, lat)
+        X, Y = transform_coords(LON.ravel(), LAT.ravel(), 4326, m["epsg"])
+        sx = float(m["scale_px"]) * int(m["w"])
+        sy = float(m["scale_px"]) * int(m["h"])
+        U, V = image_coords_from_crs(X, Y, m["origin_x"], m["origin_y"], sx, sy)
+        px = np.floor(U * lw).astype(np.int64).reshape(out_h, out_w) - x_off
+        py = np.floor(V * lh).astype(np.int64).reshape(out_h, out_w) - y_off
+        ok = (
+            (px >= 0) & (px < cw) & (py >= 0) & (py < ch)
+            & (px + x_off < lw) & (py + y_off < lh)
+        )
+        gx = np.clip(px + x_off, 0, canvas_full.shape[1] - 1)
+        gy = np.clip(py + y_off, 0, canvas_full.shape[0] - 1)
+        out = canvas_full[gy, gx]
+        out[~ok] = 0
+    h = xxh64(out.tobytes())
+    return {
+        "query_id": q["query_id"],
+        "image_id": m["image_id"],
+        "level": pick,
+        "out_w": out_w,
+        "out_h": out_h,
+        "raster_hash": h - (1 << 64) if h >= (1 << 63) else h,
+    }
+
+
+# ---------------------------------------------------------------------------
 # on-demand generation, cached by file presence
 # ---------------------------------------------------------------------------
+
+
+_CROP = (0.1, 0.2, 0.9, 0.8)
+_CROP_MP = 0.01
+
+
+def _render_expected_chunk(args: tuple[str, list[int]]) -> tuple[list, list, dict]:
+    """Worker: for a chunk of fixture image indices (10% subset only),
+    recompute crop rows, region rows, and per-(fmt, level) tile-byte
+    partials."""
+    fixture_dir, idx = args
+    imgs = pq.read_table(os.path.join(fixture_dir, "images.parquet"))
+    metas = pq.read_table(os.path.join(fixture_dir, "images_meta.parquet"))
+    qry = pq.read_table(os.path.join(fixture_dir, "queries.parquet")).to_pylist()
+    regions = [q for q in qry if q["kind"] == "region"]
+    meta_by_id = {}
+    for i in range(metas.num_rows):
+        r = {c: metas[c][i].as_py() for c in metas.column_names}
+        meta_by_id[r["image_id"]] = r
+    crop_rows, region_rows = [], []
+    tb: dict[tuple[str, int], list[int]] = {}
+    from .codecs import decode_image
+
+    for i in idx:
+        row = {c: imgs[c][i].as_py() for c in imgs.column_names}
+        if not row["image_id"].endswith("0"):
+            continue
+        crop_rows.append(_expected_crop_row(row, _CROP, _CROP_MP))
+        arr = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        levels = _level_canvases(arr, row["fmt"])
+        m = meta_by_id[row["image_id"]]
+        for q in regions:
+            rr = _expected_region_row(q, m, levels)
+            if rr is not None:
+                region_rows.append(rr)
+        # tile byte accounting: rebuild the pyramid and encode each tile
+        # (pre-roundtrip pixel content, exactly build_tiles' per-tile bytes)
+        from . import TILE
+        from .codecs import encode_image
+        from .grid import level_dims, num_levels
+        from .operators.tiling import cut_tiles, resample_nearest
+
+        cur = arr
+        w, h = row["w"], row["h"]
+        for lv in range(num_levels(w, h, TILE, TILE)):
+            if lv:
+                lw2, lh2 = level_dims(w, h, lv)
+                cur = resample_nearest(cur, lw2, lh2)
+            acc = tb.setdefault((row["fmt"], lv), [0, 0])
+            for _idx, _c, _r, t in cut_tiles(cur, TILE, TILE):
+                data = encode_image(np.ascontiguousarray(t), row["fmt"])
+                acc[0] += 1
+                acc[1] += len(data)
+    return crop_rows, region_rows, {f"{k[0]}|{k[1]}": v for k, v in tb.items()}
 
 
 def _write_atomic(table: pa.Table, path: str) -> None:
@@ -238,5 +463,44 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
                 }
             ),
             feat_path,
+        )
+
+    crop_path = os.path.join(fixture_dir, "expected_crop.parquet")
+    region_path = os.path.join(fixture_dir, "expected_region.parquet")
+    tb_path = os.path.join(fixture_dir, "expected_tile_bytes.parquet")
+    if not (os.path.exists(crop_path) and os.path.exists(region_path) and os.path.exists(tb_path)):
+        from concurrent.futures import ProcessPoolExecutor
+
+        n = pq.read_metadata(os.path.join(fixture_dir, "images.parquet")).num_rows
+        workers = min(16, os.cpu_count() or 4)
+        chunks = [(fixture_dir, list(range(i, n, workers))) for i in range(workers)]
+        if n <= 200:
+            parts = [_render_expected_chunk(c) for c in chunks]
+        else:
+            with ProcessPoolExecutor(workers) as ex:
+                parts = list(ex.map(_render_expected_chunk, chunks))
+        crop_rows = [r for p in parts for r in p[0]]
+        region_rows = [r for p in parts for r in p[1]]
+        tb: dict[str, list[int]] = {}
+        for p in parts:
+            for k, (cnt, byts) in p[2].items():
+                acc = tb.setdefault(k, [0, 0])
+                acc[0] += cnt
+                acc[1] += byts
+        _write_atomic(pa.Table.from_pylist(crop_rows), crop_path)
+        _write_atomic(pa.Table.from_pylist(region_rows), region_path)
+        _write_atomic(
+            pa.Table.from_pylist(
+                [
+                    {
+                        "fmt": k.split("|")[0],
+                        "level": int(k.split("|")[1]),
+                        "n_tiles": v[0],
+                        "total_bytes": v[1],
+                    }
+                    for k, v in tb.items()
+                ]
+            ),
+            tb_path,
         )
     return fixture_dir
