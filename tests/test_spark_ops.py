@@ -427,3 +427,20 @@ class TestDedupRecall:
         }
         # approximate: assert meaningful overlap, not equality
         assert len(approx & exact) / len(exact) >= 0.3
+
+
+class TestXxh64Binary:
+    def test_xxh64_matches_spark_on_binary(self, spark):
+        """The region-render expected table hashes raster BYTES; pin the
+        oracle-side xxh64 against Spark's xxhash64 on binary columns."""
+        import numpy as np
+
+        from cloudtiff_spark.oracle_expected import xxh64
+
+        rng = np.random.default_rng(71)
+        blobs = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in (0, 1, 7, 31, 32, 1000)]
+        df = spark.createDataFrame([(b,) for b in blobs], "b binary")
+        got = [r.h for r in df.select(F.xxhash64("b").alias("h")).collect()]
+        for b, h in zip(blobs, got):
+            v = xxh64(b)
+            assert (v - (1 << 64) if v >= (1 << 63) else v) == h, len(b)
