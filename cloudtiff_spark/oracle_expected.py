@@ -21,6 +21,11 @@ micro-int projection on both sides (the proven bounds_agg pattern).
 
 Everything is generated on demand and cached by file presence (fixtures are
 deterministic), so repeated driver runs are cheap.
+
+MAINTENANCE: if an operator's semantics change INTENTIONALLY (e.g. a new
+LOD rule or resampler default), delete the stale expected_*.parquet files
+under fixtures/sf0.01 so they regenerate — a hash mismatch in the driver's
+correctness run is the signal.
 """
 
 from __future__ import annotations
