@@ -444,3 +444,45 @@ class TestXxh64Binary:
         for b, h in zip(blobs, got):
             v = xxh64(b)
             assert (v - (1 << 64) if v >= (1 << 63) else v) == h, len(b)
+
+
+class TestSkewSalting:
+    def test_salting_splits_pathological_hot_cell(self, tables, spark):
+        """Force ALL images into one Z_JOIN cell (worst-case skew) and
+        assert (a) hot_cells flags it, (b) the salt key splits the cell's
+        tiles ~SALT-fold (the shuffle-partition bound that prevents a
+        single-straggler join at corpus scale), (c) pip_join output is
+        unchanged by salting even under total skew."""
+        from cloudtiff_spark.operators.meta import tile_assignments
+        from cloudtiff_spark.operators.spatial import SALT, hot_cells, pip_join
+
+        _, meta, queries = tables
+        # collapse every image footprint into one small patch near (-120,45)
+        skewed = (
+            meta.withColumn("xmin", F.lit(-120.05))
+            .withColumn("xmax", F.lit(-119.95))
+            .withColumn("ymin", F.lit(44.95))
+            .withColumn("ymax", F.lit(45.05))
+        )
+        ta = tile_assignments(skewed)
+        hot = hot_cells(ta)
+        hot_rows = hot.collect()
+        assert len(hot_rows) >= 1  # the collapsed cell is flagged
+        per_cell = (
+            ta.groupBy("cell_join").count().orderBy(F.desc("count")).first()["count"]
+        )
+        per_salted = (
+            ta.withColumn("_salt", F.pmod(F.col("phash"), F.lit(SALT)))
+            .groupBy("cell_join", "_salt")
+            .count()
+            .orderBy(F.desc("count"))
+            .first()["count"]
+        )
+        # phash is uniform PER IMAGE (all of an image's tiles share its
+        # phash), so with only 100 images the max salt bucket carries the
+        # binomial max deviation; assert a robust >=3x split (the ratio
+        # approaches SALT as the image count grows)
+        assert per_salted * 3 <= per_cell
+        unsalted = {tuple(r) for r in pip_join(ta, queries, salt=0).collect()}
+        salted = {tuple(r) for r in pip_join(ta, queries, salt=SALT, hot=hot).collect()}
+        assert salted == unsalted
