@@ -89,7 +89,7 @@ def main() -> None:
     prepared.qc.count()
     prepared.polys_dict()
     tiles_n = force_eval(tile_assignments(meta))  # assignment stage, warm
-    best = float("inf")
+    passes: list[float] = []
     joined_n = 0
     for _ in range(max(1, iters)):
         t0 = time.time()
@@ -98,27 +98,42 @@ def main() -> None:
         joined_n = force_eval(
             pip_join(tile_assignments(meta), queries, hot=hot, prepared=prepared)
         )
-        best = min(best, time.time() - t0)
+        passes.append(time.time() - t0)
+    best = min(passes)
+    median = sorted(passes)[len(passes) // 2]
     throughput = (tiles_n + joined_n) / best
 
-    # ---- per-query timings (one pass each) ----
+    # ---- per-query timings ----
+    # BENCH_QUERY_ITERS passes per query (default 2): `queries` reports the
+    # best pass (steady state — single-shot timings on this multi-tenant box
+    # swing ±20-100%, see BENCH.md "Noise study"), `queries_cold` the first
+    # pass (includes planning/codegen cold cost), so both the envelope and
+    # the cold story stay visible.
+    qiters = int(os.environ.get("BENCH_QUERY_ITERS", "2"))
     qtimes: dict[str, float] = {}
+    qcold: dict[str, float] = {}
     names = [] if os.environ.get("BENCH_HEADLINE_ONLY") else list(E.queries())
     for name, fn in ((n, E.queries()[n]) for n in names):
-        t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            force_eval(df)
-            qtimes[name] = round(time.time() - t0, 3)
+            times = []
+            for _ in range(max(1, qiters)):
+                t0 = time.time()
+                force_eval(fn(spark, sf_dir))
+                times.append(round(time.time() - t0, 3))
+            qcold[name] = times[0]
+            qtimes[name] = min(times)
         except Exception as exc:  # pragma: no cover
             qtimes[name] = -1.0
+            qcold[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
 
     out = {
         "metric": "tile_assignment_plus_pip_join_stage",
         "value": round(best, 3),
+        "value_median": round(median, 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_cold": qcold,
         "sf": sf_name,
         "throughput_rows_per_sec": round(throughput, 1),
         "tiles": tiles_n,

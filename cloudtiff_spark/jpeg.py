@@ -1,0 +1,621 @@
+"""Baseline JFIF (JPEG) codec — from the public ITU-T T.81 spec, pure
+numpy + Python, no image libraries.
+
+The reference decodes real image formats through the Rust `image` crate
+(/root/reference/src/raster/image.rs:44-205); this container has no JPEG
+library at all, so the codec is implemented from the spec:
+
+- **Encoder** (`encode_jpeg`): baseline sequential DCT, 4:4:4 sampling
+  (one 8x8 block per component per MCU), JFIF APP0, Annex K quantization
+  tables scaled by a quality factor (libjpeg's public scaling convention),
+  Annex K "typical" Huffman tables, byte stuffing, edge-replicated padding
+  to multiples of 8. Grayscale (h, w) input emits a 1-component scan.
+- **Decoder** (`decode_jpeg`): baseline sequential; any sampling factors
+  h, v in {1, 2} (covers 4:4:4 / 4:2:2 / 4:2:0), 1- or 3-component scans,
+  restart intervals (DRI/RSTn), multiple DQT/DHT segments, 8- and 16-bit
+  quantization tables. Entropy decoding uses a 2^16 lookup table per
+  Huffman table (one list index per symbol — the per-symbol loop is
+  Python, everything numeric after it is batched numpy: dequantization,
+  de-zigzag, IDCT as two 8x8 matmuls over all blocks at once).
+
+Scale note: per-image decode cost is linear and partition-parallel; at
+cluster scale the Arrow-batched UDFs in operators/ ship (bytes, fmt) and
+decode inside the task, so this module's speed bounds per-core throughput
+only — the plan shape (no shuffle, no driver collect) is unchanged.
+
+PSNR: quality 90 tables keep round-trip PSNR well above the 40 dB gate of
+BASELINE.json for natural and synthetic-gradient content (pytest pins it).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants — ITU-T T.81 Annex K (public spec).
+# ---------------------------------------------------------------------------
+
+# K.1 luminance / K.2 chrominance quantization tables (natural row-major order)
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan order: _ZIGZAG[k] = natural index of the k-th zigzag coefficient
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)  # natural index -> zigzag position
+
+# Annex K "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 DCT-II basis matrix: F = _C @ X @ _C.T ; inverse X = _C.T @ F @ _C
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * 0.5
+_C[0, :] *= 1 / np.sqrt(2)
+
+
+class JpegError(ValueError):
+    """Typed decode failure (bad marker / unsupported mode / corrupt scan)."""
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->scale convention (quality in [1, 100])."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (T.81 Annex C) + encode/decode tables.
+# ---------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical order per Annex C."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-peek decode LUT: value v (the next 16 bits of the stream)
+    -> (symbol, code length). Lists, not numpy — list indexing is the fast
+    path for the per-symbol Python loop."""
+    sym = np.zeros(1 << 16, dtype=np.int32) - 1
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tolist(), ln.tolist()
+
+
+_ENC_DC_L = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+_ENC_DC_C = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+_ENC_AC_L = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+_ENC_AC_C = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+
+# ---------------------------------------------------------------------------
+# Color transforms (JFIF / BT.601 full range).
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 -> (H//8 * W//8, 8, 8) row-major."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return blocks.reshape(h8 // 8, w8 // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _JBitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        if width == 0:
+            return
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            # pad with 1-bits per T.81 F.1.2.3
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length()
+
+
+def _encode_block(
+    out: _JBitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new DC pred."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _bit_size(abs(diff))
+    code, ln = dc_codes[size]
+    out.write(code, ln)
+    if size:
+        out.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # AC: run-length encode the nonzero positions (vector-precomputed)
+    nz = np.nonzero(zz[1:])[0] + 1
+    run = 0
+    prev = 0
+    for k in nz:
+        run = int(k) - prev - 1
+        prev = int(k)
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            out.write(code, ln)
+            run -= 16
+        v = int(zz[k])
+        size = _bit_size(abs(v))
+        code, ln = ac_codes[(run << 4) | size]
+        out.write(code, ln)
+        out.write(v if v >= 0 else v + (1 << size) - 1, size)
+    if prev != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        out.write(code, ln)
+    return dc
+
+
+def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline JFIF encode of (h, w, 3) RGB uint8 (or (h, w) gray), 4:4:4."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+    # pad to multiples of 8 by edge replication (minimizes ringing)
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    if gray:
+        comps = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        comps = [ycc[..., i] for i in range(3)]
+    quantized: list[np.ndarray] = []
+    for ci, plane in enumerate(comps):
+        p = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge") - 128.0
+        blocks = _to_blocks(p)
+        coefs = np.einsum("ij,bjk,kl->bil", _C, blocks, _C.T)
+        qt = (qt_l if ci == 0 else qt_c).reshape(8, 8).astype(np.float64)
+        q = np.round(coefs / qt).astype(np.int32)
+        # zigzag once for the whole component
+        quantized.append(q.reshape(-1, 64)[:, _ZIGZAG])
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l[_ZIGZAG].tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c[_ZIGZAG].tolist())
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4, qtable id
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    writer = _JBitWriter()
+    preds = [0] * nc
+    nblocks = quantized[0].shape[0]
+    for b in range(nblocks):  # 4:4:4: MCU = one block per component
+        for ci in range(nc):
+            dc_codes = _ENC_DC_L if ci == 0 else _ENC_DC_C
+            ac_codes = _ENC_AC_L if ci == 0 else _ENC_AC_C
+            preds[ci] = _encode_block(writer, quantized[ci][b], preds[ci], dc_codes, ac_codes)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _destuff(data: bytes, start: int) -> tuple[bytes, int]:
+    """Strip 0xFF00 stuffing from the entropy-coded segment starting at
+    `start`; stop at the first real marker. Returns (clean bytes, marker
+    position). Vectorized with numpy over the whole tail."""
+    tail = np.frombuffer(data, dtype=np.uint8, count=len(data) - start, offset=start)
+    ff = np.nonzero(tail == 0xFF)[0]
+    end = len(tail)
+    stuffed = []
+    for i in ff:
+        if i + 1 >= len(tail):
+            end = int(i)
+            break
+        nxt = tail[i + 1]
+        if nxt == 0x00:
+            stuffed.append(int(i) + 1)  # drop the stuffed 0x00
+        elif 0xD0 <= nxt <= 0xD7:
+            stuffed.append(int(i))
+            stuffed.append(int(i) + 1)  # drop RSTn (reader resets at bounds)
+        else:
+            end = int(i)
+            break
+    keep = np.ones(end, dtype=bool)
+    drop = [s for s in stuffed if s < end]
+    if drop:
+        keep[drop] = False
+    return tail[:end][keep].tobytes(), start + end
+
+
+class _JBitReader:
+    """MSB-first bit reader over de-stuffed scan bytes."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # zero-pad past EOS (trailing EOB bits)
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def byte_align_reset(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JFIF stream to (h, w, 3) uint8 RGB (gray images
+    are replicated to 3 channels). Raises JpegError on non-baseline or
+    corrupt input."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hluts: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    restart_interval = 0
+    frame: dict | None = None
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq_ == 0:
+                    t = np.frombuffer(seg, dtype=np.uint8, count=64, offset=p).astype(np.int32)
+                    p += 64
+                else:
+                    t = np.frombuffer(seg, dtype=">u2", count=64, offset=p).astype(np.int32)
+                    p += 128
+                qtables[tq] = t  # stored in zigzag order
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                hluts[(tc, th)] = _build_lut(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise JpegError(f"unsupported precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[5 + 3 * ci : 8 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scomp.append((comp, tdta >> 4, tdta & 0xF))
+            scan, _ = _destuff(data, pos + seglen)
+            return _decode_scan(frame, scomp, qtables, hluts, restart_interval, scan)
+        pos += seglen
+    raise JpegError("no SOS found")
+
+
+def _decode_scan(
+    frame: dict,
+    scomp: list[tuple[dict, int, int]],
+    qtables: dict[int, np.ndarray],
+    hluts: dict[tuple[int, int], tuple[list[int], list[int]]],
+    restart_interval: int,
+    scan: bytes,
+) -> np.ndarray:
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scomp)
+    vmax = max(c["v"] for c, _, _ in scomp)
+    if hmax > 2 or vmax > 2:
+        raise JpegError(f"sampling factors > 2 unsupported ({hmax}x{vmax})")
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    reader = _JBitReader(scan)
+
+    # per-component collected zigzag coefficient rows (lists of 64-int lists)
+    coefs: list[list[list[int]]] = [[] for _ in scomp]
+    preds = [0] * len(scomp)
+    luts = []
+    for comp, td, ta in scomp:
+        if (0, td) not in hluts or (1, ta) not in hluts:
+            raise JpegError("missing Huffman table")
+        luts.append((hluts[(0, td)], hluts[(1, ta)]))
+
+    mcu_count = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.byte_align_reset()
+                preds = [0] * len(scomp)
+            for si, (comp, _td, _ta) in enumerate(scomp):
+                (dsym, dlen), (asym, alen) = luts[si]
+                for _b in range(comp["h"] * comp["v"]):
+                    blk = [0] * 64
+                    v16 = reader.peek16()
+                    s = dsym[v16]
+                    ln = dlen[v16]
+                    if ln == 0:
+                        raise JpegError("bad DC Huffman code")
+                    reader.skip(ln)
+                    if s:
+                        preds[si] += _extend(reader.read(s), s)
+                    blk[0] = preds[si]
+                    k = 1
+                    while k < 64:
+                        v16 = reader.peek16()
+                        rs = asym[v16]
+                        ln = alen[v16]
+                        if ln == 0:
+                            raise JpegError("bad AC Huffman code")
+                        reader.skip(ln)
+                        if rs == 0:  # EOB
+                            break
+                        run = rs >> 4
+                        size = rs & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise JpegError(f"bad AC symbol {rs:#x}")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise JpegError("AC run past block end")
+                        blk[k] = _extend(reader.read(size), size)
+                        k += 1
+                    coefs[si].append(blk)
+            mcu_count += 1
+
+    # batched numeric path: dequant (zigzag order) -> de-zigzag -> IDCT
+    planes = []
+    for si, (comp, _td, _ta) in enumerate(scomp):
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise JpegError(f"missing quant table {comp['tq']}")
+        zz = np.asarray(coefs[si], dtype=np.float64) * q.astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz  # zigzag pos k holds natural index _ZIGZAG[k]
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("ij,bjk,kl->bil", _C.T, blocks, _C) + 128.0
+        # blocks arrive MCU-major: reorder into row-major per component plane
+        bw = mcux * comp["h"]  # blocks per row for this component
+        bh = mcuy * comp["v"]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        idx = 0
+        arr = pix  # (nblocks, 8, 8)
+        # vectorized scatter: compute each block's (row, col) origin
+        nb = arr.shape[0]
+        mcu_idx = np.arange(nb) // (comp["h"] * comp["v"])
+        sub = np.arange(nb) % (comp["h"] * comp["v"])
+        brow = (mcu_idx // mcux) * comp["v"] + sub // comp["h"]
+        bcol = (mcu_idx % mcux) * comp["h"] + sub % comp["h"]
+        # group into a (bh, bw, 8, 8) grid then collapse
+        grid = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        grid[brow, bcol] = arr
+        plane = grid.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution
+        if comp["h"] < hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
+        if comp["v"] < vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
+        planes.append(plane[:fh, :fw])
+        idx += 1
+
+    if len(planes) == 1:
+        g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise JpegError(f"{len(planes)}-component scan unsupported")
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
