@@ -13,12 +13,13 @@ fixture `images.fmt` column (FIXTURES.md T1):
 - ``png`` — minimal spec-conforming PNG (8-bit RGB, color type 2). Our
   encoder emits filter 0 rows; the decoder handles all five PNG filters.
   Bit-exact gate.
-- ``jpeg`` — DETERMINISTIC LOSSY STAND-IN. No JPEG library exists in this
-  container (no PIL/imagecodecs), so "jpeg" bytes are a clearly-marked fake:
-  magic ``FJ01`` + dims + zlib of 6-bit-quantized pixels. Quantization error
-  is uniform in [-2, 1] => PSNR ~= 46 dB, exercising the PSNR>=40dB lossy
-  gate from BASELINE.json without pretending to be real JPEG. Swap for a
-  real JPEG codec by replacing encode_fakejpeg/decode_fakejpeg only.
+- ``jpeg`` — REAL baseline JFIF, implemented from the public ITU-T T.81
+  spec in cloudtiff_spark.jpeg (no image library exists in this
+  container). Encoded at quality 98: round-trip PSNR ~43.7 dB on the
+  noisiest fixture content, above the PSNR>=40 dB lossy gate from
+  BASELINE.json. The decoder also accepts the round-1/2 ``FJ01``
+  deterministic stand-in bytes (magic-dispatched) so pre-existing payloads
+  still decode.
 
 Also: TIFF horizontal predictor (compression.rs:298-330) and PSNR.
 """
@@ -290,6 +291,12 @@ def decode_fakejpeg(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+#: fixture/default JPEG quality — smallest value whose round-trip PSNR
+#: clears the 40 dB BASELINE.json gate with margin on the noisiest content
+#: (q97 = 40.2 dB, q98 = 43.7 dB, measured in tests/test_codecs.py)
+JPEG_QUALITY = 98
+
+
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "deflate_raw":
         return zlib.compress(arr.tobytes(), 6)
@@ -298,7 +305,9 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpeg":
-        return encode_fakejpeg(arr)
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(arr, JPEG_QUALITY)
     raise ValueError(f"CompressionNotSupported: {fmt}")  # compression.rs:222-224
 
 
@@ -312,7 +321,11 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     elif fmt == "png":
         return decode_png(data)
     elif fmt == "jpeg":
-        return decode_fakejpeg(data)
+        if data[:4] == _FJ_MAGIC:  # round-1/2 stand-in payloads
+            return decode_fakejpeg(data)
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     else:
         raise ValueError(f"CompressionNotSupported: {fmt}")
     if arr.size != w * h * 3:  # raster/mod.rs:73-86 buffer-size invariant
@@ -322,16 +335,18 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
 def raster_to_rgb8(arr: np.ndarray) -> np.ndarray:
     """Convert a decoded raster in any supported pixel format to (h, w, 3)
-    uint8 — the reference's DynamicImage conversions (raster/image.rs:26-95,
-    photometrics.rs:16-55): gray8 replicates, gray16 takes the high byte,
-    RGBA drops unassociated alpha."""
+    uint8 — parity target: the image crate's DynamicImage conversion the
+    reference delegates to (raster/image.rs:62-95): gray8 replicates,
+    gray16 scales with rounding (``round(v * 255 / 65535)`` — the crate's
+    u16->u8 conversion; NOT the reference's ad-hoc ``v/10`` display preview
+    at image.rs:33-38, see SURVEY §1.3), RGBA drops unassociated alpha."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     c = arr.shape[2]
     if arr.dtype == np.uint16:
         if c != 1:
             raise ValueError("16-bit is gray-only")
-        g = (arr >> 8).astype(np.uint8)
+        g = ((arr.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
         return np.repeat(g, 3, axis=2)
     if c == 1:
         return np.repeat(arr, 3, axis=2)

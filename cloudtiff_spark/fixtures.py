@@ -36,6 +36,13 @@ from .projection import bounds_lat_lon, utm9n_forward
 
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
+#: bump when fixture BYTES change semantics (e.g. a codec swap) — stale
+#: cached fixture dirs (which persist across driver rounds) self-invalidate
+#: instead of silently serving old payloads next to new expected tables.
+#: v3: fmt='jpeg' payloads switched from the FJ01 stand-in to real baseline
+#: JFIF (cloudtiff_spark.jpeg) at quality 98.
+FIXTURE_VERSION = 3
+
 #: images, queries per scale (FIXTURES.md: smoke/correctness/bench)
 SF_SPECS = {
     "sf0.001": (100, 50),
@@ -284,7 +291,7 @@ def generate(sf_name: str, out_dir: str | None = None, workers: int | None = Non
         os.replace(tmp, os.path.join(out_dir, f"{name}.parquet"))
     tmp = os.path.join(out_dir, f"._COMPLETE.{pid}.tmp")
     with open(tmp, "w") as f:
-        f.write(f"{sf_name} images={n_img} queries={n_qry}\n")
+        f.write(f"v{FIXTURE_VERSION} {sf_name} images={n_img} queries={n_qry}\n")
     os.replace(tmp, os.path.join(out_dir, "_COMPLETE"))
     return out_dir
 
@@ -401,11 +408,27 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
     return mb_dir
 
 
+def _marker_current(marker: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read().startswith(f"v{FIXTURE_VERSION} ")
+    except OSError:
+        return False
+
+
 def ensure_fixtures(sf_name: str) -> str:
-    """Generate-if-missing; returns the fixture directory for a scale."""
+    """Generate-if-missing; returns the fixture directory for a scale.
+    A version-stamped _COMPLETE marker invalidates the whole cached dir
+    (parquets, cogs/, cogs_mb/, expected_*.parquet) when FIXTURE_VERSION
+    moves, so every derived artifact regenerates consistently."""
     out_dir = os.path.join(FIXTURE_ROOT, sf_name)
-    if os.path.exists(os.path.join(out_dir, "_COMPLETE")):
-        return out_dir
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        if _marker_current(marker):
+            return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     return generate(sf_name, out_dir)
 
 

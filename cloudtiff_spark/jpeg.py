@@ -153,10 +153,19 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
 def _build_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
     """16-bit-peek decode LUT: value v (the next 16 bits of the stream)
     -> (symbol, code length). Lists, not numpy — list indexing is the fast
-    path for the per-symbol Python loop."""
+    path for the per-symbol Python loop. Memoized per (bits, vals): the
+    64x64-tile decode path would otherwise pay the 2^16 table build on
+    every call (our encoder always emits the Annex K tables)."""
+    key = (tuple(bits), tuple(vals))
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
     sym = np.zeros(1 << 16, dtype=np.int32) - 1
     ln = np.zeros(1 << 16, dtype=np.int32)
     code = 0
@@ -170,7 +179,10 @@ def _build_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
             code += 1
             k += 1
         code <<= 1
-    return sym.tolist(), ln.tolist()
+    out = (sym.tolist(), ln.tolist())
+    if len(_LUT_CACHE) < 64:  # bounded: external files with custom tables
+        _LUT_CACHE[key] = out
+    return out
 
 
 _ENC_DC_L = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
@@ -388,54 +400,6 @@ def _destuff(data: bytes, start: int) -> tuple[bytes, int]:
     return tail[:end][keep].tobytes(), start + end
 
 
-class _JBitReader:
-    """MSB-first bit reader over de-stuffed scan bytes."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc <<= 8  # zero-pad past EOS (trailing EOB bits)
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        if self.nbits < 16:
-            self._fill(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill(n)
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def byte_align_reset(self) -> None:
-        self.acc = 0
-        self.nbits = 0
-
-
-def _extend(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JFIF stream to (h, w, 3) uint8 RGB (gray images
     are replicated to 3 channels). Raises JpegError on non-baseline or
@@ -488,7 +452,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegError(f"unsupported precision {prec}")
             comps = []
             for ci in range(nc):
-                cid, hv, tq = seg[5 + 3 * ci : 8 + 3 * ci]
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -523,7 +487,6 @@ def _decode_scan(
         raise JpegError(f"sampling factors > 2 unsupported ({hmax}x{vmax})")
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    reader = _JBitReader(scan)
 
     # per-component collected zigzag coefficient rows (lists of 64-int lists)
     coefs: list[list[list[int]]] = [[] for _ in scomp]
@@ -534,49 +497,84 @@ def _decode_scan(
             raise JpegError("missing Huffman table")
         luts.append((hluts[(0, td)], hluts[(1, ta)]))
 
+    # hot entropy loop: the bit reader is inlined into locals (acc/nbits/
+    # pos) — method-call overhead per symbol would otherwise dominate the
+    # 64x64-tile decode path. Zero padding past EOS supplies the peek
+    # window for the final EOB codes (T.81 pads with 1-bits; only the
+    # consumed length matters, and nothing is consumed past the last block).
+    data = scan + b"\x00\x00\x00\x00"
+    acc = 0
+    nbits = 0
+    pos = 0
+    blocks_per_mcu = [(si, c["h"] * c["v"]) for si, (c, _t, _a) in enumerate(scomp)]
     mcu_count = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.byte_align_reset()
-                preds = [0] * len(scomp)
-            for si, (comp, _td, _ta) in enumerate(scomp):
-                (dsym, dlen), (asym, alen) = luts[si]
-                for _b in range(comp["h"] * comp["v"]):
-                    blk = [0] * 64
-                    v16 = reader.peek16()
-                    s = dsym[v16]
-                    ln = dlen[v16]
+    for _mcu in range(mcux * mcuy):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            acc = 0  # discard pad bits: RST segments are byte-aligned
+            nbits = 0
+            preds = [0] * len(scomp)
+        for si, nb in blocks_per_mcu:
+            (dsym, dlen), (asym, alen) = luts[si]
+            pred = preds[si]
+            for _b in range(nb):
+                blk = [0] * 64
+                while nbits < 16:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                v16 = (acc >> (nbits - 16)) & 0xFFFF
+                s = dsym[v16]
+                ln = dlen[v16]
+                if ln == 0:
+                    raise JpegError("bad DC Huffman code")
+                nbits -= ln
+                acc &= (1 << nbits) - 1
+                if s:
+                    while nbits < s:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    acc &= (1 << nbits) - 1
+                    pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                blk[0] = pred
+                k = 1
+                while k < 64:
+                    while nbits < 16:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    v16 = (acc >> (nbits - 16)) & 0xFFFF
+                    rs = asym[v16]
+                    ln = alen[v16]
                     if ln == 0:
-                        raise JpegError("bad DC Huffman code")
-                    reader.skip(ln)
-                    if s:
-                        preds[si] += _extend(reader.read(s), s)
-                    blk[0] = preds[si]
-                    k = 1
-                    while k < 64:
-                        v16 = reader.peek16()
-                        rs = asym[v16]
-                        ln = alen[v16]
-                        if ln == 0:
-                            raise JpegError("bad AC Huffman code")
-                        reader.skip(ln)
-                        if rs == 0:  # EOB
-                            break
-                        run = rs >> 4
-                        size = rs & 0xF
-                        if size == 0:
-                            if run != 15:
-                                raise JpegError(f"bad AC symbol {rs:#x}")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise JpegError("AC run past block end")
-                        blk[k] = _extend(reader.read(size), size)
-                        k += 1
-                    coefs[si].append(blk)
-            mcu_count += 1
+                        raise JpegError("bad AC Huffman code")
+                    nbits -= ln
+                    acc &= (1 << nbits) - 1
+                    if rs == 0:  # EOB
+                        break
+                    size = rs & 0xF
+                    if size == 0:
+                        if rs != 0xF0:
+                            raise JpegError(f"bad AC symbol {rs:#x}")
+                        k += 16  # ZRL
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    while nbits < size:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    acc &= (1 << nbits) - 1
+                    blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    k += 1
+                coefs[si].append(blk)
+            preds[si] = pred
+        mcu_count += 1
 
     # batched numeric path: dequant (zigzag order) -> de-zigzag -> IDCT
     planes = []
@@ -592,8 +590,6 @@ def _decode_scan(
         # blocks arrive MCU-major: reorder into row-major per component plane
         bw = mcux * comp["h"]  # blocks per row for this component
         bh = mcuy * comp["v"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        idx = 0
         arr = pix  # (nblocks, 8, 8)
         # vectorized scatter: compute each block's (row, col) origin
         nb = arr.shape[0]
@@ -611,7 +607,6 @@ def _decode_scan(
         if comp["v"] < vmax:
             plane = np.repeat(plane, vmax // comp["v"], axis=0)
         planes.append(plane[:fh, :fw])
-        idx += 1
 
     if len(planes) == 1:
         g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)

@@ -186,6 +186,13 @@ class TestPixelFormats:
         assert np.array_equal(raster_to_rgb8(g8), np.full((4, 4, 3), 77, np.uint8))
         g16 = np.full((4, 4), 0xABCD, dtype=np.uint16)
         assert np.array_equal(raster_to_rgb8(g16), np.full((4, 4, 3), 0xAB, np.uint8))
+        # scaling-with-rounding (image-crate u16->u8), not high-byte:
+        # 0x00FF -> round(255*255/65535) = 1 (high byte would give 0)
+        g16b = np.full((2, 2), 0x00FF, dtype=np.uint16)
+        assert np.array_equal(raster_to_rgb8(g16b), np.full((2, 2, 3), 1, np.uint8))
+        # and 0xFFFF maps to exactly 255
+        g16c = np.full((2, 2), 0xFFFF, dtype=np.uint16)
+        assert np.array_equal(raster_to_rgb8(g16c), np.full((2, 2, 3), 255, np.uint8))
         rgba = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4)
         assert np.array_equal(raster_to_rgb8(rgba), rgba[:, :, :3])
 
