@@ -40,6 +40,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("rows_in", pa.int64()),
         ("tiles_out", pa.int64()),
         ("joined_rows", pa.int64()),
+        ("quarantined", pa.int64()),
         ("status", pa.string()),
         ("updated_at", pa.timestamp("us")),
     ]
@@ -62,7 +63,7 @@ class Manifest:
                         done.add(row["partition_id"])
         return done
 
-    def append(self, snapshot_id: int, partition_id: int, rows_in: int, tiles_out: int, joined_rows: int, status: str) -> None:
+    def append(self, snapshot_id: int, partition_id: int, rows_in: int, tiles_out: int, joined_rows: int, status: str, quarantined: int = 0) -> None:
         row = {
             "run_id": self.run_id,
             "snapshot_id": snapshot_id,
@@ -70,6 +71,7 @@ class Manifest:
             "rows_in": rows_in,
             "tiles_out": tiles_out,
             "joined_rows": joined_rows,
+            "quarantined": quarantined,
             "status": status,
             "updated_at": int(time.time() * 1e6),
         }
@@ -81,7 +83,8 @@ class Manifest:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(
             "run_id string, snapshot_id bigint, partition_id int, rows_in bigint, "
-            "tiles_out bigint, joined_rows bigint, status string, updated_at timestamp"
+            "tiles_out bigint, joined_rows bigint, quarantined bigint, "
+            "status string, updated_at timestamp"
         ).parquet(self.dir)
 
 
@@ -95,13 +98,22 @@ def checkpointed_pip_run(
     n_partitions: int = 8,
     snapshot_id: int = 1,
     fail_after: int | None = None,
+    images: DataFrame | None = None,
 ) -> Manifest:
     """Run the north-star stage slice-by-slice with checkpointing.
 
     fail_after=k aborts after k slices (crash-injection for resume tests).
     A restarted run with the same run_id skips finished slices and produces
     byte-identical output.
+
+    When ``images`` (the payload table) is provided, each slice also runs
+    the row-grain decode-failure quarantine (SURVEY §2.3: anti join
+    ``needed ⋉̸ decoded``): corrupt rows are written to
+    ``<out>/quarantine/part=<pid>`` and counted in the manifest's
+    ``quarantined`` column, instead of the reference's silent drop
+    (render/tiles.rs:33-56) or a task-killing exception.
     """
+    from .operators.decode import quarantine
     from .operators.meta import tile_assignments
     from .operators.spatial import pip_join
 
@@ -120,8 +132,13 @@ def checkpointed_pip_run(
         joined = pip_join(ta, queries, salt=0)
         path = os.path.join(out_dir, f"part={pid}")
         joined.write.mode("overwrite").parquet(path)
+        quarantined = 0
+        if images is not None:
+            qpath = os.path.join(out_dir, "quarantine", f"part={pid}")
+            quarantine(images.filter(part_col == pid)).write.mode("overwrite").parquet(qpath)
+            quarantined = spark.read.parquet(qpath).count()
         tiles_out = ta.count()
         joined_rows = spark.read.parquet(path).count()
-        man.append(snapshot_id, pid, rows_in, tiles_out, joined_rows, "done")
+        man.append(snapshot_id, pid, rows_in, tiles_out, joined_rows, "done", quarantined)
         processed += 1
     return man

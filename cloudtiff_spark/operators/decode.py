@@ -15,7 +15,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..codecs import decode_image
 
@@ -45,4 +51,69 @@ def decode_check(images: DataFrame) -> DataFrame:
         (phash_udf(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h")) == F.col("phash")).alias(
             "phash_ok"
         ),
+    )
+
+
+_STATUS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("err_kind", StringType()),
+    ]
+)
+
+
+def decode_status(images: DataFrame) -> DataFrame:
+    """Row-grain decode status (SURVEY §2.3 / §4.1 'error tolerance').
+
+    The reference silently drops unfetchable/undecodable tiles
+    (filter_map + warn, render/tiles.rs:33-56); a Spark task would instead
+    FAIL on the first corrupt payload. This stage catches per-row decode
+    failures and classifies them:
+
+    - ``decode_error``   — the decoder raised (truncated/corrupt stream,
+      bad container structure, buffer-size invariant violation),
+    - ``phash_mismatch`` — decoded cleanly but the pixels are not the ones
+      the generator hashed (silent corruption),
+    - ok rows carry err_kind ''.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, oks, kinds = [], [], []
+            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h", "phash"))
+            for image_id, data, fmt, w, h, ph in zip(*cols):
+                try:
+                    arr = decode_image(data, fmt, int(w), int(h))
+                except Exception:
+                    ids.append(image_id)
+                    oks.append(False)
+                    kinds.append("decode_error")
+                    continue
+                digest = hashlib.sha256(arr.tobytes()).digest()
+                got = np.int64(np.uint64(int.from_bytes(digest[-8:], "big")))
+                ok = bool(got == np.int64(ph))
+                ids.append(image_id)
+                oks.append(ok)
+                kinds.append("" if ok else "phash_mismatch")
+            yield pd.DataFrame({"image_id": ids, "ok": oks, "err_kind": kinds})
+
+    return images.mapInPandas(gen, schema=_STATUS_SCHEMA)
+
+
+def quarantine(images: DataFrame) -> DataFrame:
+    """Decode-failure quarantine: ``needed ⋉̸ decoded`` (left anti join of
+    the input keys against the successfully-decoded keys), enriched with
+    the failure classification. This is the engine's replacement for the
+    reference's silent drop (tiles.rs:33-56): corrupt rows land in a
+    queryable table instead of vanishing or killing the task.
+
+    Returns (image_id, fmt, err_kind)."""
+    st = decode_status(images)
+    ok_ids = st.filter(F.col("ok")).select("image_id")
+    quar = images.select("image_id", "fmt").join(ok_ids, "image_id", "left_anti")
+    return quar.join(st.select("image_id", "err_kind"), "image_id", "left").select(
+        "image_id", "fmt", "err_kind"
     )

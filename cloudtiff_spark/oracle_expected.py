@@ -470,6 +470,49 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
             feat_path,
         )
 
+    quar_path = os.path.join(fixture_dir, "expected_quarantine.parquet")
+    if not os.path.exists(quar_path):
+        # mirror q_quarantine: 30% subset (ids ending 1/3/5), truncate the
+        # '3' rows to half length, classify decode failures exactly like
+        # operators/decode.decode_status
+        import hashlib as _hl
+
+        from .codecs import decode_image
+
+        imgs = pq.read_table(os.path.join(fixture_dir, "images.parquet"))
+        q_ids, q_fmts, q_kinds = [], [], []
+        for i in range(imgs.num_rows):
+            image_id = imgs["image_id"][i].as_py()
+            if image_id[-1] not in "135":
+                continue
+            data = imgs["bytes"][i].as_py()
+            if image_id.endswith("3"):
+                data = data[: max(1, len(data) // 2)]
+            fmt = imgs["fmt"][i].as_py()
+            try:
+                arr = decode_image(data, fmt, imgs["w"][i].as_py(), imgs["h"][i].as_py())
+            except Exception:
+                q_ids.append(image_id)
+                q_fmts.append(fmt)
+                q_kinds.append("decode_error")
+                continue
+            digest = _hl.sha256(arr.tobytes()).digest()
+            got = int(np.int64(np.uint64(int.from_bytes(digest[-8:], "big"))))
+            if got != imgs["phash"][i].as_py():
+                q_ids.append(image_id)
+                q_fmts.append(fmt)
+                q_kinds.append("phash_mismatch")
+        _write_atomic(
+            pa.table(
+                {
+                    "image_id": pa.array(q_ids, pa.string()),
+                    "fmt": pa.array(q_fmts, pa.string()),
+                    "err_kind": pa.array(q_kinds, pa.string()),
+                }
+            ),
+            quar_path,
+        )
+
     crop_path = os.path.join(fixture_dir, "expected_crop.parquet")
     region_path = os.path.join(fixture_dir, "expected_region.parquet")
     tb_path = os.path.join(fixture_dir, "expected_tile_bytes.parquet")

@@ -303,6 +303,56 @@ class TestLineage:
         assert int(mpd.rows_in.sum()) == meta.count()
 
 
+class TestQuarantine:
+    """Row-grain decode-failure quarantine (SURVEY §2.3): the reference
+    silently filter_map-drops bad tiles (render/tiles.rs:33-56); the engine
+    routes them to a queryable table via an anti join."""
+
+    def _corrupted(self, images):
+        return images.withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id").endswith("3"),
+                F.expr("substring(bytes, 1, greatest(1, cast(length(bytes) / 2 as int)))"),
+            ).otherwise(F.col("bytes")),
+        )
+
+    def test_clean_table_quarantines_nothing(self, tables):
+        from cloudtiff_spark.operators.decode import quarantine
+
+        assert quarantine(tables[0]).count() == 0
+
+    def test_corrupt_rows_quarantined_exactly(self, tables):
+        from cloudtiff_spark.operators.decode import quarantine
+
+        images = tables[0]
+        out = quarantine(self._corrupted(images)).collect()
+        got = {r.image_id for r in out}
+        want = {r.image_id for r in images.select("image_id").collect() if r.image_id.endswith("3")}
+        assert got == want and len(want) > 0
+        assert all(r.err_kind in ("decode_error", "phash_mismatch") for r in out)
+
+    def test_checkpointed_run_routes_quarantine_to_lineage(self, spark, tables, tmp_path):
+        from cloudtiff_spark.lineage import checkpointed_pip_run
+
+        images, meta, queries = tables
+        corrupted = self._corrupted(images)
+        out = str(tmp_path / "out")
+        man = checkpointed_pip_run(
+            spark, meta, queries, out, str(tmp_path / "m"), "runq",
+            n_partitions=4, images=corrupted,
+        )
+        mpd = man.read(spark).toPandas()
+        n_bad = sum(
+            1 for r in images.select("image_id").collect() if r.image_id.endswith("3")
+        )
+        assert int(mpd.quarantined.sum()) == n_bad
+        quar = spark.read.parquet(out + "/quarantine/part=*")
+        assert quar.count() == n_bad
+        # a corrupt payload never kills the run: all slices completed
+        assert set(mpd[mpd.status == "done"].partition_id) == {0, 1, 2, 3}
+
+
 class TestOracleExpected:
     def test_xxh64_matches_spark(self, spark):
         """The oracle-side xxHash64 recompute must agree with Spark's
