@@ -49,7 +49,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, tau: float = 0.4, n: int = 3, max_df: int | None = 100
+    docs: DataFrame, tau: float = 0.4, n: int = 3, max_df: int | None = None
 ) -> DataFrame:
     """Near-duplicate pairs with shingle-Jaccard >= tau via an
     inverted-index self-join (the scale path for exact all-pairs):
@@ -73,8 +73,11 @@ def jaccard_pairs(
     arrays never ride any join. A true pair is missed only if EVERY shingle
     it shares is
     corpus-hot (df > max_df) — for near-duplicate detection those pairs
-    share nothing but boilerplate. max_df=None disables the cap and the
-    two-phase verify (single-pass exact aggregation).
+    share nothing but boilerplate. The DEFAULT is max_df=None — fully
+    EXACT, single-pass aggregation, no data-dependent misses; callers at
+    corpus scale opt into the cap explicitly (the capped operator is
+    approximate-by-contract, see tests/test_spark_ops.py's skewed-corpus
+    pin).
     Output: (doc_id_a, doc_id_b, jaccard) with a < b.
     """
     s = shingles(docs, n=n).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
@@ -318,7 +321,11 @@ def ivf_cosine_topk(
     contract matches cosine_topk.
     """
     rng = np.random.default_rng(seed)
-    sample = emb.select(id_col, vec_col).limit(train_cap).toPandas()
+    # orderBy before limit: Spark's bare limit has no row-selection
+    # guarantee, so the trained codebook (hence partial-probe recall) would
+    # drift with partitioning/cluster layout. Ordering by id makes the
+    # sample — and the docstring's determinism claim — actually hold.
+    sample = emb.select(id_col, vec_col).orderBy(id_col).limit(train_cap).toPandas()
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     # k-means++-free deterministic init: evenly spaced sample rows

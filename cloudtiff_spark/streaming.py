@@ -40,11 +40,20 @@ def stream_sessionize(
     per-user sessionization with a `gap_s` inactivity rule — the streaming
     twin of the batch sessionize query (__spark_entry__.q_sessionize).
 
-    State per user: (last_ts_us, n_sessions, n_events), carried across
-    micro-batches; each batch emits the user's updated totals (update
-    output mode). With every event processed exactly once in ts order, the
-    final emitted totals equal the batch query's output — the pytest
-    replays the same events through >=2 micro-batches and asserts equality.
+    State per user: (last_ts_us, n_sessions, n_events, n_late), carried
+    across micro-batches; each batch emits the user's updated totals
+    (update output mode).
+
+    CONTRACT — in-order ingestion across micro-batches: state keeps only
+    the per-user last_ts, so an event arriving in a LATER micro-batch with
+    ts <= last_ts cannot be merged into the already-counted session
+    history (it might split or merge sessions relative to the batch
+    query). Such cross-batch late events are DETECTED (ts < last_ts at the
+    head of a batch), counted in ``n_late``, and still folded into the
+    totals best-effort; equality with the batch query is guaranteed only
+    when n_late == 0. The pytest replays time-ordered splits (n_late == 0
+    path) through >=2 micro-batches and asserts exact equality; a second
+    test feeds an out-of-order split and asserts the late counter fires.
     """
     import pandas as pd
 
@@ -59,26 +68,38 @@ def stream_sessionize(
 
     def update(key, pdfs, state) -> "pd.DataFrame":
         (user_id,) = key
-        last_ts, n_sessions, n_events = (
-            state.get if state.exists else (None, 0, 0)
+        last_ts, n_sessions, n_events, n_late = (
+            state.get if state.exists else (None, 0, 0, 0)
         )
         rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        if last_ts is not None:
+            # cross-micro-batch late arrivals: the in-order assumption is
+            # violated for these rows — count them (totals stay
+            # best-effort; only in-batch order is reconstructible)
+            n_late += int((rows["ts_us"] < last_ts).sum())
         for ts in rows["ts_us"]:
             ts = int(ts)
             if last_ts is None or ts - last_ts > gap_us:
                 n_sessions += 1
-            last_ts = ts
+            last_ts = max(ts, last_ts) if last_ts is not None else ts
             n_events += 1
-        state.update((last_ts, n_sessions, n_events))
+        state.update((last_ts, n_sessions, n_events, n_late))
         # contract: the function YIELDS pandas DataFrames (iterator shape)
         yield pd.DataFrame(
-            [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
+            [
+                {
+                    "user_id": user_id,
+                    "n_sessions": n_sessions,
+                    "n_events": n_events,
+                    "n_late": n_late,
+                }
+            ]
         )
 
     return ev.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_sessions long, n_events long",
-        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputStructType="user_id long, n_sessions long, n_events long, n_late long",
+        stateStructType="last_ts long, n_sessions long, n_events long, n_late long",
         outputMode="update",
         timeoutConf="NoTimeout",
     )

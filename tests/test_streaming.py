@@ -98,6 +98,8 @@ class TestStatefulSessionize:
             "SELECT user_id, n_sessions, n_events FROM sess_stream"
         ).collect()
         assert q.lastProgress["batchId"] >= 1  # state really crossed batches
+        # time-ordered splits => zero cross-batch late events
+        assert spark.sql("SELECT sum(n_late) FROM sess_stream").first()[0] == 0
         # update mode re-emits users per batch: keep the LAST emission per
         # user = the one with the max n_events
         got = {}
@@ -109,3 +111,37 @@ class TestStatefulSessionize:
             for r in E.q_sessionize(spark, "/root/testdata/sf0.001").collect()
         }
         assert got == want and len(want) > 10
+
+    def test_out_of_order_batches_flag_late_events(self, spark, tmp_path):
+        """Feed the SECOND time half first: the in-order contract is
+        violated across micro-batches and the operator must say so via the
+        n_late counter (instead of silently mis-sessionizing)."""
+        import __spark_entry__ as E
+        from cloudtiff_spark.streaming import stream_sessionize
+
+        ev = E._t(spark, "/root/testdata/sf0.001", "events")
+        cut = ev.selectExpr(
+            "percentile(unix_micros(cast(ts as timestamp_ltz)), 0.5) p"
+        ).first()["p"]
+        src = tmp_path / "stream_src_ooo"
+        # LATE half lands first (files are picked up in discovery order;
+        # name them so the late file sorts first)
+        ev.filter(F.unix_micros(F.col("ts").cast("timestamp_ltz")) > cut).coalesce(
+            1
+        ).write.parquet(str(src / "a_late"), mode="append")
+        ev.filter(F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= cut).coalesce(
+            1
+        ).write.parquet(str(src / "b_early"), mode="append")
+
+        out = stream_sessionize(spark, str(src) + "/*", max_files=1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_stream_ooo")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_late = spark.sql("SELECT sum(n_late) FROM sess_stream_ooo").first()[0]
+        assert q.lastProgress["batchId"] >= 1
+        assert n_late and n_late > 0
