@@ -357,6 +357,35 @@ def raster_to_rgb8(arr: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported raster shape {arr.shape}")
 
 
+def photometric_to_rgb8(
+    arr: np.ndarray, photometric: int, colormap: np.ndarray | None = None
+) -> np.ndarray:
+    """Photometric-aware RGB8 conversion (photometrics.rs:16-55 +
+    raster/image.rs:26-95 coverage):
+
+    - 0 WhiteIsZero  — inverted gray (255 - v / scaled for u16)
+    - 1 BlackIsZero  — gray replicate / u16 scale (raster_to_rgb8)
+    - 2 RGB          — pass-through (alpha dropped)
+    - 3 RGBPalette   — ColorMap LUT gather: indices -> 16-bit (R,G,B)
+      entries, scaled to u8 with rounding (the image-crate u16->u8 rule)
+    - everything else (CMYK, YCbCr, CIELab, ...) raises the typed
+      UnsupportedPhotometric carrying the spec name, mirroring the
+      reference's enumeration."""
+    from .errors import UnsupportedPhotometric
+
+    if photometric == 3:
+        if colormap is None:
+            raise ValueError("palette image without ColorMap tag")
+        idx = arr[:, :, 0] if arr.ndim == 3 else arr
+        rgb16 = colormap[idx.astype(np.intp)]  # (h, w, 3) u16
+        return ((rgb16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    if photometric in (1, 2):
+        return raster_to_rgb8(arr)
+    if photometric == 0:
+        return 255 - raster_to_rgb8(arr)
+    raise UnsupportedPhotometric(photometric)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:

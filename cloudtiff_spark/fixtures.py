@@ -348,39 +348,50 @@ def ensure_cog_dir(sf_name: str) -> str:
 
 #: multiband container-parity fixture: (suffix, kind) x deterministic dims —
 #: a FIXED small set (container parity is scale-independent)
-_MB_KINDS = ["gray8", "gray16", "rgb8", "rgba8"]
+_MB_KINDS = ["gray8", "gray16", "rgb8", "rgba8", "pal8"]
+_MB_COUNT = 15
 
 
 def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
-    """Materialize 12 deterministic multi-pixel-format COGs (gray8 / gray16 /
-    RGB8 / RGBA8, deflate+lzw mix) under <fixture>/cogs_mb/, plus
-    spec.parquet holding ONLY the generation spec (dims, format, tile size)
-    — the oracle derives the expected pyramid from the spec in SQL, the
-    engine parses it from the bytes."""
+    """Materialize deterministic multi-pixel-format COGs (gray8 / gray16 /
+    RGB8 / RGBA8 / palette, deflate+lzw mix) under <fixture>/cogs_mb/, plus
+    spec.parquet holding ONLY the generation spec (dims, format, tile size,
+    photometric) — the oracle derives the expected pyramid from the spec in
+    SQL, the engine parses it from the bytes."""
     from .tiff import COMPRESSION_DEFLATE, COMPRESSION_LZW, encode_cog
 
     out_dir = ensure_fixtures(sf_name)
     mb_dir = os.path.join(out_dir, "cogs_mb")
     marker = os.path.join(mb_dir, "_COMPLETE")
+    want = f"cogs_mb={_MB_COUNT}\n"
     if os.path.exists(marker):
-        return mb_dir
+        with open(marker) as f:
+            if f.read() == want:
+                return mb_dir
+        import shutil
+
+        shutil.rmtree(mb_dir, ignore_errors=True)  # family changed: regen
     os.makedirs(mb_dir, exist_ok=True)
     spec_rows = []
-    for i in range(12):
+    for i in range(_MB_COUNT):
         image_id = f"mb_{i:03d}"
-        kind = _MB_KINDS[i % 4]
+        kind = _MB_KINDS[i % len(_MB_KINDS)]
         w, h = 150 + 37 * i, 100 + 29 * i
         comp = COMPRESSION_LZW if i % 2 else COMPRESSION_DEFLATE
         rng = _rng_for(f"mb:{image_id}")
+        palette = None
         if kind == "gray8":
             arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
         elif kind == "gray16":
             arr = rng.integers(0, 1 << 16, (h, w), dtype=np.uint16)
         elif kind == "rgb8":
             arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == "pal8":
+            palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+            arr = rng.integers(0, 256, (h, w), dtype=np.uint8)  # indices
         else:
             arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
-        cog = encode_cog(arr, 4326, -120.0 + i, 45.0, 1e-4, compression=comp)
+        cog = encode_cog(arr, 4326, -120.0 + i, 45.0, 1e-4, compression=comp, palette=palette)
         tmp = os.path.join(mb_dir, f".{image_id}.{os.getpid()}.tmp")
         with open(tmp, "wb") as f:
             f.write(cog)
@@ -393,8 +404,11 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
                 "tile_w": TILE,
                 "tile_h": TILE,
                 "compression": "lzw" if i % 2 else "deflate",
-                "spp": {"gray8": 1, "gray16": 1, "rgb8": 3, "rgba8": 4}[kind],
+                "spp": {"gray8": 1, "gray16": 1, "rgb8": 3, "rgba8": 4, "pal8": 1}[kind],
                 "bits": 16 if kind == "gray16" else 8,
+                "photometric": {"gray8": 1, "gray16": 1, "rgb8": 2, "rgba8": 2, "pal8": 3}[
+                    kind
+                ],
             }
         )
     spec = pa.Table.from_pylist(spec_rows)
@@ -403,7 +417,7 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
     os.replace(tmp, os.path.join(mb_dir, "spec.parquet"))
     tmpm = marker + f".{os.getpid()}.tmp"
     with open(tmpm, "w") as f:
-        f.write("cogs_mb=12\n")
+        f.write(want)
     os.replace(tmpm, marker)
     return mb_dir
 

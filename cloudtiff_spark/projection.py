@@ -50,7 +50,9 @@ def utm_params(epsg: int) -> tuple[float, float, float]:
         return np.radians(-183.0 + 6.0 * zone), _FE, 0.0
     if base == 327 and 1 <= zone <= 60:
         return np.radians(-183.0 + 6.0 * zone), _FE, _FN_SOUTH
-    raise ValueError(f"unsupported CRS {epsg}")
+    from .errors import UnsupportedCrs
+
+    raise UnsupportedCrs(epsg)
 
 
 def utm_forward(

@@ -110,7 +110,7 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
                 data += f.read(grow)
 
 
-HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, spp int, bits int, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
+HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, spp int, bits int, photometric int, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
 
 
 def analyze_cog_headers(
@@ -157,6 +157,7 @@ def analyze_cog_headers(
                             _COMP_NAME.get(lev["compression"], "?"),
                             int(lev.get("samples_per_pixel", 3)),
                             int(lev.get("bits_per_sample", [8])[0]),
+                            int(lev.get("photometric", 1)),
                             int(proj.get("epsg", 0)),
                             float(proj.get("origin_x", 0.0)),
                             float(proj.get("origin_y", 0.0)),
@@ -169,7 +170,7 @@ def analyze_cog_headers(
                 rows,
                 columns=[
                     "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
-                    "compression", "spp", "bits", "epsg", "origin_x", "origin_y",
+                    "compression", "spp", "bits", "photometric", "epsg", "origin_x", "origin_y",
                     "scale_px", "bytes_read", "file_bytes",
                 ],
             )
@@ -215,6 +216,7 @@ def analyze_cog_urls(
                             _COMP_NAME.get(lev["compression"], "?"),
                             int(lev.get("samples_per_pixel", 3)),
                             int(lev.get("bits_per_sample", [8])[0]),
+                            int(lev.get("photometric", 1)),
                             int(proj.get("epsg", 0)),
                             float(proj.get("origin_x", 0.0)),
                             float(proj.get("origin_y", 0.0)),
@@ -227,7 +229,7 @@ def analyze_cog_urls(
                 rows,
                 columns=[
                     "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
-                    "compression", "spp", "bits", "epsg", "origin_x", "origin_y",
+                    "compression", "spp", "bits", "photometric", "epsg", "origin_x", "origin_y",
                     "scale_px", "bytes_read", "file_bytes",
                 ],
             )
@@ -254,10 +256,13 @@ def disect(data: bytes, tags: bool = False) -> str:
         cols = -(-lev["width"] // lev["tile_w"])
         rows = -(-lev["height"] // lev["tile_h"])
         kind = "full" if lev["overview"] is None else f"overview {lev['overview']}"
+        from .errors import photometric_name
+
         lines.append(
             f"  level {i} ({kind})"
             f": {lev['width']}x{lev['height']} tiles {cols}x{rows}@{lev['tile_w']}"
             f" comp={lev['compression']} pred={lev.get('predictor', 1)}"
+            f" photometric={photometric_name(lev.get('photometric', 1))}"
         )
     p = info["projection"]
     if p:

@@ -28,6 +28,12 @@ import numpy as np
 
 from . import TILE
 from .codecs import lzw_decode, lzw_encode
+from .errors import (
+    CompressionNotSupported,
+    UnsupportedCrs,
+    UnsupportedModelTransformation,
+    UnsupportedPixelFormat,
+)
 from .grid import grid_shape, level_dims, num_levels
 from .operators.tiling import resample_nearest
 
@@ -39,6 +45,7 @@ T_BITSPERSAMPLE = 258
 T_COMPRESSION = 259
 T_PHOTOMETRIC = 262
 T_SAMPLESPERPIXEL = 277
+T_COLORMAP = 320
 T_PLANARCONFIG = 284
 T_TILEWIDTH = 322
 T_TILELENGTH = 323
@@ -112,7 +119,7 @@ def _compress_tile(arr: np.ndarray, compression: int, predictor: int = 1) -> byt
         return zlib.compress(raw, 6)
     if compression == COMPRESSION_LZW:
         return lzw_encode(raw)
-    raise ValueError(f"CompressionNotSupported: {compression}")
+    raise CompressionNotSupported(compression)
 
 
 def _geokey_directory(epsg: int) -> list[int]:
@@ -134,7 +141,7 @@ def _geokey_directory(epsg: int) -> list[int]:
             (GK_PROJECTED_CS_TYPE, 0, 1, epsg),
         ]
     else:
-        raise ValueError(f"unsupported epsg {epsg}")  # encode/mod.rs:321-393
+        raise UnsupportedCrs(epsg)  # encode/mod.rs:321-393
     out = [1, 1, 0, len(keys)]
     for k in keys:
         out.extend(k)
@@ -151,6 +158,7 @@ def encode_cog(
     compression: int = COMPRESSION_DEFLATE,
     predictor: int = 1,
     big: bool = False,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
@@ -158,7 +166,10 @@ def encode_cog(
 
     Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
     (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
-    (unassociated alpha, ExtraSamples=2).
+    (unassociated alpha, ExtraSamples=2). With ``palette`` (a (N<=256, 3)
+    u8 array), pixels must be (h,w) u8 INDICES: photometric 3 (RGBPalette,
+    photometrics.rs:26-27) with a ColorMap tag holding the 16-bit R,G,B
+    planes (value*257, the TIFF 6 8->16-bit convention).
 
     ``big=True`` writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
     offsets) — required once tile data passes the 4 GiB classic-TIFF
@@ -172,12 +183,19 @@ def encode_cog(
     elif pixels.dtype == np.uint16:
         bits = 16
         if c != 1:
-            raise ValueError("16-bit is gray-only (raster/image.rs:40-47)")
+            raise UnsupportedPixelFormat("16-bit is gray-only (raster/image.rs:40-47)")
     else:
-        raise ValueError(f"unsupported dtype {pixels.dtype}")
+        raise UnsupportedPixelFormat(f"unsupported dtype {pixels.dtype}")
     if c not in (1, 3, 4):
-        raise ValueError(f"unsupported samples/pixel {c}")
-    photometric = 1 if c == 1 else 2  # min-is-black / RGB
+        raise UnsupportedPixelFormat(f"unsupported samples/pixel {c}")
+    if palette is not None:
+        if c != 1 or bits != 8:
+            raise UnsupportedPixelFormat("palette images are 8-bit single-sample indices")
+        if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+            raise UnsupportedPixelFormat(f"palette shape {palette.shape} != (N<=256, 3)")
+        photometric = 3  # RGBPalette
+    else:
+        photometric = 1 if c == 1 else 2  # min-is-black / RGB
     n_lv = num_levels(w, h, tile, tile)
 
     # per-level tile payloads (level i resampled from level i-1)
@@ -222,6 +240,11 @@ def encode_cog(
         ]
         if c == 4:  # unassociated alpha (raster/image.rs RGBA path)
             tags.append(Tag(T_EXTRASAMPLES, _SHORT, [2]))
+        if palette is not None:
+            # ColorMap: 2^bits R values, then G, then B — 16-bit per entry
+            pal = np.zeros((256, 3), dtype=np.uint16)
+            pal[: palette.shape[0]] = palette.astype(np.uint16) * 257
+            tags.append(Tag(T_COLORMAP, _SHORT, pal.T.reshape(-1).tolist()))
         if predictor != 1:
             tags.append(Tag(T_PREDICTOR, _SHORT, [predictor]))
         if lv == 0:  # geo tags on the full-resolution IFD
@@ -464,7 +487,7 @@ def cog_info(data: bytes) -> dict:
 
     tags0 = t["ifds"][0]
     if T_MODELTRANSFORMATION in tags0:
-        raise ValueError("TransformedModelUnsupported")  # projection/mod.rs:114-123
+        raise UnsupportedModelTransformation()  # projection/mod.rs:114-123
     geokeys = _parse_geokeys(tags0)
     epsg = geokeys.get(GK_PROJECTED_CS_TYPE) or geokeys.get(GK_GEOGRAPHIC_TYPE)
     tiepoint = tags0.get(T_MODELTIEPOINT)
@@ -479,7 +502,11 @@ def cog_info(data: bytes) -> dict:
             angular_units=geokeys.get(GK_ANGULAR_UNITS),
             raster_type=geokeys.get(GK_RASTER_TYPE),
         )
-    return {"levels": levels, "projection": proj, "big": t["big"]}
+    colormap = None
+    if T_COLORMAP in tags0:
+        cm = np.asarray(tags0[T_COLORMAP], dtype=np.uint16)
+        colormap = cm.reshape(3, -1).T  # (N, 3) 16-bit R,G,B
+    return {"levels": levels, "projection": proj, "big": t["big"], "colormap": colormap}
 
 
 def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarray:
@@ -499,18 +526,18 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     elif lev["compression"] == 1:
         buf = raw
     else:
-        raise ValueError(f"CompressionNotSupported: {lev['compression']}")
+        raise CompressionNotSupported(lev["compression"])
     tw, th = lev["tile_w"], lev["tile_h"]
     spp = lev.get("samples_per_pixel", 3)
     bits = lev.get("bits_per_sample", [8])[0]
     if set(lev.get("bits_per_sample", [8])) - {bits}:
-        raise ValueError("mixed bits_per_sample unsupported (image.rs:26-95)")
+        raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")
     if bits == 8:
         dtype = np.uint8
     elif bits == 16:
         dtype = np.dtype(">u2" if lev.get("endian") == ">" else "<u2")
     else:
-        raise ValueError(f"bits_per_sample {bits} unsupported")
+        raise UnsupportedPixelFormat(f"bits_per_sample {bits} unsupported")
     if len(buf) != tw * th * spp * (bits // 8):  # raster/mod.rs:73-86
         raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x{spp}x{bits // 8}B")
     arr = np.frombuffer(buf, dtype=dtype).reshape(th, tw, spp)

@@ -90,7 +90,7 @@ class TestRoundTrip:
 
     def test_unsupported_epsg_raises(self):
         # outside the geographic/UTM/web-mercator family the writer covers
-        with pytest.raises(ValueError, match="unsupported epsg"):
+        with pytest.raises(ValueError, match="unsupported CRS"):
             tiff.encode_cog(_img(64, 64), 2154, 0, 0, 1.0)
 
     def test_no_levels_raises(self):
@@ -221,6 +221,101 @@ class TestPixelFormats:
         except ValueError as exc:
             raised = "mixed" in str(exc)
         assert raised
+
+
+class TestPalette:
+    """Photometric 3 (RGBPalette, photometrics.rs:26-27): ColorMap tag ->
+    LUT gather — the one exotic format real GeoTIFF corpora contain."""
+
+    def test_palette_cog_roundtrip(self):
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+
+        rng = np.random.default_rng(77)
+        palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (100, 140), dtype=np.uint8)
+        cog = tiff.encode_cog(idx, 4326, -120.0, 45.0, 1e-4, palette=palette)
+        info = tiff.cog_info(cog)
+        lev0 = info["levels"][0]
+        assert lev0["photometric"] == 3
+        assert lev0["samples_per_pixel"] == 1
+        assert info["colormap"] is not None and info["colormap"].shape == (256, 3)
+        # full-tile gather equals palette[idx] exactly (entries are v*257,
+        # and round(v*257*255/65535) == v)
+        t = tiff.decode_tile(cog, info, 0, 0)
+        rgb = photometric_to_rgb8(t, 3, info["colormap"])
+        want = palette[idx[:64, :64]]
+        assert np.array_equal(rgb[:64, :64], want)
+
+    def test_palette_in_disect(self):
+        from cloudtiff_spark.sources import disect
+
+        rng = np.random.default_rng(78)
+        palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (70, 70), dtype=np.uint8)
+        cog = tiff.encode_cog(idx, 4326, 0.0, 0.0, 1e-4, palette=palette)
+        assert "photometric=RGBPalette" in disect(cog)
+
+    def test_palette_requires_indices(self):
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        rng = np.random.default_rng(79)
+        palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        with pytest.raises(UnsupportedPixelFormat):
+            tiff.encode_cog(rgb, 4326, 0.0, 0.0, 1e-4, palette=palette)
+
+
+class TestTypedErrors:
+    """Error taxonomy parity: projection/mod.rs:25-36 (ProjectionError
+    variants) and photometrics.rs:16-55 (unsupported interpretations)."""
+
+    def test_unsupported_crs_typed(self):
+        from cloudtiff_spark.errors import ProjectionError, UnsupportedCrs
+        from cloudtiff_spark.projection import utm_params
+
+        with pytest.raises(UnsupportedCrs) as ei:
+            utm_params(2154)  # Lambert-93: real CRS, outside the family
+        assert ei.value.epsg == 2154
+        assert issubclass(UnsupportedCrs, ProjectionError)
+        with pytest.raises(UnsupportedCrs):
+            tiff.encode_cog(
+                np.zeros((16, 16, 3), np.uint8), 2154, 0.0, 0.0, 1.0
+            )
+
+    def test_unsupported_photometric_typed_with_name(self):
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+        from cloudtiff_spark.errors import UnsupportedPhotometric
+
+        arr = np.zeros((8, 8, 4), np.uint8)
+        for code, name in [(5, "CMYK"), (6, "YCbCr"), (8, "CIELab")]:
+            with pytest.raises(UnsupportedPhotometric) as ei:
+                photometric_to_rgb8(arr, code)
+            assert ei.value.code == code and ei.value.name == name
+            assert name in str(ei.value)
+
+    def test_white_is_zero_inverts(self):
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+
+        g = np.full((4, 4), 10, np.uint8)
+        assert np.array_equal(photometric_to_rgb8(g, 0), np.full((4, 4, 3), 245, np.uint8))
+
+    def test_transformed_model_typed(self):
+        from cloudtiff_spark.errors import ProjectionError, UnsupportedModelTransformation
+
+        assert issubclass(UnsupportedModelTransformation, ProjectionError)
+        # the existing parse-then-reject test (test_sources) exercises the
+        # raise; here pin that it is catchable as the legacy ValueError too
+        assert issubclass(UnsupportedModelTransformation, ValueError)
+
+    def test_compression_not_supported_typed(self):
+        from cloudtiff_spark.errors import CompressionNotSupported
+
+        rng = np.random.default_rng(80)
+        with pytest.raises(CompressionNotSupported):
+            tiff.encode_cog(
+                rng.integers(0, 256, (16, 16, 3), np.uint8), 4326, 0.0, 0.0, 1.0,
+                compression=7,  # JPEG-in-TIFF: not emitted by the reference
+            )
 
 
 class TestBigTiffWriter:
