@@ -180,6 +180,93 @@ def analyze_cog_headers(
     )
 
 
+def header_info_s3(fetcher, key: str, initial_bytes: int = 4096) -> tuple[dict, int]:
+    """Header-only COG analyze through a ranged S3 GetObject client (S7,
+    io/s3.rs:29-92 parity): fetch bytes [0, n), parse, and on truncation
+    double the range and re-fetch — identical grow-retry contract to
+    header_info_http. ``fetcher`` is any object with
+    ``fetch(key, start, length) -> bytes`` (cloudtiff_spark.s3.
+    S3RangeFetcher for real/compatible S3; tests inject one pointed at a
+    local SigV4-checking 206 server)."""
+    from .tiff import cog_info
+
+    n = initial_bytes
+    while True:
+        data = fetcher.fetch(key, 0, n)
+        try:
+            return cog_info(data), len(data)
+        except struct.error:
+            if len(data) < n:  # short body: whole object already fetched
+                raise
+            n *= 2
+
+
+def analyze_cog_s3(
+    spark: SparkSession,
+    keys: list[str],
+    endpoint: str,
+    bucket: str,
+    access_key: str,
+    secret_key: str,
+    region: str = "us-east-1",
+    initial_bytes: int = 4096,
+) -> DataFrame:
+    """S7: header-only analyze of S3 objects across the cluster. The key
+    list is parallelized; every task builds its own S3RangeFetcher from the
+    (serialized) credentials and issues only ranged GetObject calls —
+    same output schema as analyze_cog_headers."""
+    import pandas as pd
+
+    from .operators.cog import _COMP_NAME
+
+    paths = spark.createDataFrame(
+        [(k.rsplit("/", 1)[-1].rsplit(".", 1)[0], k) for k in keys],
+        "image_id string, key string",
+    ).repartition(min(len(keys), spark.sparkContext.defaultParallelism))
+
+    def gen(batches):
+        from .s3 import S3RangeFetcher
+
+        fetcher = S3RangeFetcher(endpoint, bucket, access_key, secret_key, region)
+        for pdf in batches:
+            rows = []
+            for image_id, key in zip(pdf["image_id"].to_numpy(), pdf["key"].to_numpy()):
+                info, nread = header_info_s3(fetcher, key, initial_bytes)
+                proj = info["projection"] or {}
+                for lv_i, lev in enumerate(info["levels"]):
+                    rows.append(
+                        (
+                            image_id,
+                            lv_i,
+                            lev["width"],
+                            lev["height"],
+                            lev["tile_w"],
+                            lev["tile_h"],
+                            len(lev["offsets"]),
+                            _COMP_NAME.get(lev["compression"], "?"),
+                            int(lev.get("samples_per_pixel", 3)),
+                            int(lev.get("bits_per_sample", [8])[0]),
+                            int(lev.get("photometric", 1)),
+                            int(proj.get("epsg", 0)),
+                            float(proj.get("origin_x", 0.0)),
+                            float(proj.get("origin_y", 0.0)),
+                            float(proj.get("scale_px", 0.0)),
+                            nread,
+                            -1,  # object size unknown without HeadObject
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
+                    "compression", "spp", "bits", "photometric", "epsg", "origin_x", "origin_y",
+                    "scale_px", "bytes_read", "file_bytes",
+                ],
+            )
+
+    return paths.mapInPandas(gen, schema=HEADER_SCHEMA)
+
+
 def analyze_cog_urls(
     spark: SparkSession, urls: list[str], initial_bytes: int = 4096
 ) -> DataFrame:
