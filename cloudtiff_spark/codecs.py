@@ -236,30 +236,42 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f == 1:  # Sub: cur[x] = line[x] + cur[x-3] is a per-channel
             # prefix sum mod 256 — one vectorized cumsum per row
             out[y] = np.cumsum(line.reshape(w, 3), axis=0, dtype=np.uint8).reshape(-1)
-        elif f == 3:  # Average — serial in x, vectorized across channels
-            up = out[y - 1].reshape(w, 3).astype(np.int32) if y else np.zeros((w, 3), np.int32)
-            ln = line.reshape(w, 3).astype(np.int32)
-            cur = np.zeros((w, 3), dtype=np.int32)
-            left = np.zeros(3, dtype=np.int32)
-            for x in range(w):
-                left = (ln[x] + ((left + up[x]) >> 1)) & 0xFF
-                cur[x] = left
-            out[y] = cur.astype(np.uint8).reshape(-1)
-        elif f == 4:  # Paeth — serial in x, vectorized across channels
-            up = out[y - 1].reshape(w, 3).astype(np.int32) if y else np.zeros((w, 3), np.int32)
-            ln = line.reshape(w, 3).astype(np.int32)
-            cur = np.zeros((w, 3), dtype=np.int32)
-            a = np.zeros(3, dtype=np.int32)  # left
-            c = np.zeros(3, dtype=np.int32)  # upper-left
-            for x in range(w):
-                b = up[x]
-                p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-                a = (ln[x] + pr) & 0xFF
-                cur[x] = a
-                c = b
-            out[y] = cur.astype(np.uint8).reshape(-1)
+        elif f == 3:  # Average — serial left-dependency; pure-Python int
+            # math per channel (numpy scalar ops in a w-loop cost ~1 us
+            # each; Python ints are ~20x faster here)
+            upl = out[y - 1].tolist() if y else [0] * (w * 3)
+            lnl = line.tolist()
+            cur = bytearray(w * 3)
+            a0 = a1 = a2 = 0
+            for i in range(0, w * 3, 3):
+                a0 = (lnl[i] + ((a0 + upl[i]) >> 1)) & 0xFF
+                a1 = (lnl[i + 1] + ((a1 + upl[i + 1]) >> 1)) & 0xFF
+                a2 = (lnl[i + 2] + ((a2 + upl[i + 2]) >> 1)) & 0xFF
+                cur[i] = a0
+                cur[i + 1] = a1
+                cur[i + 2] = a2
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        elif f == 4:  # Paeth — same serial recurrence, per-channel ints
+            upl = out[y - 1].tolist() if y else [0] * (w * 3)
+            lnl = line.tolist()
+            cur = bytearray(w * 3)
+            lefts = [0, 0, 0]
+            ulefts = [0, 0, 0]
+            for i in range(0, w * 3, 3):
+                for ch in range(3):
+                    a = lefts[ch]
+                    c = ulefts[ch]
+                    b = upl[i + ch]
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = (lnl[i + ch] + pr) & 0xFF
+                    cur[i + ch] = v
+                    lefts[ch] = v
+                    ulefts[ch] = b
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {f}")
     return out.reshape(h, w, 3)
