@@ -380,7 +380,13 @@ def photometric_to_rgb8(
     - 2 RGB          — pass-through (alpha dropped)
     - 3 RGBPalette   — ColorMap LUT gather: indices -> 16-bit (R,G,B)
       entries, scaled to u8 with rounding (the image-crate u16->u8 rule)
-    - everything else (CMYK, YCbCr, CIELab, ...) raises the typed
+    - 5 CMYK         — (h,w,4) u8, naive conversion
+      ``rgb = (255-channel)*(255-k)/255`` (the standard uncalibrated rule;
+      engine extension — the reference only ENUMERATES CMYK,
+      photometrics.rs:36-37, and would misread it as RGBA)
+    - 6 YCbCr        — (h,w,3) u8 full-range BT.601 (same matrix as the
+      JFIF codec), chunky non-subsampled only
+    - everything else (TransparencyMask, CIELab, ...) raises the typed
       UnsupportedPhotometric carrying the spec name, mirroring the
       reference's enumeration."""
     from .errors import UnsupportedPhotometric
@@ -395,6 +401,15 @@ def photometric_to_rgb8(
         return raster_to_rgb8(arr)
     if photometric == 0:
         return 255 - raster_to_rgb8(arr)
+    if photometric == 5 and arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
+        cmy = arr[:, :, :3].astype(np.uint32)
+        k = arr[:, :, 3:4].astype(np.uint32)
+        return (((255 - cmy) * (255 - k) + 127) // 255).astype(np.uint8)
+    if photometric == 6 and arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+        from .jpeg import _ycbcr_to_rgb
+
+        a = arr.astype(np.float64)
+        return _ycbcr_to_rgb(a[:, :, 0], a[:, :, 1], a[:, :, 2])
     raise UnsupportedPhotometric(photometric)
 
 

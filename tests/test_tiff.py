@@ -287,11 +287,34 @@ class TestTypedErrors:
         from cloudtiff_spark.errors import UnsupportedPhotometric
 
         arr = np.zeros((8, 8, 4), np.uint8)
-        for code, name in [(5, "CMYK"), (6, "YCbCr"), (8, "CIELab")]:
+        for code, name in [(4, "TransparencyMask"), (8, "CIELab"), (32844, "PixarLogL")]:
             with pytest.raises(UnsupportedPhotometric) as ei:
                 photometric_to_rgb8(arr, code)
             assert ei.value.code == code and ei.value.name == name
             assert name in str(ei.value)
+
+    def test_cmyk_conversion(self):
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+
+        # pure cyan, no black: R=0, G=B=255; 50% black scales to 128ish
+        cmyk = np.zeros((2, 2, 4), np.uint8)
+        cmyk[..., 0] = 255
+        out = photometric_to_rgb8(cmyk, 5)
+        assert np.array_equal(out[0, 0], [0, 255, 255])
+        cmyk[..., 3] = 128
+        out = photometric_to_rgb8(cmyk, 5)
+        assert np.array_equal(out[0, 0], [0, 127, 127])
+
+    def test_ycbcr_conversion_matches_jfif_matrix(self):
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+        from cloudtiff_spark.jpeg import _rgb_to_ycbcr
+
+        rng = np.random.default_rng(81)
+        rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        ycc = np.clip(_rgb_to_ycbcr(rgb).round(), 0, 255).astype(np.uint8)
+        back = photometric_to_rgb8(ycc, 6)
+        # round trip through u8 YCbCr: within quantization error
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3
 
     def test_white_is_zero_inverts(self):
         from cloudtiff_spark.codecs import photometric_to_rgb8
