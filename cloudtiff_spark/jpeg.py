@@ -191,6 +191,23 @@ _ENC_AC_L = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
 _ENC_AC_C = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
 
+def _code_arrays(codes: dict[int, tuple[int, int]], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(code, length) dictionaries as symbol-indexed numpy arrays for the
+    vectorized encoder."""
+    c = np.zeros(n, dtype=np.uint32)
+    ln = np.zeros(n, dtype=np.uint32)
+    for sym, (code, length) in codes.items():
+        c[sym] = code
+        ln[sym] = length
+    return c, ln
+
+
+_DCL_C, _DCL_L = _code_arrays(_ENC_DC_L, 12)
+_DCC_C, _DCC_L = _code_arrays(_ENC_DC_C, 12)
+_ACL_C, _ACL_L = _code_arrays(_ENC_AC_L, 256)
+_ACC_C, _ACC_L = _code_arrays(_ENC_AC_C, 256)
+
+
 # ---------------------------------------------------------------------------
 # Color transforms (JFIF / BT.601 full range).
 # ---------------------------------------------------------------------------
@@ -301,6 +318,112 @@ def _encode_block(
     return dc
 
 
+def _bitlen(v: np.ndarray) -> np.ndarray:
+    """Per-element bit length of |v| (0 -> 0). |v| < 2^16 is exact in f64,
+    so the frexp exponent IS the bit length."""
+    return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+
+def _component_tokens(
+    zz: np.ndarray, ci: int, ncomp: int, dc_c, dc_l, ac_c, ac_l
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized token stream for one component's quantized zigzag blocks
+    (nb, 64): returns (sort_key, value, nbits) arrays. A token packs
+    huffman code + magnitude bits into one integer:
+    value = (code << size) | mag_bits, nbits = code_len + size.
+
+    sort_key orders tokens globally: ((block*ncomp + ci)*65 + pos)*20 + sub,
+    pos = zigzag position (DC 0, AC k, EOB 64), sub places ZRL runs before
+    their AC token."""
+    nb = zz.shape[0]
+    zz = zz.astype(np.int64)
+
+    def key(block, pos, sub):
+        return ((block * ncomp + ci) * 65 + pos) * 20 + sub
+
+    # DC: differential against the previous block of the SAME component
+    dc = zz[:, 0]
+    diff = np.diff(dc, prepend=0)
+    size = _bitlen(diff)
+    mag = np.where(diff >= 0, diff, diff + (1 << size) - 1)
+    dc_val = (dc_c[size].astype(np.int64) << size) | mag
+    dc_bits = dc_l[size].astype(np.int64) + size
+    dc_key = key(np.arange(nb, dtype=np.int64), 0, 19)
+
+    # AC: nonzero coefficients with zero-run prefixes
+    rows, cols = np.nonzero(zz[:, 1:])
+    cols = cols + 1
+    vals = zz[rows, cols]
+    prev = np.empty_like(cols)
+    first = np.empty(len(rows), dtype=bool)
+    if len(rows):
+        prev[1:] = cols[:-1]
+        prev[0] = 0
+        first[1:] = rows[1:] != rows[:-1]
+        first[0] = True
+    run = np.where(first, cols - 1, cols - prev - 1)
+    nzrl = run >> 4
+    size = _bitlen(vals)
+    sym = ((run & 15) << 4) | size
+    mag = np.where(vals >= 0, vals, vals + (1 << size) - 1)
+    ac_val = (ac_c[sym].astype(np.int64) << size) | mag
+    ac_bits = ac_l[sym].astype(np.int64) + size
+    ac_key = key(rows.astype(np.int64), cols, 19)
+
+    # ZRL tokens (run >= 16): nzrl[i] copies before AC token i
+    zi = np.repeat(np.arange(len(rows)), nzrl)
+    sub = np.arange(len(zi)) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+    zrl_val = np.full(len(zi), int(ac_c[0xF0]), dtype=np.int64)
+    zrl_bits = np.full(len(zi), int(ac_l[0xF0]), dtype=np.int64)
+    zrl_key = key(rows[zi].astype(np.int64), cols[zi], sub)
+
+    # EOB for every block whose last nonzero zigzag position != 63
+    last = np.zeros(nb, dtype=np.int64)
+    np.maximum.at(last, rows, cols)
+    eb = np.nonzero(last != 63)[0]
+    eob_val = np.full(len(eb), int(ac_c[0x00]), dtype=np.int64)
+    eob_bits = np.full(len(eb), int(ac_l[0x00]), dtype=np.int64)
+    eob_key = key(eb.astype(np.int64), 64, 19)
+
+    return (
+        np.concatenate([dc_key, ac_key, zrl_key, eob_key]),
+        np.concatenate([dc_val, ac_val, zrl_val, eob_val]),
+        np.concatenate([dc_bits, ac_bits, zrl_bits, eob_bits]),
+    )
+
+
+def _pack_bits(vals: np.ndarray, bits: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-width bitfields + JPEG 0xFF
+    stuffing, fully vectorized: exclusive prefix-sum of widths gives each
+    token's bit offset; each token is shifted into a 64-bit window aligned
+    to its start byte and scattered with np.add.at (bit regions are
+    disjoint, so adds never carry)."""
+    offs = np.concatenate([[0], np.cumsum(bits)])
+    total = int(offs[-1])
+    pad = (-total) % 8
+    if pad:  # T.81 F.1.2.3: pad with 1-bits
+        vals = np.concatenate([vals, [(1 << pad) - 1]])
+        bits = np.concatenate([bits, [pad]])
+        offs = np.concatenate([offs, [total + pad]])
+        total += pad
+    byte_idx = (offs[:-1] >> 3).astype(np.int64)
+    bit_in = (offs[:-1] & 7).astype(np.int64)
+    shifted = vals.astype(np.uint64) << (64 - bit_in - bits).astype(np.uint64)
+    n_buf = total // 8 + 8
+    buf = np.zeros(n_buf, dtype=np.float64)
+    for j in range(8):
+        b = ((shifted >> np.uint64(56 - 8 * j)) & np.uint64(0xFF)).astype(np.float64)
+        # bincount over sorted indices is ~20x faster than np.ufunc.at;
+        # byte values are <=255 and bit-disjoint, exact in f64
+        buf += np.bincount(byte_idx + j, weights=b, minlength=n_buf)
+    out = buf[: total // 8].astype(np.uint8)
+    # byte stuffing: 0x00 after every 0xFF
+    ff = np.nonzero(out == 0xFF)[0]
+    if len(ff):
+        out = np.insert(out, ff + 1, 0)
+    return out.tobytes()
+
+
 def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
@@ -354,15 +477,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    writer = _JBitWriter()
-    preds = [0] * nc
-    nblocks = quantized[0].shape[0]
-    for b in range(nblocks):  # 4:4:4: MCU = one block per component
-        for ci in range(nc):
-            dc_codes = _ENC_DC_L if ci == 0 else _ENC_DC_C
-            ac_codes = _ENC_AC_L if ci == 0 else _ENC_AC_C
-            preds[ci] = _encode_block(writer, quantized[ci][b], preds[ci], dc_codes, ac_codes)
-    out += writer.flush()
+    # vectorized entropy coding: per-component token streams, stable-sorted
+    # into MCU interleave order (4:4:4: Y[b], Cb[b], Cr[b]), then one
+    # prefix-sum bit pack
+    keys, vals, bits = [], [], []
+    for ci in range(nc):
+        dc_c, dc_l = (_DCL_C, _DCL_L) if ci == 0 else (_DCC_C, _DCC_L)
+        ac_c, ac_l = (_ACL_C, _ACL_L) if ci == 0 else (_ACC_C, _ACC_L)
+        k, v, b = _component_tokens(quantized[ci], ci, nc, dc_c, dc_l, ac_c, ac_l)
+        keys.append(k)
+        vals.append(v)
+        bits.append(b)
+    order = np.argsort(np.concatenate(keys), kind="stable")
+    out += _pack_bits(np.concatenate(vals)[order], np.concatenate(bits)[order])
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

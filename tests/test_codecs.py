@@ -178,6 +178,50 @@ class TestRealJpeg:
         with pytest.raises(JpegError):
             decode_jpeg(bytes(data))
 
+    def test_vectorized_entropy_coder_matches_per_block_writer(self):
+        """The vectorized token-stream + prefix-sum bit packer must produce
+        the BYTE-IDENTICAL entropy segment the straightforward per-block
+        _JBitWriter/_encode_block path produces."""
+        from cloudtiff_spark import jpeg as J
+
+        rng = np.random.default_rng(5)
+        for h, w in [(8, 8), (64, 64), (96, 49)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            # recompute the quantized blocks exactly like encode_jpeg
+            qt_l = J._scaled_qt(J._QT_LUMA, 98)
+            qt_c = J._scaled_qt(J._QT_CHROMA, 98)
+            h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            ycc = J._rgb_to_ycbcr(img)
+            quantized = []
+            for ci in range(3):
+                p = np.pad(ycc[..., ci], ((0, h8 - h), (0, w8 - w)), mode="edge") - 128.0
+                blocks = J._to_blocks(p)
+                coefs = np.einsum("ij,bjk,kl->bil", J._C, blocks, J._C.T)
+                qt = (qt_l if ci == 0 else qt_c).reshape(8, 8).astype(np.float64)
+                q = np.round(coefs / qt).astype(np.int32)
+                quantized.append(q.reshape(-1, 64)[:, J._ZIGZAG])
+            # reference: per-block writer
+            wr = J._JBitWriter()
+            preds = [0, 0, 0]
+            for b in range(quantized[0].shape[0]):
+                for ci in range(3):
+                    dc = J._ENC_DC_L if ci == 0 else J._ENC_DC_C
+                    ac = J._ENC_AC_L if ci == 0 else J._ENC_AC_C
+                    preds[ci] = J._encode_block(wr, quantized[ci][b], preds[ci], dc, ac)
+            want = wr.flush()
+            # vectorized: same machinery encode_jpeg uses
+            keys, vals, bits = [], [], []
+            for ci in range(3):
+                dc_c, dc_l = (J._DCL_C, J._DCL_L) if ci == 0 else (J._DCC_C, J._DCC_L)
+                ac_c, ac_l = (J._ACL_C, J._ACL_L) if ci == 0 else (J._ACC_C, J._ACC_L)
+                k, v, nb = J._component_tokens(quantized[ci], ci, 3, dc_c, dc_l, ac_c, ac_l)
+                keys.append(k)
+                vals.append(v)
+                bits.append(nb)
+            order = np.argsort(np.concatenate(keys), kind="stable")
+            got = J._pack_bits(np.concatenate(vals)[order], np.concatenate(bits)[order])
+            assert got == want, (h, w)
+
     def test_quality_monotone(self):
         from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
 
