@@ -49,10 +49,25 @@ def main() -> None:
     # best-of is the right estimator for "what the hardware can do" under
     # external noise, and all sessions are disclosed in BENCH.md.
     sessions = int(os.environ.get("BENCH_SESSIONS", "3"))
+    # sessions accumulate in a sidecar so multiple invocations (each under
+    # an external timeout) compose into one report; delete the sidecar to
+    # start a fresh measurement campaign
+    sidecar = os.path.join(REPO, "tools", "bench_sessions.jsonl")
     all_n, all_4n = [], []
+    if os.path.exists(sidecar) and not os.environ.get("BENCH_FRESH"):
+        with open(sidecar) as f:
+            for line in f:
+                rec = json.loads(line)
+                (all_n if rec["arm"] == "N" else all_4n).append(rec["result"])
     for _ in range(sessions):
-        all_n.append(run(n, sf_dir))
-        all_4n.append(run(4 * n, sf_dir))
+        rn_ = run(n, sf_dir)
+        all_n.append(rn_)
+        r4_ = run(4 * n, sf_dir)
+        all_4n.append(r4_)
+        with open(sidecar, "a") as f:
+            f.write(json.dumps({"arm": "N", "result": rn_}) + "\n")
+            f.write(json.dumps({"arm": "4N", "result": r4_}) + "\n")
+    sessions = len(all_n)
     rn = max(all_n, key=lambda r: r["throughput_rows_per_sec"])
     r4n = max(all_4n, key=lambda r: r["throughput_rows_per_sec"])
     thr_n = rn["throughput_rows_per_sec"]
@@ -118,6 +133,10 @@ Measurement notes:
   emulate, so N=2 vs 4N=8 is the honest in-box pair.
 """
         )
+        notes = os.path.join(REPO, "tools", "bench_notes.md")
+        if os.path.exists(notes):  # persistent extra sections (noise study)
+            with open(notes) as nf:
+                f.write("\n" + nf.read())
     print("wrote BENCH.md")
 
 
