@@ -247,7 +247,12 @@ def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
 
 
 class _JBitWriter:
-    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+    """MSB-first bit writer with JPEG 0xFF byte stuffing.
+
+    Together with _encode_block this is the straightforward per-block
+    reference implementation of the entropy coder; encode_jpeg uses the
+    vectorized token-stream path (_component_tokens + _pack_bits), which a
+    test pins byte-identical to this one."""
 
     __slots__ = ("buf", "acc", "nbits")
 

@@ -23,7 +23,7 @@ def run(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("BENCH_ITERS", "5")
-    env.setdefault("BENCH_REPL", "64")  # see bench.py — keeps the parallel
+    env.setdefault("BENCH_REPL", "128")  # see bench.py — keeps the parallel
     # region dominant over fixed per-job cost at sandbox data sizes
     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
     env["BENCH_HEADLINE_ONLY"] = "1"
@@ -82,7 +82,7 @@ def main() -> None:
         "sf": rn["sf"],
         "N_cpus": n,
         "4N_cpus": 4 * n,
-        "repl": int(os.environ.get("BENCH_REPL", "64")),
+        "repl": int(os.environ.get("BENCH_REPL", "128")),
         "thr_N_rows_per_sec": thr_n,
         "thr_4N_rows_per_sec": thr_4n,
         "speedup": round(thr_4n / thr_n, 3),
