@@ -430,6 +430,76 @@ def _marker_current(marker: str) -> bool:
         return False
 
 
+#: media fixture (audio+video payloads for the multimodal operators):
+#: codecs are the two REAL raw formats (pcm16 mono, rawvideo rgb24) the
+#: engine decodes with pure numpy, plus a compressed codec marker that the
+#: operators must route to the typed stub path
+_MEDIA_COUNT = 60
+
+
+def ensure_media_dir(sf_name: str = "sf0.01") -> str:
+    """Materialize <fixture>/media.parquet: deterministic audio/video rows
+    (media_id, kind, codec, bytes, sr, n_samples, n_frames, h, w).
+    pcm16/rawvideo payloads are fully decodable raw bytes; every 5th row is
+    an 'opus'/'h264' marker with payload bytes that the decode operators
+    must quarantine through the typed-unsupported path (no codec lib exists
+    in-container — the STUB contract of the task brief)."""
+    out_dir = ensure_fixtures(sf_name)
+    path = os.path.join(out_dir, "media.parquet")
+    if os.path.exists(path):
+        return out_dir
+    rows = []
+    for i in range(_MEDIA_COUNT):
+        media_id = f"med_{i:05d}"
+        rng = _rng_for(f"media:{media_id}")
+        if i % 2 == 0:  # audio
+            sr = int(rng.choice([8000, 16000, 22050]))
+            n = int(rng.integers(sr // 4, sr))  # 0.25-1.0 s
+            # tone + noise, int16 PCM little-endian
+            t = np.arange(n) / sr
+            f0 = float(rng.uniform(100, 2000))
+            amp = float(rng.uniform(0.1, 0.9))
+            x = amp * np.sin(2 * np.pi * f0 * t) + rng.normal(0, 0.02, n)
+            pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+            codec = "pcm16" if i % 10 != 4 else "opus"
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "kind": "audio",
+                    "codec": codec,
+                    "bytes": pcm.tobytes(),
+                    "sr": sr,
+                    "n_samples": n,
+                    "n_frames": 0,
+                    "h": 0,
+                    "w": 0,
+                }
+            )
+        else:  # video
+            nf = int(rng.integers(4, 17))
+            h, w = int(rng.choice([24, 32, 48])), int(rng.choice([32, 48, 64]))
+            frames = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+            codec = "rawvideo" if i % 10 != 9 else "h264"
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "kind": "video",
+                    "codec": codec,
+                    "bytes": frames.tobytes(),
+                    "sr": 0,
+                    "n_samples": 0,
+                    "n_frames": nf,
+                    "h": h,
+                    "w": w,
+                }
+            )
+    tbl = pa.Table.from_pylist(rows)
+    tmp = os.path.join(out_dir, f".media.{os.getpid()}.tmp")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return out_dir
+
+
 def ensure_fixtures(sf_name: str) -> str:
     """Generate-if-missing; returns the fixture directory for a scale.
     A version-stamped _COMPLETE marker invalidates the whole cached dir

@@ -470,6 +470,56 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
             feat_path,
         )
 
+    media_exp = os.path.join(fixture_dir, "expected_media.parquet")
+    if not os.path.exists(media_exp):
+        # sequential recompute of audio_features + video_frame_features
+        # (operators/features.py) over the media fixture — straight-line
+        # Python mirroring the same math
+        from .fixtures import ensure_media_dir
+
+        ensure_media_dir(os.path.basename(fixture_dir))
+        med = pq.read_table(os.path.join(fixture_dir, "media.parquet"))
+        out_rows = []
+        for i in range(med.num_rows):
+            r = {c: med[c][i].as_py() for c in med.column_names}
+            if r["kind"] == "audio":
+                if r["codec"] != "pcm16":
+                    out_rows.append(
+                        {"media_id": r["media_id"], "kind": "audio",
+                         "status": "unsupported_codec", "f1": 0, "f2": 0, "f3": 0, "f4": 0}
+                    )
+                    continue
+                x = np.frombuffer(r["bytes"], dtype="<i2").astype(np.float64) / 32768.0
+                dur = len(x) / r["sr"]
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                dom = int(np.argmax([float(b.sum()) for b in np.array_split(spec, 8)]))
+                out_rows.append(
+                    {"media_id": r["media_id"], "kind": "audio", "status": "ok",
+                     "f1": round(dur * 1000), "f2": round(rms * 1000),
+                     "f3": round(zcr * 1000), "f4": dom}
+                )
+            else:
+                if r["codec"] != "rawvideo":
+                    out_rows.append(
+                        {"media_id": r["media_id"], "kind": "video",
+                         "status": "unsupported_codec", "f1": 0, "f2": 0, "f3": 0, "f4": 0}
+                    )
+                    continue
+                frames = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(
+                    r["n_frames"], r["h"], r["w"], 3
+                )
+                sampled = frames[::2].astype(np.float64)
+                luma = sampled @ np.array([0.299, 0.587, 0.114])
+                delta = float(np.abs(np.diff(luma, axis=0)).mean()) if sampled.shape[0] > 1 else 0.0
+                out_rows.append(
+                    {"media_id": r["media_id"], "kind": "video", "status": "ok",
+                     "f1": sampled.shape[0], "f2": round(float(luma.mean()) * 1000),
+                     "f3": round(delta * 1000), "f4": 0}
+                )
+        _write_atomic(pa.Table.from_pylist(out_rows), media_exp)
+
     quar_path = os.path.join(fixture_dir, "expected_quarantine.parquet")
     if not os.path.exists(quar_path):
         # mirror q_quarantine: 30% subset (ids ending 1/3/5), truncate the
