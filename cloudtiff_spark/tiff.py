@@ -159,6 +159,7 @@ def encode_cog(
     predictor: int = 1,
     big: bool = False,
     palette: np.ndarray | None = None,
+    resample: str = "nearest",
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
@@ -174,7 +175,13 @@ def encode_cog(
     ``big=True`` writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
     offsets) — required once tile data passes the 4 GiB classic-TIFF
     offset ceiling, which single-scene mosaics at the 10^12-image design
-    point do hit. The parser reads both transparently."""
+    point do hit. The parser reads both transparently.
+
+    ``resample``: overview resampling filter — 'nearest' (the reference
+    render default, ops.rs:70-88) or 'catmullrom' (the Encoder's
+    ResizeFilter::CatmulRod option via the image crate, encode/mod.rs
+    resize path); palette indices always resample nearest (interpolating
+    LUT indices is meaningless)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
@@ -201,11 +208,18 @@ def encode_cog(
     # per-level tile payloads (level i resampled from level i-1)
     levels: list[Level] = []
     level_tiles: list[list[bytes]] = []
+    from .operators.tiling import resample_catmullrom
+
+    if resample not in ("nearest", "catmullrom"):
+        raise ValueError(f"unknown resample filter {resample!r}")
+    resampler = (
+        resample_nearest if resample == "nearest" or palette is not None else resample_catmullrom
+    )
     cur = pixels
     for lv in range(n_lv):
         if lv > 0:
             lw, lh = level_dims(w, h, lv)
-            cur = resample_nearest(cur, lw, lh)
+            cur = resampler(cur, lw, lh)
         lh_, lw_ = cur.shape[:2]
         lev = Level(lw_, lh_, tile, tile, compression, None if lv == 0 else lv)
         cols, rows = lev.grid

@@ -39,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--snapshot-id", type=int, default=1)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--images",
+        default=None,
+        help="images parquet path (payload table); when given, each slice "
+        "also runs the row-grain decode-failure quarantine: corrupt rows "
+        "land under <output>/quarantine/part=<i> and the manifest gains a "
+        "quarantined counter (SURVEY §2.3)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
 
     meta = spark.read.parquet(args.meta)
     queries = spark.read.parquet(args.queries)
+    images = spark.read.parquet(args.images) if args.images else None
     man = checkpointed_pip_run(
         spark,
         meta,
@@ -67,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         args.run_id,
         n_partitions=args.partitions,
         snapshot_id=args.snapshot_id,
+        images=images,
     )
     mpd = man.read(spark)
     from pyspark.sql import functions as F
@@ -76,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         F.sum("rows_in").alias("rows_in"),
         F.sum("tiles_out").alias("tiles_out"),
         F.sum("joined_rows").alias("joined_rows"),
+        F.sum("quarantined").alias("quarantined"),
     ).first()
     print(
         json.dumps(
@@ -85,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_in": agg["rows_in"],
                 "tiles_out": agg["tiles_out"],
                 "joined_rows": agg["joined_rows"],
+                "quarantined": agg["quarantined"],
                 "output": args.output,
             }
         )

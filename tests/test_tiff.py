@@ -223,6 +223,35 @@ class TestPixelFormats:
         assert raised
 
 
+class TestWriterResample:
+    def test_catmullrom_overviews(self):
+        """encode_cog(resample='catmullrom') mirrors the reference
+        Encoder's ResizeFilter::CatmulRod option: level 0 stays bit-exact,
+        overviews differ from the nearest pyramid but decode cleanly."""
+        from cloudtiff_spark.operators.tiling import resample_catmullrom
+
+        rng = np.random.default_rng(83)
+        img = rng.integers(0, 256, (130, 170, 3), dtype=np.uint8)
+        near = tiff.encode_cog(img, 4326, 0.0, 0.0, 1e-4)
+        cat = tiff.encode_cog(img, 4326, 0.0, 0.0, 1e-4, resample="catmullrom")
+        i_n, i_c = tiff.cog_info(near), tiff.cog_info(cat)
+        t0n = tiff.decode_tile(near, i_n, 0, 0)
+        t0c = tiff.decode_tile(cat, i_c, 0, 0)
+        assert np.array_equal(t0n, t0c)  # base level identical
+        t1n = tiff.decode_tile(near, i_n, 1, 0)
+        t1c = tiff.decode_tile(cat, i_c, 1, 0)
+        assert not np.array_equal(t1n, t1c)  # overviews resampled differently
+        # the catmullrom overview matches a direct resample of the source
+        lw, lh = i_c["levels"][1]["width"], i_c["levels"][1]["height"]
+        want = resample_catmullrom(img, lw, lh)
+        assert np.array_equal(t1c[:lh, :lw][: min(64, lh), : min(64, lw)],
+                              want[: min(64, lh), : min(64, lw)])
+
+    def test_unknown_filter_rejected(self):
+        with pytest.raises(ValueError, match="unknown resample"):
+            tiff.encode_cog(np.zeros((16, 16, 3), np.uint8), 4326, 0, 0, 1.0, resample="lanczos")
+
+
 class TestPalette:
     """Photometric 3 (RGBPalette, photometrics.rs:26-27): ColorMap tag ->
     LUT gather — the one exotic format real GeoTIFF corpora contain."""
