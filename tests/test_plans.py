@@ -38,6 +38,20 @@ class TestPlanShape:
         assert "Exchange hashpartitioning" not in plans["ta"]
         assert "Generate explode" in plans["ta"]
 
+    def test_quarantine_anti_join_is_lean(self, spark, sf_small):
+        """The quarantine anti join must ship only (image_id[, fmt]) —
+        never the payload bytes — and stay hash-join shaped (no nested
+        loop / cartesian)."""
+        from cloudtiff_spark.operators.decode import quarantine
+
+        images = spark.read.parquet(os.path.join(sf_small, "images.parquet"))
+        plan = quarantine(images)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the joins above the decode stage must not carry the binary column
+        after_join = plan.split("Join")[0]  # topmost section above first join
+        assert "bytes" not in after_join
+
     def test_column_pruning_reaches_scan(self, spark, sf_small):
         # a 2-column projection must not read the wide schema
         meta = spark.read.parquet(os.path.join(sf_small, "images_meta.parquet"))
