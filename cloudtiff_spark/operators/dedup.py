@@ -382,6 +382,98 @@ def ivf_cosine_topk(
     )
 
 
+def embed_near_dup(
+    emb: DataFrame,
+    tau: float = 0.3,
+    n_planes: int = 2,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the corpus-dedup variant of
+    lsh_cosine_topk's probe search). Output: (id_a, id_b, cos) with a < b.
+
+    mode='exact' — the brute-force baseline (task brief): the normalized
+    matrix is collected once (bounded: rows x dim doubles) and broadcast in
+    the UDF closure; each Arrow batch does ONE matmul against it and emits
+    its >= tau pairs. Exact by construction; right up to the point the
+    matrix stops fitting an executor (~10^6 x 64 = 0.5 GB).
+
+    mode='lsh' — the corpus-scale path: random-hyperplane buckets generate
+    candidates (the posexplode and bucket self-join carry ONLY
+    (id, table, bucket); vectors re-attach by id), exact-cosine verify
+    keeps pairs >= tau. A true pair is missed only if its vectors collide
+    in NO table — recall 1 - (1 - p^planes)^tables; the fixture pytest
+    asserts lsh == exact for the defaults."""
+    if mode == "exact":
+        return _embed_near_dup_exact(emb, tau, id_col, vec_col)
+    rng = np.random.default_rng(seed)
+    dim = len(emb.select(vec_col).first()[0])
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    @pandas_udf("array<long>")
+    def signatures(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (np.einsum("tpd,bd->btp", planes, m) > 0).astype(np.int64)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        packed = (bits * weights).sum(axis=2)
+        return pd.Series([list(row) for row in packed])
+
+    sig = emb.select(
+        F.col(id_col).alias("id"), signatures(F.col(vec_col)).alias("sig")
+    ).select("id", F.posexplode("sig").alias("table", "bucket"))
+    a = sig.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cand = cand.join(
+        vecs.withColumnsRenamed({"id": "id_a", "vec": "vec_a"}), "id_a"
+    ).join(vecs.withColumnsRenamed({"id": "id_b", "vec": "vec_b"}), "id_b")
+
+    @pandas_udf("double")
+    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        mx = np.stack(x.to_numpy()).astype(np.float64)
+        my = np.stack(y.to_numpy()).astype(np.float64)
+        num = (mx * my).sum(axis=1)
+        den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
+        return pd.Series(num / den)
+
+    return (
+        cand.withColumn("cos", cos(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _embed_near_dup_exact(emb: DataFrame, tau: float, id_col: str, vec_col: str) -> DataFrame:
+    rows = emb.select(id_col, vec_col).collect()  # bounded table (see docstring)
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Mn.T  # (batch, n) — one matmul per Arrow batch
+            bi, ci = np.nonzero((S >= tau) & (ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": ids[bi], "id_b": all_ids[ci], "cos": S[bi, ci]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a long, id_b long, cos double"
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     probe_ids: list[int],

@@ -470,6 +470,74 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
             feat_path,
         )
 
+    nd_path = os.path.join(fixture_dir, "expected_near_dup.parquet")
+    if not os.path.exists(nd_path):
+        # exact all-pairs cosine over the embeddings table (independent
+        # matmul path vs the operator's per-pair elementwise sums; both
+        # f64, so micro-int rounding is stable)
+        embp = os.path.join(sf_dir, "embeddings.parquet")
+        et = pq.read_table(embp)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in et["embedding"].to_pylist()])
+        ids = np.asarray(et["vec_id"].to_pylist(), dtype=np.int64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        ia, ib = np.triu_indices(len(X), 1)
+        keep = S[ia, ib] >= 0.3
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])  # id order, not row order
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        _write_atomic(
+            pa.table(
+                {
+                    "id_a": pa.array(lo, pa.int64()),
+                    "id_b": pa.array(hi, pa.int64()),
+                    "cos_micro": pa.array(
+                        np.floor(S[ia[keep], ib[keep]] * 1e6 + 0.5).astype(np.int64)
+                    ),
+                }
+            ),
+            nd_path,
+        )
+
+    th_path = os.path.join(fixture_dir, "expected_thumbs.parquet")
+    if not os.path.exists(th_path):
+        # thumbnails: local re-decode + nearest resize + from-spec xxh64
+        # over the raw thumb bytes (pins Spark's xxhash64-on-binary)
+        from .codecs import decode_image
+        from .operators.tiling import resample_nearest
+
+        imgs = pq.read_table(os.path.join(fixture_dir, "images.parquet"))
+        t_ids, t_w, t_h, t_hash = [], [], [], []
+        for i in range(imgs.num_rows):
+            image_id = imgs["image_id"][i].as_py()
+            if not image_id.endswith("0"):  # _image_subset predicate
+                continue
+            arr = decode_image(
+                imgs["bytes"][i].as_py(),
+                imgs["fmt"][i].as_py(),
+                imgs["w"][i].as_py(),
+                imgs["h"][i].as_py(),
+            )
+            h, w = arr.shape[:2]
+            s = max(w, h) / 32
+            tw, th = max(1, int(w / s)), max(1, int(h / s))
+            data = resample_nearest(arr, tw, th).tobytes()
+            t_ids.append(image_id)
+            t_w.append(tw)
+            t_h.append(th)
+            v = xxh64(data)  # -> signed long, as Spark returns it
+            t_hash.append(v - (1 << 64) if v >= (1 << 63) else v)
+        _write_atomic(
+            pa.table(
+                {
+                    "image_id": pa.array(t_ids, pa.string()),
+                    "thumb_w": pa.array(t_w, pa.int64()),
+                    "thumb_h": pa.array(t_h, pa.int64()),
+                    "thumb_hash": pa.array(t_hash, pa.int64()),
+                }
+            ),
+            th_path,
+        )
+
     media_exp = os.path.join(fixture_dir, "expected_media.parquet")
     if not os.path.exists(media_exp):
         # sequential recompute of audio_features + video_frame_features

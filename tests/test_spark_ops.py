@@ -353,6 +353,33 @@ class TestQuarantine:
         assert set(mpd[mpd.status == "done"].partition_id) == {0, 1, 2, 3}
 
 
+class TestEmbedNearDup:
+    def test_lsh_equals_exact_on_fixture(self, spark):
+        """The LSH scale path must find every exact pair on the frozen
+        sf0.001-scale table (recall 1.0 for the default params) — the
+        property that makes the exact recompute a valid oracle."""
+        from cloudtiff_spark.operators.dedup import embed_near_dup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = {
+            (r.id_a, r.id_b): round(r.cos, 9)
+            for r in embed_near_dup(emb, tau=0.3, mode="exact").collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): round(r.cos, 9)
+            for r in embed_near_dup(emb, tau=0.3, n_planes=2, n_tables=32).collect()
+        }
+        assert lsh == exact and len(exact) > 0
+
+    def test_pairs_are_ordered_and_thresholded(self, spark):
+        from cloudtiff_spark.operators.dedup import embed_near_dup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = embed_near_dup(emb, tau=0.5, mode="exact").collect()
+        for r in rows:
+            assert r.id_a < r.id_b and r.cos >= 0.5
+
+
 class TestMediaOperators:
     """Multimodal audio/video plumbing (task brief): real raw decode,
     typed stub path for compressed codecs, Arrow-batched throughout."""
