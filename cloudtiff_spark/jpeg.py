@@ -153,33 +153,32 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+_LUT_CACHE: dict[tuple, list[int]] = {}
 
 
-def _build_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+def _build_lut(bits: list[int], vals: list[int]) -> list[int]:
     """16-bit-peek decode LUT: value v (the next 16 bits of the stream)
-    -> (symbol, code length). Lists, not numpy — list indexing is the fast
-    path for the per-symbol Python loop. Memoized per (bits, vals): the
-    64x64-tile decode path would otherwise pay the 2^16 table build on
+    -> packed (symbol << 5) | code_length (length needs 5 bits; 0 = invalid
+    code). ONE list index per symbol in the hot loop — lists, not numpy
+    (numpy scalar boxing is ~3x slower here). Memoized per (bits, vals):
+    the 64x64-tile decode path would otherwise pay the 2^16 table build on
     every call (our encoder always emits the Annex K tables)."""
     key = (tuple(bits), tuple(vals))
     cached = _LUT_CACHE.get(key)
     if cached is not None:
         return cached
-    sym = np.zeros(1 << 16, dtype=np.int32) - 1
-    ln = np.zeros(1 << 16, dtype=np.int32)
+    packed = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             lo = code << (16 - length)
             hi = lo + (1 << (16 - length))
-            sym[lo:hi] = vals[k]
-            ln[lo:hi] = length
+            packed[lo:hi] = (vals[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    out = (sym.tolist(), ln.tolist())
+    out = packed.tolist()
     if len(_LUT_CACHE) < 64:  # bounded: external files with custom tables
         _LUT_CACHE[key] = out
     return out
@@ -634,11 +633,19 @@ def _decode_scan(
     # 64x64-tile decode path. Zero padding past EOS supplies the peek
     # window for the final EOB codes (T.81 pads with 1-bits; only the
     # consumed length matters, and nothing is consumed past the last block).
-    data = scan + b"\x00\x00\x00\x00"
+    # 16 zero bytes cover the 26-bit peek window draining past EOS while
+    # the final EOB run decodes (a valid stream needs < 6 of them; corrupt
+    # streams exhaust the padding and surface as an IndexError -> caught
+    # by the quarantine classifier)
+    data = scan + b"\x00" * 16
     acc = 0
     nbits = 0
     pos = 0
     blocks_per_mcu = [(si, c["h"] * c["v"]) for si, (c, _t, _a) in enumerate(scomp)]
+    # the peek window is 26 bits (max code 16 + max magnitude 10 for AC;
+    # DC magnitude can reach 11 but its codes are <= 9 bits, so 26 covers
+    # both): code AND magnitude extract from ONE peek, one mask, no
+    # second refill on the common path
     mcu_count = 0
     for _mcu in range(mcux * mcuy):
         if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -646,48 +653,43 @@ def _decode_scan(
             nbits = 0
             preds = [0] * len(scomp)
         for si, nb in blocks_per_mcu:
-            (dsym, dlen), (asym, alen) = luts[si]
+            dlut, alut = luts[si]
             pred = preds[si]
             for _b in range(nb):
                 blk = [0] * 64
-                while nbits < 16:
+                while nbits < 26:
                     acc = (acc << 8) | data[pos]
                     pos += 1
                     nbits += 8
-                v16 = (acc >> (nbits - 16)) & 0xFFFF
-                s = dsym[v16]
-                ln = dlen[v16]
+                e = dlut[(acc >> (nbits - 16)) & 0xFFFF]
+                ln = e & 31
                 if ln == 0:
                     raise JpegError("bad DC Huffman code")
+                s = e >> 5
+                if s:
+                    v = (acc >> (nbits - ln - s)) & ((1 << s) - 1)
+                    ln += s
+                    pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 nbits -= ln
                 acc &= (1 << nbits) - 1
-                if s:
-                    while nbits < s:
-                        acc = (acc << 8) | data[pos]
-                        pos += 1
-                        nbits += 8
-                    nbits -= s
-                    v = (acc >> nbits) & ((1 << s) - 1)
-                    acc &= (1 << nbits) - 1
-                    pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 blk[0] = pred
                 k = 1
                 while k < 64:
-                    while nbits < 16:
+                    while nbits < 26:
                         acc = (acc << 8) | data[pos]
                         pos += 1
                         nbits += 8
-                    v16 = (acc >> (nbits - 16)) & 0xFFFF
-                    rs = asym[v16]
-                    ln = alen[v16]
+                    e = alut[(acc >> (nbits - 16)) & 0xFFFF]
+                    ln = e & 31
                     if ln == 0:
                         raise JpegError("bad AC Huffman code")
-                    nbits -= ln
-                    acc &= (1 << nbits) - 1
-                    if rs == 0:  # EOB
-                        break
+                    rs = e >> 5
                     size = rs & 0xF
                     if size == 0:
+                        nbits -= ln
+                        acc &= (1 << nbits) - 1
+                        if rs == 0:  # EOB
+                            break
                         if rs != 0xF0:
                             raise JpegError(f"bad AC symbol {rs:#x}")
                         k += 16  # ZRL
@@ -695,12 +697,8 @@ def _decode_scan(
                     k += rs >> 4
                     if k > 63:
                         raise JpegError("AC run past block end")
-                    while nbits < size:
-                        acc = (acc << 8) | data[pos]
-                        pos += 1
-                        nbits += 8
-                    nbits -= size
-                    v = (acc >> nbits) & ((1 << size) - 1)
+                    v = (acc >> (nbits - ln - size)) & ((1 << size) - 1)
+                    nbits -= ln + size
                     acc &= (1 << nbits) - 1
                     blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                     k += 1
