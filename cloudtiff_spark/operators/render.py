@@ -51,13 +51,15 @@ RENDER_SCHEMA = StructType(
 def _mosaic_bbox(
     pdf: pd.DataFrame, tw: int, th: int, cols: int, lw: int, lh: int
 ) -> tuple[np.ndarray, int, int]:
-    """Decode the group's tiles into a canvas sized to their bounding box.
+    """Mosaic the group's tiles into a canvas sized to their bounding box.
 
-    Returns (canvas, y_off, x_off) where offsets are the level-pixel coords
-    of the canvas origin. Missing tiles inside the box stay zero — the same
-    value a full-level sparse canvas would have yielded, so renders are
-    byte-identical to the old full-level allocation while peak memory is
-    O(covered tiles) instead of O(level pixels).
+    Tiles arrive either pre-decoded (a ``raw`` column of interleaved RGB —
+    the decode-once path) or compressed (``tile_bytes`` + ``fmt``, decoded
+    here). Returns (canvas, y_off, x_off) where offsets are the level-pixel
+    coords of the canvas origin. Missing tiles inside the box stay zero —
+    the same value a full-level sparse canvas would have yielded, so
+    renders are byte-identical to the old full-level allocation while peak
+    memory is O(covered tiles) instead of O(level pixels).
     """
     idx = pdf["tile_idx"].to_numpy().astype(np.int64)
     rs, cs = idx // cols, idx % cols
@@ -65,10 +67,14 @@ def _mosaic_bbox(
     c_min, c_max = int(cs.min()), int(cs.max())
     y_off, x_off = r_min * th, c_min * tw
     canvas = np.zeros(((r_max - r_min + 1) * th, (c_max - c_min + 1) * tw, 3), dtype=np.uint8)
-    tb = pdf["tile_bytes"].to_numpy()
-    fmts = pdf["fmt"].to_numpy()
+    pre = "raw" in pdf.columns
+    tb = pdf["raw" if pre else "tile_bytes"].to_numpy()
+    fmts = None if pre else pdf["fmt"].to_numpy()
     for pos in range(len(idx)):
-        tile = decode_image(tb[pos], fmts[pos], tw, th)
+        if pre:
+            tile = np.frombuffer(tb[pos], dtype=np.uint8).reshape(th, tw, 3)
+        else:
+            tile = decode_image(tb[pos], fmts[pos], tw, th)
         y0 = int(rs[pos]) * th - y_off
         x0 = int(cs[pos]) * tw - x_off
         # clip the last row/col of tiles to the level edge (zero-pad beyond)
@@ -78,13 +84,49 @@ def _mosaic_bbox(
     return canvas, y_off, x_off
 
 
-def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> DataFrame:
+def decode_tiles_once(tiles: DataFrame) -> DataFrame:
+    """Decode tiles to raw interleaved RGB exactly once per tile
+    (image_id, level, tile_idx, raw). The render paths whose groups OVERLAP
+    on tiles (region_render: many queries x one image) join against this
+    instead of re-decoding per group — trading ~2x shuffle bytes (raw vs
+    compressed) for one decode total, the right trade whenever the average
+    tile is consumed by >1 group."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, lvs, idxs, raws = [], [], [], []
+            cols = (
+                pdf[c].to_numpy()
+                for c in ("image_id", "level", "tile_idx", "tile_w", "tile_h", "fmt", "tile_bytes")
+            )
+            for image_id, lv, ti, tw, th, fmt, data in zip(*cols):
+                ids.append(image_id)
+                lvs.append(lv)
+                idxs.append(ti)
+                raws.append(decode_image(data, fmt, int(tw), int(th)).tobytes())
+            yield pd.DataFrame(
+                {"image_id": ids, "level": lvs, "tile_idx": idxs, "raw": raws}
+            )
+
+    return tiles.mapInPandas(gen, schema="image_id string, level int, tile_idx int, raw binary")
+
+
+def region_render(
+    levels: DataFrame, tiles: DataFrame, queries: DataFrame, decode_once: bool = False
+) -> DataFrame:
     """Render every 'region' query against every intersecting image.
 
     Pipeline: region_extract (LOD pick + tile-range pruning) -> inner join
     to the materialized tiles table on (image_id, level, tile_idx) [J1] ->
     groupBy(query, image).applyInPandas(assemble + nearest gather).
-    """
+
+    ``decode_once=True`` routes tiles through decode_tiles_once: each
+    distinct tile decodes exactly once and groups receive raw rasters.
+    Worth it when per-tile decode cost x duplication factor exceeds the
+    extra shuffle (raw is ~2x compressed bytes) + the cached key-set pass —
+    measured NOT worth it on the fixture (tiny tiles, decode ~1s total,
+    dup 5x), so compressed-bytes-per-group stays the default; flip it when
+    tiles are large or query fan-in is high."""
     wanted = region_extract(levels, queries)  # query_id, image_id, level, tile_idx
     # re-attach the per-(query,image) render parameters
     q = queries.filter(F.col("kind") == "region").select(
@@ -95,14 +137,20 @@ def region_render(levels: DataFrame, tiles: DataFrame, queries: DataFrame) -> Da
         "xmin", "ymin", "xmax", "ymax", "epsg", "origin_x", "origin_y", "scale_px",
         "w", "h",
     )
+    keys = ["image_id", "level", "tile_idx"]
+    if decode_once:
+        # `wanted` is a small pruned key set consumed by BOTH the
+        # needed-tiles branch and the final join — cache it so
+        # region_extract's LOD/window plan runs once
+        wanted = wanted.cache()
+        needed = wanted.select(*keys).distinct()
+        tile_side = decode_tiles_once(tiles.join(needed, keys, "left_semi"))
+    else:
+        tile_side = tiles.select(*keys, "fmt", "tile_bytes")
     joined = (
         wanted.join(F.broadcast(q), "query_id")
         .join(lv, ["image_id", "level"])
-        .join(
-            tiles.select("image_id", "level", "tile_idx", "fmt", "tile_bytes"),
-            ["image_id", "level", "tile_idx"],
-            "inner",
-        )
+        .join(tile_side, keys, "inner")
     )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:

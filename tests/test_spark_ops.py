@@ -353,6 +353,26 @@ class TestQuarantine:
         assert set(mpd[mpd.status == "done"].partition_id) == {0, 1, 2, 3}
 
 
+class TestDecodeOnceRender:
+    def test_decode_once_is_byte_identical(self, spark, tables):
+        """region_render(decode_once=True) — the decode-dedup scale path —
+        must produce byte-identical rasters to the default plan."""
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images, meta, queries = tables
+        tiles = build_tiles(images)
+        lv = levels_df(meta)
+        key = lambda r: (r.query_id, r.image_id)
+        a = {key(r): bytes(r.raster) for r in region_render(lv, tiles, queries).collect()}
+        b = {
+            key(r): bytes(r.raster)
+            for r in region_render(lv, tiles, queries, decode_once=True).collect()
+        }
+        assert a == b and len(a) > 0
+
+
 class TestEmbedNearDup:
     def test_lsh_equals_exact_on_fixture(self, spark):
         """The LSH scale path must find every exact pair on the frozen
