@@ -100,7 +100,9 @@ def main() -> None:
         )
         passes.append(time.time() - t0)
     best = min(passes)
-    median = sorted(passes)[len(passes) // 2]
+    sp = sorted(passes)
+    mid = len(sp) // 2
+    median = sp[mid] if len(sp) % 2 else (sp[mid - 1] + sp[mid]) / 2
     throughput = (tiles_n + joined_n) / best
 
     # ---- per-query timings ----

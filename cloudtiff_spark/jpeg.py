@@ -592,6 +592,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # non-interleaved multi-scan baseline (one SOS per
+                # component): spec-legal but unimplemented — reject typed
+                # instead of decoding only the first scan silently wrong
+                raise JpegError(
+                    f"non-interleaved multi-scan unsupported ({ns} of "
+                    f"{len(frame['comps'])} components in SOS)"
+                )
             scomp = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
@@ -633,7 +641,7 @@ def _decode_scan(
     # 64x64-tile decode path. Zero padding past EOS supplies the peek
     # window for the final EOB codes (T.81 pads with 1-bits; only the
     # consumed length matters, and nothing is consumed past the last block).
-    # 16 zero bytes cover the 26-bit peek window draining past EOS while
+    # 16 zero bytes cover the 27-bit peek window draining past EOS while
     # the final EOB run decodes (a valid stream needs < 6 of them; corrupt
     # streams exhaust the padding and surface as an IndexError -> caught
     # by the quarantine classifier)
@@ -642,22 +650,26 @@ def _decode_scan(
     nbits = 0
     pos = 0
     blocks_per_mcu = [(si, c["h"] * c["v"]) for si, (c, _t, _a) in enumerate(scomp)]
-    # the peek window is 26 bits (max code 16 + max magnitude 10 for AC;
-    # DC magnitude can reach 11 but its codes are <= 9 bits, so 26 covers
-    # both): code AND magnitude extract from ONE peek, one mask, no
-    # second refill on the common path
+    # the peek window is 27 bits (max code 16 + max DC magnitude 11 —
+    # legal for third-party tables even though Annex K DC codes are
+    # <= 9 bits): code AND magnitude extract from ONE peek, one mask,
+    # no second refill on the common path
     mcu_count = 0
     for _mcu in range(mcux * mcuy):
         if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-            acc = 0  # discard pad bits: RST segments are byte-aligned
-            nbits = 0
+            # RST segments are byte-aligned: drop ONLY the pad bits of the
+            # partial byte. Zeroing acc/nbits would throw away whole bytes
+            # of the NEXT segment already prefetched by the 27-bit window.
+            drop = nbits % 8
+            nbits -= drop
+            acc &= (1 << nbits) - 1
             preds = [0] * len(scomp)
         for si, nb in blocks_per_mcu:
             dlut, alut = luts[si]
             pred = preds[si]
             for _b in range(nb):
                 blk = [0] * 64
-                while nbits < 26:
+                while nbits < 27:
                     acc = (acc << 8) | data[pos]
                     pos += 1
                     nbits += 8
@@ -675,7 +687,7 @@ def _decode_scan(
                 blk[0] = pred
                 k = 1
                 while k < 64:
-                    while nbits < 26:
+                    while nbits < 27:
                         acc = (acc << 8) | data[pos]
                         pos += 1
                         nbits += 8

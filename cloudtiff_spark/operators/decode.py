@@ -104,16 +104,20 @@ def decode_status(images: DataFrame) -> DataFrame:
 
 
 def quarantine(images: DataFrame) -> DataFrame:
-    """Decode-failure quarantine: ``needed ⋉̸ decoded`` (left anti join of
-    the input keys against the successfully-decoded keys), enriched with
-    the failure classification. This is the engine's replacement for the
+    """Decode-failure quarantine — the engine's replacement for the
     reference's silent drop (tiles.rs:33-56): corrupt rows land in a
     queryable table instead of vanishing or killing the task.
 
+    Semantically this is SURVEY §2.3's anti join ``needed ⋉̸ decoded``:
+    decode_status is TOTAL (exactly one status row per input row), so the
+    complement of the decoded-ok keys is precisely the not-ok rows, and
+    the filter + key join below computes the identical relation with ONE
+    decode pass (an explicit anti join would embed the decode subtree
+    twice — measured 2x the dominant cost).
+
     Returns (image_id, fmt, err_kind)."""
     st = decode_status(images)
-    ok_ids = st.filter(F.col("ok")).select("image_id")
-    quar = images.select("image_id", "fmt").join(ok_ids, "image_id", "left_anti")
-    return quar.join(st.select("image_id", "err_kind"), "image_id", "left").select(
+    bad = st.filter(~F.col("ok")).select("image_id", "err_kind")
+    return bad.join(images.select("image_id", "fmt"), "image_id", "inner").select(
         "image_id", "fmt", "err_kind"
     )

@@ -124,9 +124,11 @@ def audio_features(media: DataFrame) -> DataFrame:
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
                 peak = float(np.abs(x).max()) if len(x) else 0.0
-                spec = np.abs(np.fft.rfft(x)) ** 2
-                bands = np.array_split(spec, 8)
-                dom = int(np.argmax([float(b.sum()) for b in bands]))
+                if len(x):  # rfft raises on empty input
+                    spec = np.abs(np.fft.rfft(x)) ** 2
+                    dom = int(np.argmax([float(b.sum()) for b in np.array_split(spec, 8)]))
+                else:
+                    dom = 0
                 rows.append(
                     (
                         media_id,

@@ -139,10 +139,11 @@ def region_render(
     )
     keys = ["image_id", "level", "tile_idx"]
     if decode_once:
-        # `wanted` is a small pruned key set consumed by BOTH the
-        # needed-tiles branch and the final join — cache it so
-        # region_extract's LOD/window plan runs once
-        wanted = wanted.cache()
+        # `wanted` (a small pruned key set) is consumed by BOTH the
+        # needed-tiles branch and the final join; recomputing it is the
+        # price of NOT caching inside an operator (a .cache() here would
+        # leak persisted partitions for the session lifetime — callers who
+        # loop should persist/unpersist `wanted`-shaped inputs themselves)
         needed = wanted.select(*keys).distinct()
         tile_side = decode_tiles_once(tiles.join(needed, keys, "left_semi"))
     else:

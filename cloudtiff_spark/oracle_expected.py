@@ -559,10 +559,15 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
                     continue
                 x = np.frombuffer(r["bytes"], dtype="<i2").astype(np.float64) / 32768.0
                 dur = len(x) / r["sr"]
-                rms = float(np.sqrt(np.mean(x * x)))
-                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                spec = np.abs(np.fft.rfft(x)) ** 2
-                dom = int(np.argmax([float(b.sum()) for b in np.array_split(spec, 8)]))
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                )
+                if len(x):
+                    spec = np.abs(np.fft.rfft(x)) ** 2
+                    dom = int(np.argmax([float(b.sum()) for b in np.array_split(spec, 8)]))
+                else:
+                    dom = 0
                 out_rows.append(
                     {"media_id": r["media_id"], "kind": "audio", "status": "ok",
                      "f1": round(dur * 1000), "f2": round(rms * 1000),

@@ -222,6 +222,66 @@ class TestRealJpeg:
             got = J._pack_bits(np.concatenate(vals)[order], np.concatenate(bits)[order])
             assert got == want, (h, w)
 
+    def test_restart_interval_stream_decodes_exactly(self):
+        """DRI/RSTn: hand-build a gray JPEG with DRI=1 (a restart marker
+        between every MCU). The reader must drop ONLY the byte-alignment
+        pad bits at each restart — zeroing the prefetched window corrupts
+        every MCU after the first (the r3 review's confirmed repro)."""
+        import struct as _s
+
+        from cloudtiff_spark import jpeg as J
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (8, 32)).astype(np.float64)  # 4 MCUs
+        qt = np.ones(64, dtype=np.int32)
+        blocks = J._to_blocks(img - 128.0)
+        coefs = np.einsum("ij,bjk,kl->bil", J._C, blocks, J._C.T)
+        q = np.round(coefs).astype(np.int32).reshape(-1, 64)[:, J._ZIGZAG]
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + bytes(qt[J._ZIGZAG].tolist())
+        sof = _s.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xc0" + _s.pack(">H", len(sof) + 2) + sof
+        out += J._dht_segment(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+        out += J._dht_segment(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+        out += b"\xff\xdd" + _s.pack(">HH", 4, 1)  # DRI = 1 MCU
+        sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + _s.pack(">H", len(sos) + 2) + sos
+        # each restart segment: own writer (byte-aligned flush), DC pred 0
+        segs = []
+        for b in range(q.shape[0]):
+            w = J._JBitWriter()
+            J._encode_block(w, q[b], 0, J._ENC_DC_L, J._ENC_AC_L)
+            segs.append(w.flush())
+        for i, s in enumerate(segs):
+            out += s
+            if i + 1 < len(segs):
+                out += bytes([0xFF, 0xD0 + (i % 8)])
+        out += b"\xff\xd9"
+        dec = J.decode_jpeg(bytes(out))
+        # quant table is all-ones => near-lossless: EVERY MCU must match
+        err = np.abs(dec[:, :, 0].astype(float) - img)
+        assert err.max() <= 1.0, err.max()
+
+    def test_multi_scan_rejected_typed(self):
+        from cloudtiff_spark.jpeg import JpegError, decode_jpeg
+
+        import pytest
+        import struct as _s
+        from cloudtiff_spark import jpeg as J
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + bytes(range(1, 65))
+        sof = _s.pack(">BHHB", 8, 8, 8, 3)
+        sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        out += b"\xff\xc0" + _s.pack(">H", len(sof) + 2) + sof
+        out += J._dht_segment(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+        out += J._dht_segment(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+        sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"  # only Y of 3 comps
+        out += b"\xff\xda" + _s.pack(">H", len(sos) + 2) + sos
+        with pytest.raises(JpegError, match="multi-scan"):
+            decode_jpeg(bytes(out))
+
     def test_quality_monotone(self):
         from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
 

@@ -53,11 +53,22 @@ def main() -> None:
     # an external timeout) compose into one report; delete the sidecar to
     # start a fresh measurement campaign
     sidecar = os.path.join(REPO, "tools", "bench_sessions.jsonl")
+    # records are stamped with their config; loading FILTERS to the current
+    # config so sessions measured under a different repl/sf/N never mix
+    # into one best-per-arm report
+    cfg = {
+        "n": n,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "repl": int(os.environ.get("BENCH_REPL", "128")),
+        "iters": int(os.environ.get("BENCH_ITERS", "5")),
+    }
     all_n, all_4n = [], []
     if os.path.exists(sidecar) and not os.environ.get("BENCH_FRESH"):
         with open(sidecar) as f:
             for line in f:
                 rec = json.loads(line)
+                if rec.get("cfg") != cfg:
+                    continue
                 (all_n if rec["arm"] == "N" else all_4n).append(rec["result"])
     for _ in range(sessions):
         rn_ = run(n, sf_dir)
@@ -65,8 +76,8 @@ def main() -> None:
         r4_ = run(4 * n, sf_dir)
         all_4n.append(r4_)
         with open(sidecar, "a") as f:
-            f.write(json.dumps({"arm": "N", "result": rn_}) + "\n")
-            f.write(json.dumps({"arm": "4N", "result": r4_}) + "\n")
+            f.write(json.dumps({"arm": "N", "cfg": cfg, "result": rn_}) + "\n")
+            f.write(json.dumps({"arm": "4N", "cfg": cfg, "result": r4_}) + "\n")
     sessions = len(all_n)
     rn = max(all_n, key=lambda r: r["throughput_rows_per_sec"])
     r4n = max(all_4n, key=lambda r: r["throughput_rows_per_sec"])
