@@ -143,3 +143,30 @@ class TestResample:
         mx = resample_maximum(a, dw, dh).astype(int)
         nr = resample_nearest(a, dw, dh).astype(int)
         assert (mx >= nr).all()
+
+
+class TestJpegProperties:
+    """Shape/determinism invariants of the from-spec JFIF codec over
+    arbitrary dims and content (the PSNR gate lives in test_codecs; these
+    pin that NO shape crashes or distorts geometry)."""
+
+    @given(h=st.integers(1, 50), w=st.integers(1, 50), seed=st.integers(0, 10_000))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_shape_and_determinism(self, h, w, seed):
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        enc = encode_jpeg(img, 90)
+        assert enc == encode_jpeg(img, 90)  # bit-deterministic
+        out = decode_jpeg(enc)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+    @given(h=st.integers(1, 40), w=st.integers(1, 40))
+    @settings(max_examples=20, deadline=None)
+    def test_constant_image_is_near_exact(self, h, w):
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((h, w, 3), 137, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert np.abs(out.astype(int) - 137).max() <= 2
