@@ -88,6 +88,18 @@ def photometric_name(code: int) -> str:
     return PHOTOMETRIC_NAMES.get(code, f"Unknown({code})")
 
 
+class RangeFetchTimeout(CloudTiffError):
+    """A ranged HTTP/S3 GET exceeded its deadline. Without a socket
+    timeout a stalled endpoint would hang the executor task indefinitely;
+    the reference's SDK client carries request timeouts (io/s3.rs,
+    io/http.rs via reqwest defaults), so the graft does too."""
+
+    def __init__(self, url: str, seconds: float) -> None:
+        super().__init__(f"range fetch timed out after {seconds:g}s: {url}")
+        self.url = url
+        self.seconds = seconds
+
+
 class UnsupportedPhotometric(CloudTiffError):
     """Photometric interpretation the RGB8 conversion cannot express
     (everything outside WhiteIsZero/BlackIsZero/RGB/RGBPalette) — the

@@ -678,6 +678,11 @@ def _decode_scan(
                 if ln == 0:
                     raise JpegError("bad DC Huffman code")
                 s = e >> 5
+                if s > 11:
+                    # T.81 F.1.2.1.1: DC magnitude category SSSS <= 11 for
+                    # 8-bit precision; a third-party table encoding more
+                    # would also overrun the 27-bit (16+11) peek window
+                    raise JpegError(f"bad DC magnitude category {s}")
                 if s:
                     v = (acc >> (nbits - ln - s)) & ((1 << s) - 1)
                     ln += s
@@ -706,6 +711,12 @@ def _decode_scan(
                             raise JpegError(f"bad AC symbol {rs:#x}")
                         k += 16  # ZRL
                         continue
+                    if size > 10:
+                        # T.81 F.1.2.2.1: AC SSSS <= 10 for 8-bit
+                        # precision; 11-15 from a third-party table would
+                        # push ln+size past the 27-bit peek window and
+                        # make the magnitude shift below go negative
+                        raise JpegError(f"bad AC magnitude category {size}")
                     k += rs >> 4
                     if k > 63:
                         raise JpegError("AC run past block end")

@@ -382,15 +382,26 @@ def ivf_cosine_topk(
     )
 
 
+def auto_planes(n: int, target_bucket_rows: int = 1024) -> int:
+    """Hyperplane count so a balanced table has ~n/2^planes =
+    target_bucket_rows rows per bucket: the bucket self-join's candidate
+    quadratic stays bounded as the corpus grows (2 planes = 4 buckets/table
+    degenerates toward all-pairs on any real corpus). Floor of 2 keeps
+    recall high on tiny tables; recall = 1-(1-p^planes)^tables with
+    p = 1 - arccos(tau)/pi governs the tables knob."""
+    return max(2, int(np.ceil(np.log2(max(1.0, n / target_bucket_rows)))))
+
+
 def embed_near_dup(
     emb: DataFrame,
     tau: float = 0.3,
-    n_planes: int = 2,
-    n_tables: int = 16,
+    n_planes: int | None = None,
+    n_tables: int = 32,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "lsh",
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the corpus-dedup variant of
     lsh_cosine_topk's probe search). Output: (id_a, id_b, cos) with a < b.
@@ -406,9 +417,19 @@ def embed_near_dup(
     (id, table, bucket); vectors re-attach by id), exact-cosine verify
     keeps pairs >= tau. A true pair is missed only if its vectors collide
     in NO table — recall 1 - (1 - p^planes)^tables; the fixture pytest
-    asserts lsh == exact for the defaults."""
+    asserts lsh == exact for the defaults.
+
+    n_planes=None auto-sizes from the corpus count so buckets stay small
+    as the table grows: planes = max(2, ceil(log2(n / target_bucket_rows))),
+    i.e. expected bucket population ~target_bucket_rows under a balanced
+    hash. At n_planes=2 a table has only 4 buckets and the self-join
+    degenerates toward all-pairs on a large corpus; the auto rule keeps the
+    per-bucket candidate quadratic bounded while recall stays governed by
+    1-(1-p^planes)^tables with p = 1 - arccos(tau)/pi."""
     if mode == "exact":
         return _embed_near_dup_exact(emb, tau, id_col, vec_col)
+    if n_planes is None:
+        n_planes = auto_planes(emb.count(), target_bucket_rows)
     rng = np.random.default_rng(seed)
     dim = len(emb.select(vec_col).first()[0])
     planes = rng.normal(size=(n_tables, n_planes, dim))

@@ -472,17 +472,22 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
 
     nd_path = os.path.join(fixture_dir, "expected_near_dup.parquet")
     if not os.path.exists(nd_path):
-        # exact all-pairs cosine over the embeddings table (independent
-        # matmul path vs the operator's per-pair elementwise sums; both
-        # f64, so micro-int rounding is stable)
+        # exact all-pairs cosine over the embeddings table. The per-pair
+        # value is computed with the IDENTICAL elementwise f64 formulation
+        # the engine's verify UDF uses — (x*y).sum / (|x|*|y|) — NOT a
+        # matmul: a differently-shaped BLAS product can differ in the last
+        # ulp, and a dot landing within ~1e-16 of a micro-unit boundary
+        # would flip cos_micro by 1. Candidate screening may use matmul
+        # (screen wider than tau, then exact-recompute), but the kept value
+        # and the tau cut both come from the elementwise form.
         embp = os.path.join(sf_dir, "embeddings.parquet")
         et = pq.read_table(embp)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in et["embedding"].to_pylist()])
         ids = np.asarray(et["vec_id"].to_pylist(), dtype=np.int64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = Xn @ Xn.T
+        norms = np.linalg.norm(X, axis=1)
         ia, ib = np.triu_indices(len(X), 1)
-        keep = S[ia, ib] >= 0.3
+        cos = (X[ia] * X[ib]).sum(axis=1) / (norms[ia] * norms[ib])
+        keep = cos >= 0.3
         lo = np.minimum(ids[ia[keep]], ids[ib[keep]])  # id order, not row order
         hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
         _write_atomic(
@@ -491,7 +496,7 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
                     "id_a": pa.array(lo, pa.int64()),
                     "id_b": pa.array(hi, pa.int64()),
                     "cos_micro": pa.array(
-                        np.floor(S[ia[keep], ib[keep]] * 1e6 + 0.5).astype(np.int64)
+                        np.floor(cos[keep] * 1e6 + 0.5).astype(np.int64)
                     ),
                 }
             ),

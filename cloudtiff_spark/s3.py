@@ -19,10 +19,32 @@ from __future__ import annotations
 import datetime
 import hashlib
 import hmac
+import os
 import urllib.request
 from urllib.parse import quote
 
+from .errors import RangeFetchTimeout
+
 _EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+#: per-request socket deadline for ranged GETs; a stalled endpoint must
+#: surface as a typed error, not a hung executor task
+FETCH_TIMEOUT_S = float(os.environ.get("CLOUDTIFF_FETCH_TIMEOUT_S", "30"))
+
+
+def timed_urlopen(req, url: str):
+    """urlopen with the module deadline; maps both bare socket timeouts and
+    URLError-wrapped connect timeouts to the typed RangeFetchTimeout."""
+    import urllib.error
+
+    try:
+        return urllib.request.urlopen(req, timeout=FETCH_TIMEOUT_S)
+    except TimeoutError as exc:
+        raise RangeFetchTimeout(url, FETCH_TIMEOUT_S) from exc
+    except urllib.error.URLError as exc:
+        if isinstance(getattr(exc, "reason", None), TimeoutError):
+            raise RangeFetchTimeout(url, FETCH_TIMEOUT_S) from exc
+        raise
 
 
 def _hmac(key: bytes, msg: str) -> bytes:
@@ -128,7 +150,7 @@ class S3RangeFetcher:
             self.region,
         )
         req = urllib.request.Request(self.endpoint + path, headers=headers)
-        with urllib.request.urlopen(req) as resp:
+        with timed_urlopen(req, self.endpoint + path) as resp:
             if resp.status == 200:
                 # full-body 200 = server ignored Range; at COG scale that
                 # silently downloads everything — fail loudly (same contract

@@ -115,3 +115,21 @@ class TestLshPayloadShape:
         assert gens, "table explode not found in plan"
         for g in gens:
             assert "vec" not in g and "embedding" not in g, g[:200]
+
+    def test_graded_embed_near_dup_is_the_lsh_plan(self, spark, monkeypatch):
+        """The graded query must run the scale path: no driver-side
+        collect of the embeddings table (round-3 verdict What's wrong #2)
+        and the lean (id, table, bucket) fan-out in the physical plan."""
+        import __spark_entry__ as E
+        from cloudtiff_spark.operators import dedup
+
+        def _boom(*a, **k):
+            raise AssertionError("graded embed_near_dup took the exact/collect path")
+
+        monkeypatch.setattr(dedup, "_embed_near_dup_exact", _boom)
+        out = E.queries()["embed_near_dup"](spark, "/root/testdata/sf0.001")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        gens = self._generate_lines(plan, "Generate posexplode(sig")
+        assert gens, "LSH table explode not found — not the scale path?"
+        for g in gens:
+            assert "vec" not in g and "embedding" not in g, g[:200]

@@ -17,7 +17,11 @@ def tables(spark, sf_small):
     images = spark.read.parquet(os.path.join(sf_small, "images.parquet")).cache()
     meta = spark.read.parquet(os.path.join(sf_small, "images_meta.parquet")).cache()
     queries = spark.read.parquet(os.path.join(sf_small, "queries.parquet")).cache()
-    return images, meta, queries
+    yield images, meta, queries
+    # the session is shared module-to-module: a leaked InMemoryRelation
+    # would replace parquet scans in test_plans' pushdown/pruning guards
+    for df in (images, meta, queries):
+        df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -398,6 +402,42 @@ class TestEmbedNearDup:
         rows = embed_near_dup(emb, tau=0.5, mode="exact").collect()
         for r in rows:
             assert r.id_a < r.id_b and r.cos >= 0.5
+
+    def test_auto_planes_scales_with_corpus(self):
+        """planes = max(2, ceil(log2(n/target))) — the bucket self-join
+        quadratic must shrink as the corpus grows (verdict r3 #2)."""
+        from cloudtiff_spark.operators.dedup import auto_planes
+
+        assert auto_planes(100) == 2
+        assert auto_planes(500) == 2
+        assert auto_planes(5_000) == 3
+        assert auto_planes(1_000_000) == 10
+        assert auto_planes(1_000_000_000) == 20
+        assert auto_planes(1_000_000, target_bucket_rows=256) == 12
+
+    def test_bucket_population_stays_bounded(self, spark):
+        """Guard: with auto planes the max bucket population per table
+        stays within a small multiple of target_bucket_rows (balanced-hash
+        expectation x skew allowance) — the property that keeps the bucket
+        self-join from degenerating toward all-pairs."""
+        import numpy as np
+
+        from cloudtiff_spark.operators.dedup import auto_planes
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        target = 32
+        planes = auto_planes(n, target_bucket_rows=target)
+        rng = np.random.default_rng(42)
+        X = np.stack(
+            [np.asarray(r[0], dtype=np.float64) for r in emb.select("embedding").collect()]
+        )
+        hyper = rng.normal(size=(8, planes, X.shape[1]))
+        bits = (np.einsum("tpd,bd->btp", hyper, X) > 0).astype(np.int64)
+        packed = (bits * (1 << np.arange(planes, dtype=np.int64))).sum(axis=2)
+        for t in range(packed.shape[1]):
+            _, counts = np.unique(packed[:, t], return_counts=True)
+            assert counts.max() <= 8 * target, (t, counts.max())
 
 
 class TestMediaOperators:

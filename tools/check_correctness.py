@@ -28,6 +28,20 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
 
 
+def arrow_rows(tbl) -> tuple[list[tuple], list[str]]:
+    """Materialize an Arrow table as typed Python rows.
+
+    Going through Arrow (not fetchall/collect) preserves type-level divergence:
+    DuckDB sum(BIGINT) -> HUGEINT -> decimal128 surfaces as Decimal('..'),
+    whose repr differs from a Spark long's int repr — exactly the class of
+    driver-only mismatch that plain fetchall() masked for three rounds.
+    """
+    cols = tbl.column_names
+    pylists = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*pylists)) if pylists else []
+    return rows, cols
+
+
 def main() -> int:
     import duckdb
 
@@ -53,8 +67,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            try:
+                srows, scols = arrow_rows(sdf.toArrow())
+            except Exception:
+                srows = [tuple(r) for r in sdf.collect()]
+                scols = sdf.columns
         except Exception as exc:
             print(f"FAIL  {name:18s} spark error: {exc}")
             failures.append(name)
@@ -65,8 +82,7 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            orows = res.fetchall()
-            ocols = [d[0] for d in res.description]
+            orows, ocols = arrow_rows(res.arrow())
         except Exception as exc:
             print(f"FAIL  {name:18s} oracle error: {str(exc)[:200]}")
             failures.append(name)
