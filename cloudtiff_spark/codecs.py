@@ -360,6 +360,18 @@ def raster_to_rgb8(arr: np.ndarray) -> np.ndarray:
             raise ValueError("16-bit is gray-only")
         g = ((arr.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
         return np.repeat(g, 3, axis=2)
+    if arr.dtype == np.float32:
+        # SampleFormat=3 gray float display scaling: the image crate's
+        # normalized-float rule (raster/image.rs:49-60 delegates to
+        # DynamicImage) — samples are nominally [0,1]; clamp then
+        # round-half-up to u8. Out-of-unit data (raw elevation meters)
+        # saturates rather than wrapping.
+        if c != 1:
+            raise ValueError("float32 is gray-only")
+        g = np.floor(np.clip(arr.astype(np.float64), 0.0, 1.0) * 255.0 + 0.5).astype(
+            np.uint8
+        )
+        return np.repeat(g, 3, axis=2)
     if c == 1:
         return np.repeat(arr, 3, axis=2)
     if c == 3:

@@ -348,8 +348,8 @@ def ensure_cog_dir(sf_name: str) -> str:
 
 #: multiband container-parity fixture: (suffix, kind) x deterministic dims —
 #: a FIXED small set (container parity is scale-independent)
-_MB_KINDS = ["gray8", "gray16", "rgb8", "rgba8", "pal8"]
-_MB_COUNT = 15
+_MB_KINDS = ["gray8", "gray16", "rgb8", "rgba8", "pal8", "grayf32"]
+_MB_COUNT = 18
 
 
 def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
@@ -389,6 +389,9 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
         elif kind == "pal8":
             palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
             arr = rng.integers(0, 256, (h, w), dtype=np.uint8)  # indices
+        elif kind == "grayf32":
+            # SampleFormat=3 normalized-float raster (elevation/NDVI shape)
+            arr = rng.random((h, w), dtype=np.float32)
         else:
             arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
         cog = encode_cog(arr, 4326, -120.0 + i, 45.0, 1e-4, compression=comp, palette=palette)
@@ -404,11 +407,14 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
                 "tile_w": TILE,
                 "tile_h": TILE,
                 "compression": "lzw" if i % 2 else "deflate",
-                "spp": {"gray8": 1, "gray16": 1, "rgb8": 3, "rgba8": 4, "pal8": 1}[kind],
-                "bits": 16 if kind == "gray16" else 8,
-                "photometric": {"gray8": 1, "gray16": 1, "rgb8": 2, "rgba8": 2, "pal8": 3}[
-                    kind
-                ],
+                "spp": {
+                    "gray8": 1, "gray16": 1, "rgb8": 3, "rgba8": 4, "pal8": 1, "grayf32": 1,
+                }[kind],
+                "bits": {"gray16": 16, "grayf32": 32}.get(kind, 8),
+                "photometric": {
+                    "gray8": 1, "gray16": 1, "rgb8": 2, "rgba8": 2, "pal8": 3, "grayf32": 1,
+                }[kind],
+                "sample_format": 3 if kind == "grayf32" else 1,
             }
         )
     spec = pa.Table.from_pylist(spec_rows)

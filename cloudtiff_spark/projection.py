@@ -50,69 +50,93 @@ def utm_params(epsg: int) -> tuple[float, float, float]:
         return np.radians(-183.0 + 6.0 * zone), _FE, 0.0
     if base == 327 and 1 <= zone <= 60:
         return np.radians(-183.0 + 6.0 * zone), _FE, _FN_SOUTH
+    # ETRS89 / UTM (EPSG 25828-25838) and NAD83 / UTM (EPSG 26901-26923):
+    # GRS80-datum northern zones, same TM parameters as WGS84 zones
+    if base == 258 and 28 <= zone <= 38:
+        return np.radians(-183.0 + 6.0 * zone), _FE, 0.0
+    if base == 269 and 1 <= zone <= 23:
+        return np.radians(-183.0 + 6.0 * zone), _FE, 0.0
     from .errors import UnsupportedCrs
 
     raise UnsupportedCrs(epsg)
 
 
-def utm_forward(
-    lon_deg: np.ndarray, lat_deg: np.ndarray, epsg: int
+def _tm_forward(
+    lon_deg,
+    lat_deg,
+    a: float,
+    e2: float,
+    lon0: float,
+    fe: float,
+    fn: float,
+    k0: float,
+    m0: float,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(lon, lat) degrees -> (easting, northing) meters in any UTM zone.
-
-    Snyder eqs. 8-9..8-15 (series form, mm-level accuracy in-zone).
-    """
-    lon0, fe, fn = utm_params(epsg)
+    """Generalized ellipsoidal transverse Mercator, Snyder 8-9..8-15.
+    UTM fixes (k0=0.9996, m0=0, WGS84); non-UTM TM CRSs (e.g. national
+    grids) pass their own ellipsoid/origin. m0 = meridional arc at lat0."""
+    ep2 = e2 / (1 - e2)
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     sin_lat = np.sin(lat)
     cos_lat = np.cos(lat)
     tan_lat = np.tan(lat)
 
-    n = _A / np.sqrt(1 - _E2 * sin_lat**2)
+    n = a / np.sqrt(1 - e2 * sin_lat**2)
     t = tan_lat**2
-    c = _EP2 * cos_lat**2
+    c = ep2 * cos_lat**2
     a_ = cos_lat * (lon - lon0)
 
-    # meridional arc (Snyder 3-21)
-    e2, e4, e6 = _E2, _E2**2, _E2**3
-    m = _A * (
-        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
-        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
-        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
-        - (35 * e6 / 3072) * np.sin(6 * lat)
-    )
-    x = _K0 * n * (
+    m = _merid_arc(lat, a, e2) - m0
+    x = k0 * n * (
         a_
         + (1 - t + c) * a_**3 / 6
-        + (5 - 18 * t + t**2 + 72 * c - 58 * _EP2) * a_**5 / 120
+        + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * a_**5 / 120
     ) + fe
-    y = _K0 * (
+    y = k0 * (
         m
         + n
         * tan_lat
         * (
             a_**2 / 2
             + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
-            + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a_**6 / 720
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * a_**6 / 720
         )
     ) + fn
     return x, y
 
 
-def utm_inverse(
-    x_m: np.ndarray, y_m: np.ndarray, epsg: int
+def _merid_arc(lat_rad, a: float, e2: float):
+    """Meridional arc length from the equator (Snyder 3-21)."""
+    e4, e6 = e2**2, e2**3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat_rad
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat_rad)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat_rad)
+        - (35 * e6 / 3072) * np.sin(6 * lat_rad)
+    )
+
+
+def _tm_inverse(
+    x_m,
+    y_m,
+    a: float,
+    e2: float,
+    lon0: float,
+    fe: float,
+    fn: float,
+    k0: float,
+    m0: float,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(easting, northing) any UTM zone -> (lon, lat) degrees.
-    Snyder 8-17..8-25."""
-    lon0, fe, fn = utm_params(epsg)
+    """Generalized TM inverse, Snyder 8-17..8-25."""
+    ep2 = e2 / (1 - e2)
     x = np.asarray(x_m, dtype=np.float64) - fe
     y = np.asarray(y_m, dtype=np.float64) - fn
 
-    m = y / _K0
-    e2, e4, e6 = _E2, _E2**2, _E2**3
-    mu = m / (_A * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
-    e1 = (1 - np.sqrt(1 - _E2)) / (1 + np.sqrt(1 - _E2))
+    m = y / k0 + m0
+    e4, e6 = e2**2, e2**3
+    mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
     phi1 = (
         mu
         + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
@@ -121,23 +145,46 @@ def utm_inverse(
         + (1097 * e1**4 / 512) * np.sin(8 * mu)
     )
     sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
-    c1 = _EP2 * cos1**2
+    c1 = ep2 * cos1**2
     t1 = tan1**2
-    n1 = _A / np.sqrt(1 - _E2 * sin1**2)
-    r1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
-    d = x / (n1 * _K0)
+    n1 = a / np.sqrt(1 - e2 * sin1**2)
+    r1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+    d = x / (n1 * k0)
 
     lat = phi1 - (n1 * tan1 / r1) * (
         d**2 / 2
-        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * _EP2) * d**4 / 24
-        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * _EP2 - 3 * c1**2) * d**6 / 720
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2) * d**6 / 720
     )
     lon = lon0 + (
         d
         - (1 + 2 * t1 + c1) * d**3 / 6
-        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2) * d**5 / 120
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
     ) / cos1
     return np.degrees(lon), np.degrees(lat)
+
+
+def utm_forward(
+    lon_deg: np.ndarray, lat_deg: np.ndarray, epsg: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees -> (easting, northing) meters in any UTM zone.
+
+    Snyder eqs. 8-9..8-15 (series form, mm-level accuracy in-zone).
+    WGS84 (326zz/327zz), ETRS89 (258zz), and NAD83 (269zz) zones share the
+    identical math: GRS80 and WGS84 agree to 0.1 mm and the datums are
+    coincident at the accuracy this engine targets.
+    """
+    lon0, fe, fn = utm_params(epsg)
+    return _tm_forward(lon_deg, lat_deg, _A, _E2, lon0, fe, fn, _K0, 0.0)
+
+
+def utm_inverse(
+    x_m: np.ndarray, y_m: np.ndarray, epsg: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(easting, northing) any UTM zone -> (lon, lat) degrees.
+    Snyder 8-17..8-25."""
+    lon0, fe, fn = utm_params(epsg)
+    return _tm_inverse(x_m, y_m, _A, _E2, lon0, fe, fn, _K0, 0.0)
 
 
 def utm9n_forward(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -170,11 +217,240 @@ def webmercator_inverse(
     return lon, lat
 
 
+# ---------------------------------------------------------------------------
+# Conic / polar-azimuthal families (Snyder, USGS PP 1395) — the "arbitrary
+# proj4 pair" gap vs the reference (projection/mod.rs:224-244 via proj4rs):
+# named-EPSG Lambert conformal conic, Albers equal-area, and polar
+# stereographic CRSs project through the same 4326 hub. Datum note: every
+# registered CRS sits on GRS80/WGS84-coincident datums (RGF93, ETRS89,
+# NAD83, WGS84) where the null datum shift is sub-meter; CRSs needing a real
+# Helmert/grid shift (e.g. OSGB36's EPSG:27700) stay typed-unsupported
+# rather than silently ~100 m wrong.
+
+#: (a, e2) pairs — GRS80 and WGS84 differ in 1/f at the 1e-9 level but we
+#: keep both so the constants trace to their authorities
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_GRS80_E2 = _GRS80_F * (2 - _GRS80_F)
+
+
+def _conformal_t(lat, e):
+    """Snyder 15-9 / 21-33: isometric-latitude kernel
+    t = tan(pi/4 - lat/2) / ((1 - e sin lat)/(1 + e sin lat))^(e/2)."""
+    sin_lat = np.sin(lat)
+    return np.tan(np.pi / 4 - lat / 2) / (
+        (1 - e * sin_lat) / (1 + e * sin_lat)
+    ) ** (e / 2)
+
+
+def _conformal_phi(t, e):
+    """Invert _conformal_t by fixed-point iteration (Snyder 7-9 / 15-3)."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        es = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (e / 2))
+    return phi
+
+
+def _m_snyder(lat, e2):
+    """Snyder 14-15: m = cos(lat)/sqrt(1 - e2 sin^2 lat)."""
+    return np.cos(lat) / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+
+
+def _lcc2sp_consts(a, e2, p):
+    e = np.sqrt(e2)
+    lat0, lat1, lat2 = map(np.radians, (p["lat0"], p["lat1"], p["lat2"]))
+    m1, m2 = _m_snyder(lat1, e2), _m_snyder(lat2, e2)
+    t0, t1, t2 = (_conformal_t(v, e) for v in (lat0, lat1, lat2))
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    f_ = m1 / (n * t1**n)
+    rho0 = a * f_ * t0**n
+    return e, n, f_, rho0, np.radians(p["lon0"])
+
+
+def lcc2sp_forward(lon_deg, lat_deg, a, e2, p):
+    """Lambert conformal conic, 2 standard parallels (Snyder 15-1..15-5)."""
+    e, n, f_, rho0, lon0 = _lcc2sp_consts(a, e2, p)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    rho = a * f_ * _conformal_t(lat, e) ** n
+    theta = n * (lon - lon0)
+    return p["fe"] + rho * np.sin(theta), p["fn"] + rho0 - rho * np.cos(theta)
+
+
+def lcc2sp_inverse(x_m, y_m, a, e2, p):
+    """Snyder 15-8..15-11 with the conformal-latitude iteration."""
+    e, n, f_, rho0, lon0 = _lcc2sp_consts(a, e2, p)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = rho0 - (np.asarray(y_m, np.float64) - p["fn"])
+    rho = np.sign(n) * np.sqrt(x**2 + y**2)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    t = (rho / (a * f_)) ** (1 / n)
+    lat = _conformal_phi(t, e)
+    return np.degrees(theta / n + lon0), np.degrees(lat)
+
+
+def _q_snyder(lat, e, e2):
+    """Snyder 3-12: authalic-latitude kernel q."""
+    s = np.sin(lat)
+    return (1 - e2) * (s / (1 - e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def _aea_consts(a, e2, p):
+    e = np.sqrt(e2)
+    lat0, lat1, lat2 = map(np.radians, (p["lat0"], p["lat1"], p["lat2"]))
+    m1, m2 = _m_snyder(lat1, e2), _m_snyder(lat2, e2)
+    q0, q1, q2 = (_q_snyder(v, e, e2) for v in (lat0, lat1, lat2))
+    n = (m1**2 - m2**2) / (q2 - q1)
+    c = m1**2 + n * q1
+    rho0 = a * np.sqrt(c - n * q0) / n
+    return e, n, c, rho0, np.radians(p["lon0"])
+
+
+def aea2sp_forward(lon_deg, lat_deg, a, e2, p):
+    """Albers equal-area conic, 2 standard parallels (Snyder 14-1..14-4)."""
+    e, n, c, rho0, lon0 = _aea_consts(a, e2, p)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    q = _q_snyder(lat, e, e2)
+    rho = a * np.sqrt(c - n * q) / n
+    theta = n * (lon - lon0)
+    return p["fe"] + rho * np.sin(theta), p["fn"] + rho0 - rho * np.cos(theta)
+
+
+def aea2sp_inverse(x_m, y_m, a, e2, p):
+    """Snyder 14-8..14-11; latitude by Newton iteration (Snyder 3-16)."""
+    e, n, c, rho0, lon0 = _aea_consts(a, e2, p)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = rho0 - (np.asarray(y_m, np.float64) - p["fn"])
+    rho = np.sqrt(x**2 + y**2)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    q = (c - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = 1 - e2 * s**2
+        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return np.degrees(theta / n + lon0), np.degrees(phi)
+
+
+def _ps_rho_factor(a, e2, p):
+    """a*m_c/t_c (lat_ts form, Snyder 21-34) or 2a k0 / sqrt((1+e)^(1+e)
+    (1-e)^(1-e)) (k0 form, Snyder 21-39) — the rho = factor * t scale."""
+    e = np.sqrt(e2)
+    if "lat_ts" in p:
+        lat_ts = np.radians(abs(p["lat_ts"]))
+        return e, a * _m_snyder(lat_ts, e2) / _conformal_t(lat_ts, e)
+    k0 = p["k0"]
+    return e, 2 * a * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+
+def ps_forward(lon_deg, lat_deg, a, e2, p):
+    """Ellipsoidal polar stereographic, north or south aspect (Snyder
+    21-29..21-41). South aspect maps through the north formulas at
+    (-lat, -(lon-lon0)) then mirrors both axes — the standard symmetry."""
+    e, factor = _ps_rho_factor(a, e2, p)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lon0 = np.radians(p["lon0"])
+    south = p.get("south", False)
+    if south:
+        lat = -lat
+        dlon = -(lon - lon0)
+    else:
+        dlon = lon - lon0
+    rho = factor * _conformal_t(lat, e)
+    x = rho * np.sin(dlon)
+    y = -rho * np.cos(dlon)
+    if south:
+        x, y = -x, -y
+    return p["fe"] + x, p["fn"] + y
+
+
+def ps_inverse(x_m, y_m, a, e2, p):
+    """Snyder 21-39/21-40 inverse with conformal-latitude iteration."""
+    e, factor = _ps_rho_factor(a, e2, p)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = np.asarray(y_m, np.float64) - p["fn"]
+    lon0 = np.radians(p["lon0"])
+    south = p.get("south", False)
+    if south:
+        x, y = -x, -y
+    rho = np.sqrt(x**2 + y**2)
+    t = rho / factor
+    lat = _conformal_phi(t, e)
+    dlon = np.arctan2(x, -y)
+    if south:
+        lat = -lat
+        dlon = -dlon
+    # polar grids span all longitudes: wrap lon0 + dlon into (-180, 180]
+    lon = np.degrees(lon0 + dlon)
+    lon = -((-lon + 180.0) % 360.0 - 180.0)
+    return lon, np.degrees(lat)
+
+
+#: named-EPSG registry: epsg -> (family, a, e2, params). Parameters are the
+#: EPSG-registry published values for each CRS.
+CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
+    # RGF93 / Lambert-93 (France)
+    2154: (
+        "lcc2sp",
+        _GRS80_A,
+        _GRS80_E2,
+        dict(lat0=46.5, lat1=49.0, lat2=44.0, lon0=3.0, fe=700000.0, fn=6600000.0),
+    ),
+    # NAD83 / Conus Albers
+    5070: (
+        "aea2sp",
+        _GRS80_A,
+        _GRS80_E2,
+        dict(lat0=23.0, lat1=29.5, lat2=45.5, lon0=-96.0, fe=0.0, fn=0.0),
+    ),
+    # WGS84 / Antarctic Polar Stereographic
+    3031: ("ps", _A, _E2, dict(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0, south=True)),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: ("ps", _A, _E2, dict(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0, south=False)),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic South
+    3976: ("ps", _A, _E2, dict(lat_ts=-70.0, lon0=0.0, fe=0.0, fn=0.0, south=True)),
+    # WGS84 / UPS North and South (k0 variant)
+    32661: ("ps", _A, _E2, dict(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=False)),
+    32761: ("ps", _A, _E2, dict(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=True)),
+    # ETRS89 / LCC Europe
+    3034: (
+        "lcc2sp",
+        _GRS80_A,
+        _GRS80_E2,
+        dict(lat0=52.0, lat1=35.0, lat2=65.0, lon0=10.0, fe=4000000.0, fn=2800000.0),
+    ),
+}
+
+_FAMILY_FWD = {"lcc2sp": lcc2sp_forward, "aea2sp": aea2sp_forward, "ps": ps_forward}
+_FAMILY_INV = {"lcc2sp": lcc2sp_inverse, "aea2sp": aea2sp_inverse, "ps": ps_inverse}
+
+
+def crs_is_supported(epsg: int) -> bool:
+    """True iff transform_coords can project this EPSG (4326/3857 hubs, all
+    UTM-pattern zones, or a registry conic/polar CRS)."""
+    if epsg in (4326, 3857) or epsg in CRS_REGISTRY:
+        return True
+    base, zone = epsg // 100, epsg % 100
+    return (
+        (base in (326, 327) and 1 <= zone <= 60)
+        or (base == 258 and 28 <= zone <= 38)
+        or (base == 269 and 1 <= zone <= 23)
+    )
+
+
 def _to_4326(xs: np.ndarray, ys: np.ndarray, epsg: int) -> tuple[np.ndarray, np.ndarray]:
     if epsg == 4326:
         return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
     if epsg == 3857:
         return webmercator_inverse(xs, ys)
+    if epsg in CRS_REGISTRY:
+        family, a, e2, p = CRS_REGISTRY[epsg]
+        return _FAMILY_INV[family](xs, ys, a, e2, p)
     return utm_inverse(xs, ys, epsg)  # raises on unsupported EPSG
 
 
@@ -183,6 +459,9 @@ def _from_4326(lon: np.ndarray, lat: np.ndarray, epsg: int) -> tuple[np.ndarray,
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     if epsg == 3857:
         return webmercator_forward(lon, lat)
+    if epsg in CRS_REGISTRY:
+        family, a, e2, p = CRS_REGISTRY[epsg]
+        return _FAMILY_FWD[family](lon, lat, a, e2, p)
     return utm_forward(lon, lat, epsg)
 
 

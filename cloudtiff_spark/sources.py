@@ -112,7 +112,7 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
                 data += f.read(grow)
 
 
-HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, spp int, bits int, photometric int, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
+HEADER_SCHEMA = "image_id string, level int, lw int, lh int, tile_w int, tile_h int, n_tiles int, compression string, spp int, bits int, photometric int, sample_format int, epsg int, origin_x double, origin_y double, scale_px double, bytes_read long, file_bytes long"
 
 
 def analyze_cog_headers(
@@ -160,6 +160,7 @@ def analyze_cog_headers(
                             int(lev.get("samples_per_pixel", 3)),
                             int(lev.get("bits_per_sample", [8])[0]),
                             int(lev.get("photometric", 1)),
+                            int(lev.get("sample_format", 1)),
                             int(proj.get("epsg", 0)),
                             float(proj.get("origin_x", 0.0)),
                             float(proj.get("origin_y", 0.0)),
@@ -172,8 +173,8 @@ def analyze_cog_headers(
                 rows,
                 columns=[
                     "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
-                    "compression", "spp", "bits", "photometric", "epsg", "origin_x", "origin_y",
-                    "scale_px", "bytes_read", "file_bytes",
+                    "compression", "spp", "bits", "photometric", "sample_format",
+                    "epsg", "origin_x", "origin_y", "scale_px", "bytes_read", "file_bytes",
                 ],
             )
 
@@ -249,6 +250,7 @@ def analyze_cog_s3(
                             int(lev.get("samples_per_pixel", 3)),
                             int(lev.get("bits_per_sample", [8])[0]),
                             int(lev.get("photometric", 1)),
+                            int(lev.get("sample_format", 1)),
                             int(proj.get("epsg", 0)),
                             float(proj.get("origin_x", 0.0)),
                             float(proj.get("origin_y", 0.0)),
@@ -261,8 +263,8 @@ def analyze_cog_s3(
                 rows,
                 columns=[
                     "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
-                    "compression", "spp", "bits", "photometric", "epsg", "origin_x", "origin_y",
-                    "scale_px", "bytes_read", "file_bytes",
+                    "compression", "spp", "bits", "photometric", "sample_format",
+                    "epsg", "origin_x", "origin_y", "scale_px", "bytes_read", "file_bytes",
                 ],
             )
 
@@ -306,6 +308,7 @@ def analyze_cog_urls(
                             int(lev.get("samples_per_pixel", 3)),
                             int(lev.get("bits_per_sample", [8])[0]),
                             int(lev.get("photometric", 1)),
+                            int(lev.get("sample_format", 1)),
                             int(proj.get("epsg", 0)),
                             float(proj.get("origin_x", 0.0)),
                             float(proj.get("origin_y", 0.0)),
@@ -318,8 +321,8 @@ def analyze_cog_urls(
                 rows,
                 columns=[
                     "image_id", "level", "lw", "lh", "tile_w", "tile_h", "n_tiles",
-                    "compression", "spp", "bits", "photometric", "epsg", "origin_x", "origin_y",
-                    "scale_px", "bytes_read", "file_bytes",
+                    "compression", "spp", "bits", "photometric", "sample_format",
+                    "epsg", "origin_x", "origin_y", "scale_px", "bytes_read", "file_bytes",
                 ],
             )
 

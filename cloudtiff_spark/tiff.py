@@ -185,12 +185,25 @@ def encode_cog(
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
+    sample_format = 1  # unsigned integer (TIFF 6 default)
     if pixels.dtype == np.uint8:
         bits = 8
     elif pixels.dtype == np.uint16:
         bits = 16
         if c != 1:
             raise UnsupportedPixelFormat("16-bit is gray-only (raster/image.rs:40-47)")
+    elif pixels.dtype == np.float32:
+        # SampleFormat=3 (IEEE float) gray — elevation / NDVI rasters
+        # (the reference's Raster carries sample_format generally,
+        # raster/mod.rs:31-48)
+        bits = 32
+        sample_format = 3
+        if c != 1:
+            raise UnsupportedPixelFormat("float32 is gray-only (raster/image.rs:49-60)")
+        if predictor == 2:
+            raise UnsupportedPixelFormat(
+                "horizontal predictor 2 is integer-only (TIFF 6 §14); floats need predictor 3"
+            )
     else:
         raise UnsupportedPixelFormat(f"unsupported dtype {pixels.dtype}")
     if c not in (1, 3, 4):
@@ -250,7 +263,7 @@ def encode_cog(
             Tag(T_TILELENGTH, _LONG, [lev.tile_h]),
             Tag(T_TILEOFFSETS, _LONG8 if big else _LONG, [0] * n_tiles),
             Tag(T_TILEBYTECOUNTS, _LONG, [len(t) for t in level_tiles[lv]]),
-            Tag(T_SAMPLEFORMAT, _SHORT, [1] * c),
+            Tag(T_SAMPLEFORMAT, _SHORT, [sample_format] * c),
         ]
         if c == 4:  # unassociated alpha (raster/image.rs RGBA path)
             tags.append(Tag(T_EXTRASAMPLES, _SHORT, [2]))
@@ -486,6 +499,7 @@ def cog_info(data: bytes) -> dict:
                     T_SAMPLESPERPIXEL, [len(tags.get(T_BITSPERSAMPLE, [8]))]
                 )[0],
                 photometric=tags.get(T_PHOTOMETRIC, [1])[0],
+                sample_format=tags.get(T_SAMPLEFORMAT, [1])[0],
                 endian=None,  # filled below (file-level)
                 offsets=tags[T_TILEOFFSETS],
                 byte_counts=tags[T_TILEBYTECOUNTS],
@@ -546,18 +560,30 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     bits = lev.get("bits_per_sample", [8])[0]
     if set(lev.get("bits_per_sample", [8])) - {bits}:
         raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")
-    if bits == 8:
+    sf = lev.get("sample_format", 1)
+    if bits == 8 and sf == 1:
         dtype = np.uint8
-    elif bits == 16:
+    elif bits == 16 and sf == 1:
         dtype = np.dtype(">u2" if lev.get("endian") == ">" else "<u2")
+    elif bits == 32 and sf == 3:
+        # SampleFormat=3: IEEE float32 (elevation/NDVI COGs)
+        dtype = np.dtype(">f4" if lev.get("endian") == ">" else "<f4")
     else:
-        raise UnsupportedPixelFormat(f"bits_per_sample {bits} unsupported")
+        raise UnsupportedPixelFormat(
+            f"bits_per_sample {bits} with sample_format {sf} unsupported"
+        )
     if len(buf) != tw * th * spp * (bits // 8):  # raster/mod.rs:73-86
         raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x{spp}x{bits // 8}B")
     arr = np.frombuffer(buf, dtype=dtype).reshape(th, tw, spp)
-    if dtype != np.uint8:
+    if dtype == np.dtype(">u2") or dtype == np.dtype("<u2"):
         arr = arr.astype(np.uint16)  # native byte order for downstream math
+    elif sf == 3:
+        arr = arr.astype(np.float32)
     if lev.get("predictor", 1) == 2:  # F6 undo (compression.rs:298-330)
+        if sf == 3:
+            raise UnsupportedPixelFormat(
+                "horizontal predictor 2 is integer-only (TIFF 6 §14)"
+            )
         from .codecs import predictor2_decode
 
         arr = predictor2_decode(arr)

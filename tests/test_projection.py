@@ -79,9 +79,10 @@ class TestTransformDispatch:
         assert x[0] == 1.0 and y[0] == 2.0
 
     def test_unsupported_raises(self):
-        # Lambert-93 (2154) is outside the UTM/web-mercator family we cover
+        # OSGB36 (27700) needs a real Helmert datum shift — deliberately
+        # typed-unsupported rather than silently ~100 m wrong
         with pytest.raises(ValueError, match="unsupported CRS"):
-            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2154)
+            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27700)
 
 
 class TestGeneralCrs:
@@ -145,7 +146,7 @@ class TestGeneralCrs:
         from cloudtiff_spark.projection import transform_coords
 
         try:
-            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2154)
+            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27700)
             raised = False
         except ValueError as exc:
             raised = "unsupported CRS" in str(exc)
@@ -160,3 +161,115 @@ class TestGeneralCrs:
             data = tiff.encode_cog(img, epsg, 350000.0, 8200000.0, 10.0)
             info = tiff.cog_info(data)
             assert info["projection"]["epsg"] == epsg
+
+
+class TestConicPolarFamilies:
+    """Lambert conformal conic / Albers equal-area / polar stereographic
+    (reference parity: projection/mod.rs:224-244 accepts arbitrary proj4
+    CRSs; these named-EPSG families close the practical gap — Lambert-93
+    France, CONUS Albers, polar ice grids). Correctness is pinned by map
+    PROPERTIES (Snyder invariants), not memorized coordinates: conformal
+    scale 1 at standard parallels, Jacobian 1 for equal-area, exact
+    round-trip closure."""
+
+    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034]
+
+    @staticmethod
+    def _local_scale(fwd, lon, lat, a, e2):
+        d = 1e-6
+        x0, y0 = fwd(np.array([lon]), np.array([lat]))
+        x1, y1 = fwd(np.array([lon]), np.array([lat + d]))
+        x2, y2 = fwd(np.array([lon + d]), np.array([lat]))
+        latr = np.radians(lat)
+        m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+        n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+        h = np.hypot(x1 - x0, y1 - y0)[0] / (m_rad * np.radians(d))
+        k = np.hypot(x2 - x0, y2 - y0)[0] / (n_rad * np.cos(latr) * np.radians(d))
+        return h, k
+
+    def _fwd(self, epsg):
+        family, a, e2, p = P.CRS_REGISTRY[epsg]
+        fn = {"lcc2sp": P.lcc2sp_forward, "aea2sp": P.aea2sp_forward, "ps": P.ps_forward}[family]
+        return (lambda lo, la: fn(lo, la, a, e2, p)), a, e2, p, family
+
+    def test_roundtrip_closure_all_registry_crs(self):
+        rng = np.random.default_rng(77)
+        domains = {
+            2154: (-4.5, 8.0, 42.0, 51.0),
+            3034: (-10.0, 30.0, 35.0, 65.0),
+            5070: (-120.0, -75.0, 25.0, 49.0),
+            3031: (-180.0, 180.0, -88.0, -62.0),
+            3976: (-180.0, 180.0, -88.0, -55.0),
+            3413: (-180.0, 180.0, 62.0, 88.0),
+            32661: (-180.0, 180.0, 75.0, 89.5),
+            32761: (-180.0, 180.0, -89.5, -75.0),
+        }
+        for epsg in self.CODES:
+            lo0, lo1, la0, la1 = domains[epsg]
+            lon = rng.uniform(lo0, lo1, 100)
+            lat = rng.uniform(la0, la1, 100)
+            x, y = P.transform_coords(lon, lat, 4326, epsg)
+            lon2, lat2 = P.transform_coords(x, y, epsg, 4326)
+            assert np.allclose(lon, lon2, atol=1e-7), epsg
+            assert np.allclose(lat, lat2, atol=1e-7), epsg
+
+    def test_lcc_conformal_scale_one_at_standard_parallels(self):
+        for epsg in (2154, 3034):
+            fwd, a, e2, p, _ = self._fwd(epsg)
+            for lat_sp in (p["lat1"], p["lat2"]):
+                h, k = self._local_scale(fwd, p["lon0"], lat_sp, a, e2)
+                assert abs(h - 1) < 1e-6 and abs(k - 1) < 1e-6, (epsg, lat_sp)
+            # conformal: h == k off the parallels too
+            h, k = self._local_scale(fwd, p["lon0"] + 4.0, p["lat0"] + 1.3, a, e2)
+            assert abs(h - k) < 1e-6, epsg
+
+    def test_albers_equal_area_jacobian_one(self):
+        fwd, a, e2, p, _ = self._fwd(5070)
+        for lon, lat in [(-96.0, 29.5), (-96.0, 45.5), (-80.0, 40.0), (-115.0, 33.0)]:
+            h, k = self._local_scale(fwd, lon, lat, a, e2)
+            assert abs(h * k - 1) < 1e-6, (lon, lat)
+
+    def test_polar_stereographic_invariants(self):
+        # pole maps to (fe, fn); scale 1 at lat_ts; k0 at the pole for UPS
+        for epsg in (3031, 3413, 3976):
+            fwd, a, e2, p, _ = self._fwd(epsg)
+            pole = -90.0 if p.get("south") else 90.0
+            x, y = fwd(np.array([123.0]), np.array([pole]))
+            assert abs(x[0] - p["fe"]) < 1e-6 and abs(y[0] - p["fn"]) < 1e-6, epsg
+            h, k = self._local_scale(fwd, 77.0, p["lat_ts"], a, e2)
+            assert abs(h - 1) < 1e-6 and abs(k - 1) < 1e-6, epsg
+        for epsg in (32661, 32761):
+            fwd, a, e2, p, _ = self._fwd(epsg)
+            near_pole = -89.99 if p.get("south") else 89.99
+            h, k = self._local_scale(fwd, 30.0, near_pole, a, e2)
+            assert abs(h - 0.994) < 1e-4 and abs(k - 0.994) < 1e-4, epsg
+
+    def test_south_aspect_matches_proj_convention(self):
+        # EPSG 3031: x = rho sin(lon-lon0), y = +rho cos(lon-lon0)
+        fwd, a, e2, p, _ = self._fwd(3031)
+        x, y = fwd(np.array([0.0, 90.0, 180.0]), np.array([-71.0] * 3))
+        assert abs(x[0]) < 1e-6 and y[0] > 1.9e6  # grid north along lon 0
+        assert x[1] > 1.9e6 and abs(y[1]) < 1e-3  # east along lon 90E
+        assert abs(x[2]) < 1e-3 and y[2] < -1.9e6
+
+    def test_extended_utm_datum_aliases(self):
+        # ETRS89 (258zz) and NAD83 (269zz) zones: identical math to WGS84
+        x1, y1 = P.transform_coords(np.array([9.5]), np.array([51.0]), 4326, 25832)
+        x2, y2 = P.transform_coords(np.array([9.5]), np.array([51.0]), 4326, 32632)
+        assert x1[0] == x2[0] and y1[0] == y2[0]
+        x3, y3 = P.transform_coords(np.array([-105.0]), np.array([40.0]), 4326, 26913)
+        x4, y4 = P.transform_coords(np.array([-105.0]), np.array([40.0]), 4326, 32613)
+        assert x3[0] == x4[0] and y3[0] == y4[0]
+
+    def test_crs_is_supported_matrix(self):
+        for epsg in [4326, 3857, 32601, 32760, 25832, 26913] + self.CODES:
+            assert P.crs_is_supported(epsg), epsg
+        for epsg in [27700, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
+            assert not P.crs_is_supported(epsg), epsg
+
+    def test_lambert93_known_city(self):
+        # Paris (2.3522E, 48.8566N) in RGF93/Lambert-93 — IGN-published
+        # grid region ~ (652.5 km, 6862.0 km); 100 m tolerance catches any
+        # parameter mis-wiring (wrong lat0/lon0 shifts results by km)
+        x, y = P.transform_coords(np.array([2.3522]), np.array([48.8566]), 4326, 2154)
+        assert abs(x[0] - 652500.0) < 100.0 and abs(y[0] - 6862000.0) < 100.0

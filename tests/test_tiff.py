@@ -196,6 +196,51 @@ class TestPixelFormats:
         rgba = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4)
         assert np.array_equal(raster_to_rgb8(rgba), rgba[:, :, :3])
 
+    def test_grayf32_roundtrip_bit_exact(self):
+        """SampleFormat=3 float32 gray (elevation/NDVI COGs; the reference
+        Raster carries sample_format generally, raster/mod.rs:31-48)."""
+        rng = np.random.default_rng(15)
+        img = rng.random((96, 130), dtype=np.float32)
+        info = self._roundtrip(img)
+        lev = info["levels"][0]
+        assert lev["bits_per_sample"] == [32]
+        assert lev["sample_format"] == 3
+        assert lev["samples_per_pixel"] == 1
+        # overview levels keep the float format
+        assert all(l["sample_format"] == 3 for l in info["levels"])
+
+    def test_grayf32_lzw(self):
+        from cloudtiff_spark.tiff import COMPRESSION_LZW
+
+        rng = np.random.default_rng(16)
+        img = rng.random((70, 70), dtype=np.float32)
+        self._roundtrip(img, compression=COMPRESSION_LZW)
+
+    def test_grayf32_display_scaling(self):
+        from cloudtiff_spark.codecs import photometric_to_rgb8, raster_to_rgb8
+
+        # normalized-float rule: clamp [0,1], round-half-up to u8
+        f = np.array([[0.0, 0.5, 1.0], [-2.0, 3.0, 0.25]], dtype=np.float32)
+        got = raster_to_rgb8(f)
+        want = np.array([[0, 128, 255], [0, 255, 64]], dtype=np.uint8)
+        assert np.array_equal(got, np.repeat(want[:, :, None], 3, axis=2))
+        # photometric 1 routes through the same conversion
+        assert np.array_equal(photometric_to_rgb8(f[:, :, None], 1), got)
+
+    def test_grayf32_typed_rejects(self):
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        rng = np.random.default_rng(17)
+        with pytest.raises(UnsupportedPixelFormat, match="gray-only"):
+            tiff.encode_cog(rng.random((32, 32, 3)).astype(np.float32), 4326, 0, 0, 1e-4)
+        with pytest.raises(UnsupportedPixelFormat, match="integer-only"):
+            tiff.encode_cog(
+                rng.random((32, 32)).astype(np.float32), 4326, 0, 0, 1e-4, predictor=2
+            )
+        with pytest.raises(UnsupportedPixelFormat):
+            tiff.encode_cog(rng.random((32, 32)).astype(np.float64), 4326, 0, 0, 1e-4)
+
     def test_mixed_bits_rejected(self):
         import struct
 
