@@ -10,13 +10,20 @@ library at all, so the codec is implemented from the spec:
   tables scaled by a quality factor (libjpeg's public scaling convention),
   Annex K "typical" Huffman tables, byte stuffing, edge-replicated padding
   to multiples of 8. Grayscale (h, w) input emits a 1-component scan.
-- **Decoder** (`decode_jpeg`): baseline sequential; any sampling factors
-  h, v in {1, 2} (covers 4:4:4 / 4:2:2 / 4:2:0), 1- or 3-component scans,
-  restart intervals (DRI/RSTn), multiple DQT/DHT segments, 8- and 16-bit
+- **Decoder** (`decode_jpeg`): baseline sequential (SOF0/1) AND
+  progressive (SOF2, T.81 §G spectral selection + successive
+  approximation — DC/AC first and refinement passes, EOBRUN, interleaved
+  DC scans, per-component AC scans); any sampling factors h, v in {1, 2}
+  (covers 4:4:4 / 4:2:2 / 4:2:0), 1- or 3-component scans, restart
+  intervals (DRI/RSTn), multiple DQT/DHT segments, 8- and 16-bit
   quantization tables. Entropy decoding uses a 2^16 lookup table per
   Huffman table (one list index per symbol — the per-symbol loop is
   Python, everything numeric after it is batched numpy: dequantization,
   de-zigzag, IDCT as two 8x8 matmuls over all blocks at once).
+- **Progressive encoder** (`encode_jpeg_progressive`): the §G scan
+  script with successive approximation, emitting the same quantized
+  coefficients as the baseline encoder — decode equality with the
+  baseline stream is the pytest oracle for the progressive decoder.
 
 Scale note: per-image decode cost is linear and partition-parallel; at
 cluster scale the Arrow-batched UDFs in operators/ ship (bytes, fmt) and
@@ -542,6 +549,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hluts: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     restart_interval = 0
     frame: dict | None = None
+    prog_state: dict | None = None
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -577,7 +585,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
@@ -585,13 +593,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+            frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
+            if frame["prog"]:
+                if prog_state is None:
+                    prog_state = _prog_init(frame)
+                scomp = []
+                for si in range(ns):
+                    cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                    ci = next(i for i, c in enumerate(frame["comps"]) if c["id"] == cs)
+                    scomp.append((ci, frame["comps"][ci], tdta >> 4, tdta & 0xF))
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                scan, nxt = _destuff(data, pos + seglen)
+                _prog_scan(
+                    prog_state, frame, scomp, ss, se, ahal >> 4, ahal & 0xF,
+                    hluts, restart_interval, scan,
+                )
+                pos = nxt
+                continue
             if ns != len(frame["comps"]):
                 # non-interleaved multi-scan baseline (one SOS per
                 # component): spec-legal but unimplemented — reject typed
@@ -608,6 +632,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan, _ = _destuff(data, pos + seglen)
             return _decode_scan(frame, scomp, qtables, hluts, restart_interval, scan)
         pos += seglen
+    if prog_state is not None:
+        return _prog_reconstruct(prog_state, frame, qtables)
     raise JpegError("no SOS found")
 
 
@@ -767,3 +793,474 @@ def _decode_scan(
     if len(planes) != 3:
         raise JpegError(f"{len(planes)}-component scan unsupported")
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (ITU-T T.81 §G: spectral selection + successive
+# approximation). Scans accumulate into per-component zigzag coefficient
+# grids; reconstruction (dequant -> IDCT -> color) runs once at EOI. The
+# reference handles progressive via the image crate's decoder; this is a
+# from-spec implementation, like the baseline path.
+# ---------------------------------------------------------------------------
+
+
+def _prog_init(frame: dict) -> dict:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax > 2 or vmax > 2:
+        raise JpegError(f"sampling factors > 2 unsupported ({hmax}x{vmax})")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    for c in frame["comps"]:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        coefs.append(np.zeros((bh * bw, 64), dtype=np.int32))
+    return {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax, "coefs": coefs}
+
+
+def _prog_scan(
+    state: dict,
+    frame: dict,
+    scomp: list[tuple[int, dict, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    hluts: dict,
+    restart_interval: int,
+    scan: bytes,
+) -> None:
+    """Apply one progressive scan to the coefficient state.
+
+    DC scans (ss==0) may interleave all components; AC scans (ss>0) are
+    single-component over the component's own block grid (T.81 A.2.2).
+    First passes (ah==0) Huffman-decode magnitudes at precision al;
+    refinement passes (ah>0) append one correction bit per coefficient."""
+    if ss > se or se > 63:
+        raise JpegError(f"bad spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        # a DC scan must cover exactly coefficient 0 (T.81 G.1.1) — this
+        # also rejects baseline streams relabeled SOF2
+        raise JpegError(f"progressive DC scan requires Se=0 (got {ss}..{se})")
+    if ah and ah != al + 1:
+        raise JpegError(f"successive approximation Ah={ah} must be Al+1={al + 1}")
+    mcux, mcuy = state["mcux"], state["mcuy"]
+    hmax, vmax = state["hmax"], state["vmax"]
+    data = scan + b"\x00" * 16
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    # enumerate the scan's data units as (component index, block index)
+    units: list[tuple[int, int]] = []
+    if len(scomp) > 1 or ss == 0 and len(scomp) == len(frame["comps"]):
+        if ss != 0:
+            raise JpegError("interleaved AC scan is illegal (T.81 G.1.1)")
+        restart_unit = max(c["h"] * c["v"] for _, c, _, _ in scomp)  # blocks/MCU marker
+        mcu_units = []
+        for ci, c, _td, _ta in scomp:
+            bw = mcux * c["h"]
+            for b in range(c["h"] * c["v"]):
+                mcu_units.append((ci, c, b, bw))
+        for m in range(mcux * mcuy):
+            my, mx = m // mcux, m % mcux
+            for ci, c, b, bw in mcu_units:
+                brow = my * c["v"] + b // c["h"]
+                bcol = mx * c["h"] + b % c["h"]
+                units.append((ci, brow * bw + bcol))
+        units_per_ri = len(mcu_units)  # restart counts MCUs
+    else:
+        ci, c, _td, _ta = scomp[0]
+        bw = mcux * c["h"]
+        csw = (frame["w"] * c["h"] + hmax - 1) // hmax  # component samples
+        csh = (frame["h"] * c["v"] + vmax - 1) // vmax
+        cbw, cbh = (csw + 7) // 8, (csh + 7) // 8
+        for r in range(cbh):
+            for cc in range(cbw):
+                units.append((ci, r * bw + cc))
+        units_per_ri = 1  # restart counts blocks in non-interleaved scans
+
+    luts = {}
+    for ci, c, td, ta in scomp:
+        if ss == 0 and ah == 0 and (0, td) not in hluts:
+            raise JpegError("missing DC Huffman table")
+        if ss > 0 and ah == 0 and (1, ta) not in hluts:
+            raise JpegError("missing AC Huffman table")
+        luts[ci] = (hluts.get((0, td)), hluts.get((1, ta)))
+
+    preds = {ci: 0 for ci, _, _, _ in scomp}
+    eobrun = 0
+    coefs = state["coefs"]
+    p1, m1 = 1 << al, -1 << al
+    # group units per restart interval (interleaved: h*v units per MCU)
+    ri_units = restart_interval * units_per_ri if restart_interval else 0
+    for ui, (ci, blk) in enumerate(units):
+        if ri_units and ui and ui % ri_units == 0:
+            drop = nbits % 8
+            nbits -= drop
+            acc &= (1 << nbits) - 1
+            preds = {k: 0 for k in preds}
+            eobrun = 0
+        row = coefs[ci][blk]
+        if ss == 0:
+            # ---- DC pass ----
+            if ah == 0:
+                while nbits < 27:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                dlut = luts[ci][0]
+                e = dlut[(acc >> (nbits - 16)) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise JpegError("bad DC Huffman code")
+                s = e >> 5
+                if s > 11:
+                    raise JpegError(f"bad DC magnitude category {s}")
+                diff = 0
+                if s:
+                    v = (acc >> (nbits - ln - s)) & ((1 << s) - 1)
+                    ln += s
+                    diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                nbits -= ln
+                acc &= (1 << nbits) - 1
+                preds[ci] += diff
+                row[0] = preds[ci] << al
+            else:
+                if nbits < 1:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                bit = (acc >> (nbits - 1)) & 1
+                nbits -= 1
+                acc &= (1 << nbits) - 1
+                if bit:
+                    row[0] = int(row[0]) | p1
+            continue
+        # ---- AC pass ----
+        if ah == 0:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                while nbits < 27:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                alut = luts[ci][1]
+                e = alut[(acc >> (nbits - 16)) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise JpegError("bad AC Huffman code")
+                rs = e >> 5
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    nbits -= ln
+                    acc &= (1 << nbits) - 1
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        while nbits < r:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                        eobrun += (acc >> (nbits - r)) & ((1 << r) - 1)
+                        nbits -= r
+                        acc &= (1 << nbits) - 1
+                    break
+                if s > 10:
+                    raise JpegError(f"bad AC magnitude category {s}")
+                k += r
+                if k > se:
+                    raise JpegError("AC run past band end")
+                v = (acc >> (nbits - ln - s)) & ((1 << s) - 1)
+                nbits -= ln + s
+                acc &= (1 << nbits) - 1
+                val = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                row[k] = val << al
+                k += 1
+            continue
+        # ---- AC refinement (T.81 G.1.2.3) ----
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                while nbits < 27:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                alut = luts[ci][1]
+                e = alut[(acc >> (nbits - 16)) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise JpegError("bad AC Huffman code")
+                rs = e >> 5
+                r, s = rs >> 4, rs & 0xF
+                nbits -= ln
+                acc &= (1 << nbits) - 1
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            while nbits < r:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                            eobrun += (acc >> (nbits - r)) & ((1 << r) - 1)
+                            nbits -= r
+                            acc &= (1 << nbits) - 1
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise JpegError(f"bad refinement magnitude {s}")
+                    if nbits < 1:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    sign = (acc >> (nbits - 1)) & 1
+                    nbits -= 1
+                    acc &= (1 << nbits) - 1
+                    val = p1 if sign else m1
+                # advance r zero-history positions, appending correction
+                # bits for every nonzero-history coefficient crossed
+                while k <= se:
+                    if row[k] != 0:
+                        if nbits < 1:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                        bit = (acc >> (nbits - 1)) & 1
+                        nbits -= 1
+                        acc &= (1 << nbits) - 1
+                        if bit and (int(row[k]) & p1) == 0:
+                            row[k] = int(row[k]) + (p1 if row[k] > 0 else m1)
+                    else:
+                        if r == 0:
+                            if val:
+                                row[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if row[k] != 0:
+                    if nbits < 1:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    bit = (acc >> (nbits - 1)) & 1
+                    nbits -= 1
+                    acc &= (1 << nbits) - 1
+                    if bit and (int(row[k]) & p1) == 0:
+                        row[k] = int(row[k]) + (p1 if row[k] > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
+def _prog_reconstruct(state: dict, frame: dict, qtables: dict) -> np.ndarray:
+    """Dequant + IDCT + upsample + color for the accumulated coefficients
+    (same numeric path as the baseline tail of _decode_scan, minus the
+    MCU-major reorder — progressive grids are already row-major)."""
+    mcux, mcuy = state["mcux"], state["mcuy"]
+    hmax, vmax = state["hmax"], state["vmax"]
+    fh, fw = frame["h"], frame["w"]
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise JpegError(f"missing quant table {comp['tq']}")
+        bw, bh = mcux * comp["h"], mcuy * comp["v"]
+        zz = state["coefs"][ci].astype(np.float64) * q.astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ij,rcjk,kl->rcil", _C.T, blocks, _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if comp["h"] < hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
+        if comp["v"] < vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise JpegError(f"{len(planes)}-component frame unsupported")
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive JFIF encode (SOF2, T.81 §G), 4:4:4 / gray, scan script:
+
+      1. DC first pass, interleaved, successive approximation Al=1
+      2. DC refinement (one bit per block)
+      3. per component: AC first pass, Ss=1..Se=63, Al=1
+      4. per component: AC refinement (correction-bit algorithm, G.1.2.3)
+
+    Quantized coefficients are IDENTICAL to encode_jpeg's, so a decoder
+    must reproduce the baseline encoding's pixels exactly — the test
+    oracle for decode_jpeg's progressive path. (Engine extension: the
+    reference's image crate decodes but does not write progressive.)"""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    if gray:
+        comps = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        comps = [ycc[..., i] for i in range(3)]
+    quantized: list[np.ndarray] = []
+    for ci, plane in enumerate(comps):
+        p = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge") - 128.0
+        blocks = _to_blocks(p)
+        coefs = np.einsum("ij,bjk,kl->bil", _C, blocks, _C.T)
+        qt = (qt_l if ci == 0 else qt_c).reshape(8, 8).astype(np.float64)
+        q = np.round(coefs / qt).astype(np.int32)
+        quantized.append(q.reshape(-1, 64)[:, _ZIGZAG])
+    nc = 1 if gray else 3
+    nblocks = quantized[0].shape[0]
+    AL = 1
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l[_ZIGZAG].tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c[_ZIGZAG].tolist())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        if ci == 0
+        else _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for ci in range(nc)
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        if ci == 0
+        else _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        for ci in range(nc)
+    ]
+
+    def sos_header(comp_ids: list[int], tds: list[int], tas: list[int], ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    # ---- scan 1: DC first, interleaved, Al=AL ----
+    out += sos_header(
+        list(range(1, nc + 1)), [0] + [1] * (nc - 1), [0] * nc, 0, 0, 0, AL
+    )
+    wtr = _JBitWriter()
+    preds = [0] * nc
+    for b in range(nblocks):
+        for ci in range(nc):
+            v = int(quantized[ci][b, 0]) >> AL  # arithmetic shift (G.1.2.1)
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _bit_size(abs(diff))
+            code, ln = dc_codes[ci][size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    out += wtr.flush()
+
+    # ---- scan 2: DC refinement ----
+    out += sos_header(list(range(1, nc + 1)), [0] * nc, [0] * nc, 0, 0, AL, 0)
+    wtr = _JBitWriter()
+    for b in range(nblocks):
+        for ci in range(nc):
+            wtr.write(int(quantized[ci][b, 0]) & 1, 1)
+    out += wtr.flush()
+
+    # ---- per component: AC first pass (Al=AL) ----
+    for ci in range(nc):
+        out += sos_header([ci + 1], [0], [0 if ci == 0 else 1], 1, 63, 0, AL)
+        wtr = _JBitWriter()
+        codes = ac_codes[ci]
+        for b in range(nblocks):
+            zz = quantized[ci][b]
+            shifted = [
+                (int(v) >> AL if v >= 0 else -((-int(v)) >> AL)) for v in zz[1:]
+            ]
+            nzp = [i + 1 for i, v in enumerate(shifted) if v != 0]
+            prev = 0
+            for k in nzp:
+                run = k - prev - 1
+                prev = k
+                while run > 15:
+                    code, ln = codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                v = shifted[k - 1]
+                size = _bit_size(abs(v))
+                code, ln = codes[(run << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+            if prev != 63:
+                code, ln = codes[0x00]  # EOB
+                wtr.write(code, ln)
+        out += wtr.flush()
+
+    # ---- per component: AC refinement (Ah=AL, Al=0; G.1.2.3) ----
+    for ci in range(nc):
+        out += sos_header([ci + 1], [0], [0 if ci == 0 else 1], 1, 63, AL, 0)
+        wtr = _JBitWriter()
+        codes = ac_codes[ci]
+        for b in range(nblocks):
+            zz = quantized[ci][b]
+            temps = [abs(int(v)) for v in zz[1:]]  # band 1..63, magnitudes
+            signs = [int(v) > 0 for v in zz[1:]]
+            hist = [t >> AL for t in temps]
+            newly = [i for i, (t, hh) in enumerate(zip(temps, hist)) if t and hh == 0]
+            eob_pos = newly[-1] if newly else -1  # band-relative index
+            r = 0
+            buffered: list[int] = []
+            for i, t in enumerate(temps):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_pos:
+                    code, ln = codes[0xF0]
+                    wtr.write(code, ln)
+                    r -= 16
+                    for bit in buffered:
+                        wtr.write(bit, 1)
+                    buffered = []
+                if hist[i] != 0:
+                    buffered.append(t & 1)  # correction bit
+                    continue
+                code, ln = codes[(r << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if signs[i] else 0, 1)
+                for bit in buffered:
+                    wtr.write(bit, 1)
+                buffered = []
+                r = 0
+            if r > 0 or buffered:
+                code, ln = codes[0x00]  # EOB covers the tail
+                wtr.write(code, ln)
+                for bit in buffered:
+                    wtr.write(bit, 1)
+        out += wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

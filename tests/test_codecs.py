@@ -331,6 +331,55 @@ class TestRealJpeg:
         assert err.mean() < 3.0
 
 
+class TestProgressiveJpeg:
+    """SOF2 progressive decode (T.81 §G: spectral selection + successive
+    approximation). Oracle: encode_jpeg_progressive carries the IDENTICAL
+    quantized coefficients as the baseline encoder, so the progressive
+    decode must match the baseline decode bit-for-bit — any error in DC/AC
+    first passes, EOBRUN, ZRL skips, or the refinement correction-bit walk
+    breaks the equality."""
+
+    def _pair(self, arr, quality):
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+        return (
+            decode_jpeg(encode_jpeg(arr, quality)),
+            decode_jpeg(encode_jpeg_progressive(arr, quality)),
+        )
+
+    def test_rgb_exact_vs_baseline(self):
+        for h, w, q in [(70, 90, 90), (64, 64, 95), (17, 9, 75), (8, 8, 50)]:
+            img = _img(RNG, w, h)
+            base, prog = self._pair(img, q)
+            assert np.array_equal(base, prog), (h, w, q)
+
+    def test_noise_exact_vs_baseline(self):
+        # uniform noise: dense AC symbols, long ZRL runs, heavy refinement
+        img = RNG.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        base, prog = self._pair(img, 95)
+        assert np.array_equal(base, prog)
+
+    def test_gray_exact_vs_baseline(self):
+        g = RNG.integers(0, 256, (33, 41), dtype=np.uint8)
+        base, prog = self._pair(g, 85)
+        assert np.array_equal(base, prog)
+
+    def test_low_quality_sparse_coefficients(self):
+        # q=10 makes most AC bands all-zero: exercises pure-EOB blocks and
+        # DC-only reconstruction
+        img = _img(RNG, 48, 40)
+        base, prog = self._pair(img, 10)
+        assert np.array_equal(base, prog)
+
+    def test_psnr_gate(self):
+        from cloudtiff_spark import codecs
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg_progressive
+
+        img = _img(RNG, 97, 130)
+        out = decode_jpeg(encode_jpeg_progressive(img, codecs.JPEG_QUALITY))
+        assert codecs.psnr(img, out) >= 40.0
+
+
 class TestPredictor:
     def test_roundtrip_matches_cumsum(self):
         img = _img(RNG, 5, 9)
