@@ -455,6 +455,38 @@ class TestEmbedNearDup:
             assert counts.max() <= 8 * target, (t, counts.max())
 
 
+class TestProgressiveJpegSparkPath:
+    def test_progressive_payloads_flow_through_image_features(self, spark):
+        """A web-scraped corpus is ~10% progressive JPEG: the distributed
+        decode path must handle SOF2 payloads transparently (same features
+        as the baseline encoding of the identical pixels), not quarantine
+        them."""
+        from cloudtiff_spark.jpeg import encode_jpeg, encode_jpeg_progressive
+        from cloudtiff_spark.operators.features import image_features
+
+        rng = np.random.default_rng(99)
+        rows = []
+        for i in range(6):
+            w, h = 40 + 8 * i, 32 + 8 * i
+            base = rng.integers(0, 256, (h // 8 + 1, w // 8 + 1, 3)).astype(np.float64)
+            img = np.clip(np.kron(base, np.ones((8, 8, 1)))[:h, :w], 0, 255).astype(
+                np.uint8
+            )
+            rows.append((f"base_{i}", bytearray(encode_jpeg(img, 95)), "jpeg", w, h))
+            rows.append(
+                (f"prog_{i}", bytearray(encode_jpeg_progressive(img, 95)), "jpeg", w, h)
+            )
+        df = spark.createDataFrame(
+            rows, "image_id string, bytes binary, fmt string, w int, h int"
+        )
+        got = {r.image_id: tuple(r.mean_rgb) + (r.grad_energy,) for r in image_features(df).collect()}
+        assert len(got) == 12  # nothing dropped or errored
+        # same pixels + same quantization -> identical decode -> identical
+        # features row-for-row between the two encodings
+        for i in range(6):
+            assert got[f"prog_{i}"] == got[f"base_{i}"], i
+
+
 class TestMediaOperators:
     """Multimodal audio/video plumbing (task brief): real raw decode,
     typed stub path for compressed codecs, Arrow-batched throughout."""
