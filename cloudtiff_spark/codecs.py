@@ -175,6 +175,36 @@ def predictor2_decode(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr, axis=1, dtype=arr.dtype)
 
 
+def predictor3_encode(arr: np.ndarray) -> bytes:
+    """TIFF floating-point predictor (Predictor=3, TIFF Technical Note 3):
+    per row, store the big-endian bytes of each float PLANE-shuffled (all
+    byte-0s, then byte-1s, ...) and horizontally byte-differenced — float
+    byte planes are far more compressible than interleaved IEEE bytes.
+    Gray-only here (spp=1, matching the engine's float raster support)."""
+    if arr.ndim == 3:
+        if arr.shape[2] != 1:
+            raise ValueError("predictor 3 supported for 1-sample floats only")
+        arr = arr[:, :, 0]
+    h, w = arr.shape
+    be = np.ascontiguousarray(arr.astype(">f4")).view(np.uint8).reshape(h, w, 4)
+    planes = be.transpose(0, 2, 1).reshape(h, 4 * w)  # byte planes per row
+    diff = planes.copy()
+    diff[:, 1:] = planes[:, 1:] - planes[:, :-1]  # u8 wraparound
+    return diff.tobytes()
+
+
+def predictor3_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """Invert predictor 3: per-row byte cumsum, un-shuffle the 4 byte
+    planes, reinterpret as big-endian float32. Returns (h, w, 1) f32."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size != h * w * 4:
+        raise ValueError(f"buffer size {raw.size} != {h}x{w}x4B")
+    planes = np.cumsum(raw.reshape(h, 4 * w), axis=1, dtype=np.uint8)
+    be = planes.reshape(h, 4, w).transpose(0, 2, 1)  # (h, w, 4) byte tuples
+    out = np.ascontiguousarray(be).view(">f4").astype(np.float32)
+    return out.reshape(h, w, 1)
+
+
 # ---------------------------------------------------------------------------
 # Minimal PNG (8-bit RGB). Public spec (RFC 2083). Encoder: filter 0 rows.
 # Decoder: all 5 filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth).

@@ -112,6 +112,15 @@ def _compress_tile(arr: np.ndarray, compression: int, predictor: int = 1) -> byt
         from .codecs import predictor2_encode
 
         arr = predictor2_encode(arr)
+    if predictor == 3:  # floating-point byte-shuffle predictor (TechNote 3)
+        from .codecs import predictor3_encode
+
+        raw = predictor3_encode(arr)
+        if compression == COMPRESSION_DEFLATE:
+            return zlib.compress(raw, 6)
+        if compression == COMPRESSION_LZW:
+            return lzw_encode(raw)
+        raise CompressionNotSupported(compression)
     # explicit little-endian serialization for multi-byte samples (the
     # container is written classic-LE regardless of host endianness)
     raw = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
@@ -206,6 +215,8 @@ def encode_cog(
             )
     else:
         raise UnsupportedPixelFormat(f"unsupported dtype {pixels.dtype}")
+    if predictor == 3 and sample_format != 3:
+        raise UnsupportedPixelFormat("predictor 3 is float-only (TIFF TechNote 3)")
     if c not in (1, 3, 4):
         raise UnsupportedPixelFormat(f"unsupported samples/pixel {c}")
     if palette is not None:
@@ -574,6 +585,13 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         )
     if len(buf) != tw * th * spp * (bits // 8):  # raster/mod.rs:73-86
         raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x{spp}x{bits // 8}B")
+    if lev.get("predictor", 1) == 3:
+        # floating-point byte-shuffle predictor (TIFF TechNote 3)
+        if sf != 3 or spp != 1:
+            raise UnsupportedPixelFormat("predictor 3 is gray-float-only")
+        from .codecs import predictor3_decode
+
+        return predictor3_decode(buf, tw, th)
     arr = np.frombuffer(buf, dtype=dtype).reshape(th, tw, spp)
     if dtype == np.dtype(">u2") or dtype == np.dtype("<u2"):
         arr = arr.astype(np.uint16)  # native byte order for downstream math

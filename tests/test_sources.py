@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from cloudtiff_spark import tiff
 from cloudtiff_spark.sources import analyze_cog_directory, disect
@@ -445,3 +446,33 @@ class TestHttpRangeSource:
             assert raised
         finally:
             srv.shutdown()
+
+    def test_stalled_endpoint_times_out_typed(self, monkeypatch):
+        """A stalled endpoint must surface as the typed RangeFetchTimeout,
+        not hang the executor task forever (the reference's SDK client has
+        request timeouts; ADVICE r3)."""
+        import socket
+        import threading
+
+        from cloudtiff_spark import s3 as s3mod
+        from cloudtiff_spark.errors import RangeFetchTimeout
+
+        # a listener that accepts connections and never responds
+        lsock = socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(1)
+        port = lsock.getsockname()[1]
+        held = []
+        threading.Thread(
+            target=lambda: held.append(lsock.accept()), daemon=True
+        ).start()
+        monkeypatch.setattr(s3mod, "FETCH_TIMEOUT_S", 0.5)
+        try:
+            from cloudtiff_spark.sources import header_info_http
+
+            t0 = __import__("time").time()
+            with pytest.raises(RangeFetchTimeout, match="timed out"):
+                header_info_http(f"http://127.0.0.1:{port}/x.tif")
+            assert __import__("time").time() - t0 < 10
+        finally:
+            lsock.close()

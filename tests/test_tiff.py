@@ -227,6 +227,39 @@ class TestPixelFormats:
         # photometric 1 routes through the same conversion
         assert np.array_equal(photometric_to_rgb8(f[:, :, None], 1), got)
 
+    def test_grayf32_predictor3_roundtrip(self):
+        """Floating-point byte-shuffle predictor (Predictor=3, TIFF
+        TechNote 3) — the deflate+fp-predictor combination real elevation
+        COGs ship with; bit-exact through both compressors."""
+        from cloudtiff_spark.tiff import COMPRESSION_LZW
+
+        rng = np.random.default_rng(18)
+        img = (rng.random((70, 130), dtype=np.float32) * 4000.0 - 100.0).astype(
+            np.float32
+        )
+        self._roundtrip(img, predictor=3)
+        self._roundtrip(img, predictor=3, compression=COMPRESSION_LZW)
+
+    def test_predictor3_compresses_better_on_smooth_floats(self):
+        from cloudtiff_spark import tiff
+
+        y, x = np.mgrid[0:128, 0:128]
+        dem = (1000.0 + 3.5 * x + 1.2 * y + np.sin(x / 9.0) * 4.0).astype(np.float32)
+        plain = tiff.encode_cog(dem, 4326, 0.0, 50.0, 1e-4)
+        pred = tiff.encode_cog(dem, 4326, 0.0, 50.0, 1e-4, predictor=3)
+        assert len(pred) < len(plain)
+
+    def test_predictor3_on_ints_rejected(self):
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        rng = np.random.default_rng(19)
+        with pytest.raises(UnsupportedPixelFormat, match="float-only"):
+            tiff.encode_cog(
+                rng.integers(0, 256, (32, 32), dtype=np.uint8), 4326, 0, 0, 1e-4,
+                predictor=3,
+            )
+
     def test_grayf32_typed_rejects(self):
         from cloudtiff_spark import tiff
         from cloudtiff_spark.errors import UnsupportedPixelFormat
