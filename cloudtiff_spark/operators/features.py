@@ -60,9 +60,14 @@ def image_features(images: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h"))
+            src = "raster" if "raster" in pdf.columns else "bytes"
+            cols = (pdf[c].to_numpy() for c in ("image_id", src, "fmt", "w", "h"))
             for image_id, data, fmt, w, h in zip(*cols):
-                arr = decode_image(data, fmt, int(w), int(h)).astype(np.float64)
+                if src == "raster":  # pre-decoded RGB8 (session raster cache)
+                    arr = np.frombuffer(data, np.uint8).reshape(int(h), int(w), 3)
+                    arr = arr.astype(np.float64)
+                else:
+                    arr = decode_image(data, fmt, int(w), int(h)).astype(np.float64)
                 luma = arr @ np.array([0.299, 0.587, 0.114])
                 gx = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(luma, axis=0)).mean() if luma.shape[0] > 1 else 0.0
@@ -195,9 +200,13 @@ def image_thumbnails(images: DataFrame, max_px: int = 32) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h"))
+            src = "raster" if "raster" in pdf.columns else "bytes"
+            cols = (pdf[c].to_numpy() for c in ("image_id", src, "fmt", "w", "h"))
             for image_id, data, fmt, w0, h0 in zip(*cols):
-                arr = decode_image(data, fmt, int(w0), int(h0))
+                if src == "raster":  # pre-decoded RGB8 (session raster cache)
+                    arr = np.frombuffer(data, np.uint8).reshape(int(h0), int(w0), 3)
+                else:
+                    arr = decode_image(data, fmt, int(w0), int(h0))
                 h, w = arr.shape[:2]
                 s = max(w, h) / max_px
                 tw, th = max(1, int(w / s)), max(1, int(h / s))

@@ -148,10 +148,17 @@ def build_tiles(images: DataFrame, tw: int = TILE, th: int = TILE, resample: str
             rows = []
             # column-zip iteration: iterrows builds a Series per row (~30us
             # each), which is pure overhead at image grain
-            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h"))
+            src = "raster" if "raster" in pdf.columns else "bytes"
+            cols = (pdf[c].to_numpy() for c in ("image_id", src, "fmt", "w", "h"))
             for image_id, data_in, fmt, w, h in zip(*cols):
                 w, h = int(w), int(h)
-                arr = decode_image(data_in, fmt, w, h)
+                # a `raster` column is pre-decoded RGB8 (the session raster
+                # cache); fmt still names the SOURCE format so tile
+                # re-encode and labeling stay unchanged
+                if src == "raster":
+                    arr = np.frombuffer(data_in, dtype=np.uint8).reshape(h, w, 3)
+                else:
+                    arr = decode_image(data_in, fmt, w, h)
                 n_lv = num_levels(w, h, tw, th)
                 cur = arr
                 for lv in range(n_lv):
