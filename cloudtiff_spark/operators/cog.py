@@ -71,6 +71,8 @@ def write_cogs(images_with_geo: DataFrame) -> DataFrame:
             )
             for image_id, data, fmt, w, h, epsg, ox, oy, sp in zip(*cols):
                 if src == "raster":  # pre-decoded RGB8 (session raster cache)
+                    if data is None:  # cache-marked undecodable row
+                        continue
                     arr = np.frombuffer(data, np.uint8).reshape(int(h), int(w), 3)
                 else:
                     arr = decode_image(data, fmt, int(w), int(h))

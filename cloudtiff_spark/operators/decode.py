@@ -46,6 +46,8 @@ def raster_phash_udf(raster: pd.Series) -> pd.Series:
     out = np.zeros(len(raster), dtype=np.int64)
     rv = raster.to_numpy()
     for i in range(len(out)):
+        if rv[i] is None:  # cache-build decode failure: no pixels to hash
+            continue
         digest = hashlib.sha256(rv[i]).digest()
         out[i] = np.int64(np.uint64(int.from_bytes(digest[-8:], "big")))
     return pd.Series(out)
@@ -64,7 +66,10 @@ def decode_check(images: DataFrame) -> DataFrame:
         return images.select(
             "image_id",
             "fmt",
-            (raster_phash_udf(F.col("raster")) == F.col("phash")).alias("phash_ok"),
+            (
+                F.col("raster").isNotNull()
+                & (raster_phash_udf(F.col("raster")) == F.col("phash"))
+            ).alias("phash_ok"),
         )
     return images.select(
         "image_id",

@@ -64,6 +64,8 @@ def image_features(images: DataFrame) -> DataFrame:
             cols = (pdf[c].to_numpy() for c in ("image_id", src, "fmt", "w", "h"))
             for image_id, data, fmt, w, h in zip(*cols):
                 if src == "raster":  # pre-decoded RGB8 (session raster cache)
+                    if data is None:  # cache-marked undecodable row
+                        continue
                     arr = np.frombuffer(data, np.uint8).reshape(int(h), int(w), 3)
                     arr = arr.astype(np.float64)
                 else:
@@ -204,6 +206,8 @@ def image_thumbnails(images: DataFrame, max_px: int = 32) -> DataFrame:
             cols = (pdf[c].to_numpy() for c in ("image_id", src, "fmt", "w", "h"))
             for image_id, data, fmt, w0, h0 in zip(*cols):
                 if src == "raster":  # pre-decoded RGB8 (session raster cache)
+                    if data is None:  # cache-marked undecodable row
+                        continue
                     arr = np.frombuffer(data, np.uint8).reshape(int(h0), int(w0), 3)
                 else:
                     arr = decode_image(data, fmt, int(w0), int(h0))

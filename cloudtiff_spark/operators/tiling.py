@@ -156,6 +156,8 @@ def build_tiles(images: DataFrame, tw: int = TILE, th: int = TILE, resample: str
                 # cache); fmt still names the SOURCE format so tile
                 # re-encode and labeling stay unchanged
                 if src == "raster":
+                    if data_in is None:  # cache-marked undecodable row
+                        continue
                     arr = np.frombuffer(data_in, dtype=np.uint8).reshape(h, w, 3)
                 else:
                     arr = decode_image(data_in, fmt, w, h)

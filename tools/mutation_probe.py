@@ -1,0 +1,178 @@
+"""Oracle sensitivity probe: perturb one input row, assert the driver-style
+compare goes RED for every query that claims to depend on that input.
+
+A green CORRECTNESS row only means engine == oracle; if both sides were
+accidentally constant (or the compare vacuous), corruption would sail
+through. This probe mutates one document / one embedding / one image
+payload via a monkeypatched loader and re-runs the exact value-hash
+compare: queries listed under the mutation MUST mismatch, and MUST match
+again unmutated. Exit 0 = every probe behaved.
+
+Usage: python tools/mutation_probe.py   [env: SF_DIR]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: mutation name -> (queries that must go red under it)
+PROBES = {
+    "doc_text": ["simhash", "fingerprint", "token_stats", "token_count_bpe", "dedup_exact"],
+    "embedding": ["embed_topk", "embed_near_dup"],
+    "image_payload": ["decode_check", "image_features", "thumbnails"],
+    # env_probe reads lineitem via spark.read directly (schema probe), so
+    # the _t patch does not reach it — its cents digit is exercised by the
+    # engines' own divergence, not this probe
+    "lineitem_price": ["pricing_summary", "top_orders"],
+}
+
+
+def value_hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted("|".join(repr(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
+
+
+def arrow_rows(tbl):
+    cols = tbl.column_names
+    pylists = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return (list(zip(*pylists)) if pylists else []), cols
+
+
+def compare(spark, con, E, name: str) -> bool:
+    sdf = E.queries()[name](spark, SF_DIR)
+    srows, scols = arrow_rows(sdf.toArrow())
+    res = con.execute(E.oracle_sql()[name])
+    orows, ocols = arrow_rows(res.arrow())
+    return (
+        len(srows) == len(orows)
+        and sorted(scols) == sorted(ocols)
+        and value_hash(srows, scols) == value_hash(orows, ocols)
+    )
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from cloudtiff_spark.session import get_spark
+
+    spark = get_spark("mutation-probe", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    orig_docs, orig_emb = E._docs, E._emb
+    orig_tables, orig_t = E._fixture_tables, E._t
+
+    def mutate(kind: str):
+        """Install a loader that perturbs exactly one row."""
+        E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
+        E._RASTER_CACHE.clear()
+        E._TILES_CACHE.clear()
+        if kind == "doc_text":
+            # full replacement, not an append: sketch operators (winnowing
+            # fingerprint) are insensitive to benign suffixes BY DESIGN
+            E._docs = lambda s, d: orig_docs(s, d).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") == 0,
+                    F.lit("probe mutated replacement text words here entirely new"),
+                ).otherwise(F.col("text")),
+            )
+        elif kind == "embedding":
+            E._emb = lambda s, d: orig_emb(s, d).withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") == 0,
+                    F.transform("embedding", lambda x: x + F.lit(0.01)),
+                ).otherwise(F.col("embedding")),
+            )
+        elif kind == "image_payload":
+
+            def tables(s, d):
+                images, meta, queries = orig_tables(s, d)
+                # corrupt one 10%-subset image's payload tail byte
+                first = (
+                    images.filter(F.col("image_id").endswith("0"))
+                    .select("image_id")
+                    .orderBy("image_id")
+                    .first()[0]
+                )
+                # stomp 4 mid-payload bytes (a trailing-byte flip would sit
+                # past the entropy-coded data and decode identically)
+                images = images.withColumn(
+                    "bytes",
+                    F.when(
+                        F.col("image_id") == first,
+                        F.expr(
+                            "concat(substring(bytes, 1, cast(length(bytes)/2 as int)), "
+                            "X'00FF00FF', "
+                            "substring(bytes, cast(length(bytes)/2 as int) + 5))"
+                        ),
+                    ).otherwise(F.col("bytes")),
+                )
+                return images, meta, queries
+
+            E._fixture_tables = tables
+        elif kind == "lineitem_price":
+
+            # top_orders is a top-10: only a mutation INSIDE the current
+            # top set can change it. Take the reigning #1 order (which also
+            # exists in pricing_summary's full aggregate).
+            min_key = int(
+                con.execute(E.oracle_sql()["top_orders"]).fetchone()[0]
+            )
+
+            def t(s, d, name):
+                df = orig_t(s, d, name)
+                if name == "lineitem":
+                    df = df.withColumn(
+                        "l_extendedprice",
+                        F.when(
+                            (F.col("l_orderkey") == min_key) & (F.col("l_linenumber") == 1),
+                            F.col("l_extendedprice") + 1.0,
+                        ).otherwise(F.col("l_extendedprice")),
+                    )
+                return df
+
+            E._t = t
+        else:
+            raise ValueError(kind)
+
+    failures = []
+    for kind, names in PROBES.items():
+        mutate(kind)
+        for name in names:
+            red = not compare(spark, con, E, name)
+            print(f"{'ok  ' if red else 'MISS'} {kind:15s} -> {name:18s} "
+                  f"{'went red' if red else 'STAYED GREEN (vacuous oracle?)'}")
+            if not red:
+                failures.append((kind, name))
+    # sanity: unmutated is green again
+    E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
+    E._RASTER_CACHE.clear()
+    E._TILES_CACHE.clear()
+    for name in ["simhash", "embed_topk", "decode_check", "pricing_summary"]:
+        ok = compare(spark, con, E, name)
+        print(f"{'ok  ' if ok else 'FAIL'} unmutated -> {name}: {'green' if ok else 'RED'}")
+        if not ok:
+            failures.append(("unmutated", name))
+    spark.stop()
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
