@@ -131,11 +131,20 @@ def _compress_tile(arr: np.ndarray, compression: int, predictor: int = 1) -> byt
     raise CompressionNotSupported(compression)
 
 
+def _projected_crs_supported(epsg: int) -> bool:
+    """Writable projected CRSs = everything the projection hub can
+    transform (UTM-pattern zones, 3857, and the conic/polar registry)."""
+    from .projection import crs_is_supported
+
+    return crs_is_supported(epsg)
+
+
 def _geokey_directory(epsg: int) -> list[int]:
     """GeoKeyDirectory shorts — mirrors the encoder paths
     (encode/mod.rs:294-393): EPSG 4326 (geographic, angular deg) or any
-    projected CRS the projection module can transform (UTM zones, 3857).
-    GTRasterType=1 in both (quirk parity)."""
+    projected CRS the projection module can transform (UTM zones, 3857,
+    Lambert/Albers/polar registry CRSs — all coded as a single
+    ProjectedCSTypeGeoKey). GTRasterType=1 in both (quirk parity)."""
     if epsg == 4326:
         keys = [
             (GK_MODEL_TYPE, 0, 1, 2),
@@ -143,7 +152,7 @@ def _geokey_directory(epsg: int) -> list[int]:
             (GK_GEOGRAPHIC_TYPE, 0, 1, 4326),
             (GK_ANGULAR_UNITS, 0, 1, 9102),
         ]
-    elif epsg == 3857 or (epsg // 100 in (326, 327) and 1 <= epsg % 100 <= 60):
+    elif epsg != 4326 and _projected_crs_supported(epsg):
         keys = [
             (GK_MODEL_TYPE, 0, 1, 1),
             (GK_RASTER_TYPE, 0, 1, 1),

@@ -89,9 +89,9 @@ class TestRoundTrip:
         assert tiff.T_MODELTRANSFORMATION in parsed["ifds"][0]
 
     def test_unsupported_epsg_raises(self):
-        # outside the geographic/UTM/web-mercator family the writer covers
+        # outside every supported family (27700 needs a real datum shift)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            tiff.encode_cog(_img(64, 64), 2154, 0, 0, 1.0)
+            tiff.encode_cog(_img(64, 64), 27700, 0, 0, 1.0)
 
     def test_no_levels_raises(self):
         # valid empty IFD chain (0 tags, next=0) -> NoLevels
@@ -381,12 +381,12 @@ class TestTypedErrors:
         from cloudtiff_spark.projection import utm_params
 
         with pytest.raises(UnsupportedCrs) as ei:
-            utm_params(2154)  # Lambert-93: real CRS, outside the family
+            utm_params(2154)  # Lambert-93 is conic, not a UTM zone
         assert ei.value.epsg == 2154
         assert issubclass(UnsupportedCrs, ProjectionError)
         with pytest.raises(UnsupportedCrs):
             tiff.encode_cog(
-                np.zeros((16, 16, 3), np.uint8), 2154, 0.0, 0.0, 1.0
+                np.zeros((16, 16, 3), np.uint8), 27700, 0.0, 0.0, 1.0
             )
 
     def test_unsupported_photometric_typed_with_name(self):
