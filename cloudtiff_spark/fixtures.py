@@ -363,7 +363,7 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
     out_dir = ensure_fixtures(sf_name)
     mb_dir = os.path.join(out_dir, "cogs_mb")
     marker = os.path.join(mb_dir, "_COMPLETE")
-    want = f"cogs_mb={_MB_COUNT}\n"
+    want = f"cogs_mb={_MB_COUNT} v2\n"  # v2: + expected_mb_stats.parquet
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:
@@ -372,7 +372,10 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
 
         shutil.rmtree(mb_dir, ignore_errors=True)  # family changed: regen
     os.makedirs(mb_dir, exist_ok=True)
+    from .oracle_expected import xxh64
+
     spec_rows = []
+    stat_rows = []
     for i in range(_MB_COUNT):
         image_id = f"mb_{i:03d}"
         kind = _MB_KINDS[i % len(_MB_KINDS)]
@@ -392,6 +395,19 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
         elif kind == "grayf32":
             # SampleFormat=3 normalized-float raster (elevation/NDVI shape)
             arr = rng.random((h, w), dtype=np.float32)
+            v64 = arr.astype(np.float64)
+            stat_rows.append(
+                {
+                    "image_id": image_id,
+                    "w": w,
+                    "h": h,
+                    "vmin_micro": int(np.floor(v64.min() * 1e6 + 0.5)),
+                    "vmax_micro": int(np.floor(v64.max() * 1e6 + 0.5)),
+                    "raster_hash": np.int64(
+                        np.uint64(xxh64(arr.astype("<f4").tobytes()))
+                    ).item(),
+                }
+            )
         else:
             arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
         cog = encode_cog(arr, 4326, -120.0 + i, 45.0, 1e-4, compression=comp, palette=palette)
@@ -421,6 +437,16 @@ def ensure_multiband_dir(sf_name: str = "sf0.01") -> str:
     tmp = os.path.join(mb_dir, f".spec.{os.getpid()}.tmp")
     pq.write_table(spec, tmp)
     os.replace(tmp, os.path.join(mb_dir, "spec.parquet"))
+    # expected float-raster stats, computed from the SOURCE arrays (never
+    # the container): equality with the engine's decode proves the whole
+    # f32 chain (SampleFormat=3 parse -> tile decode -> valid-region
+    # assemble) is lossless. raster_hash uses the from-spec xxh64 that
+    # pins Spark's xxhash64-on-binary (oracle_expected.xxh64).
+    if stat_rows:
+        stats = pa.Table.from_pylist(stat_rows)
+        tmp = os.path.join(mb_dir, f".stats.{os.getpid()}.tmp")
+        pq.write_table(stats, tmp)
+        os.replace(tmp, os.path.join(mb_dir, "expected_mb_stats.parquet"))
     tmpm = marker + f".{os.getpid()}.tmp"
     with open(tmpm, "w") as f:
         f.write(want)

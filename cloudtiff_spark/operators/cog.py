@@ -116,3 +116,77 @@ def parse_cogs(cogs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
 
     return cogs.mapInPandas(gen, schema=PARSED_SCHEMA)
+
+
+FLOAT_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("vmin_micro", LongType()),
+        StructField("vmax_micro", LongType()),
+        StructField("raster", BinaryType()),
+    ]
+)
+
+
+def decode_float_stats(spark, path: str, pattern: str = "*.tif"):
+    """Full-decode stats for SampleFormat=3 (float32) COGs in a directory:
+    parse the container, decode every level-0 tile, assemble the
+    valid-region raster (zero-padded tile edges cropped away — P9
+    semantics), and emit min/max micro-ints plus the raw '<f4' raster
+    bytes (hashed JVM-side by the caller). Non-float images are skipped —
+    the relation is the float subset of the directory.
+
+    Value-checked against expected_mb_stats.parquet, which is computed
+    from the SOURCE arrays at generation time: equality proves the whole
+    f32 chain (tag parse -> tile decode -> assemble) is lossless."""
+    from pyspark.sql import functions as F
+
+    from ..tiff import decode_tile
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.[^./]+$", 1).alias("image_id"),
+            "content",
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data in zip(pdf["image_id"], pdf["content"]):
+                data = bytes(data)
+                info = cog_info(data)
+                lev = info["levels"][0]
+                if lev.get("sample_format", 1) != 3:
+                    continue
+                w, h = lev["width"], lev["height"]
+                tw, th = lev["tile_w"], lev["tile_h"]
+                cols = (w + tw - 1) // tw
+                rows_n = (h + th - 1) // th
+                full = np.zeros((rows_n * th, cols * tw), dtype=np.float32)
+                for idx in range(len(lev["offsets"])):
+                    t = decode_tile(data, info, 0, idx)[:, :, 0]
+                    r, c = idx // cols, idx % cols
+                    full[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = t
+                valid = full[:h, :w]
+                v64 = valid.astype(np.float64)
+                rows.append(
+                    (
+                        image_id,
+                        w,
+                        h,
+                        int(np.floor(v64.min() * 1e6 + 0.5)),
+                        int(np.floor(v64.max() * 1e6 + 0.5)),
+                        valid.astype("<f4").tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FLOAT_STATS_SCHEMA.fields])
+
+    return files.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, schema=FLOAT_STATS_SCHEMA
+    )
