@@ -561,3 +561,75 @@ if __name__ == "__main__":
 
     for sf in sys.argv[1:] or ["sf0.001", "sf0.01"]:
         print(generate(sf))
+
+
+#: progressive-JPEG correctness family: deterministic images encoded with
+#: the §G scan script; expected table = decode of the BASELINE encoding of
+#: the same pixels (same quantized coefficients -> byte-identical decode)
+_PROG_COUNT = 12
+
+
+def ensure_progressive_dir(sf_name: str = "sf0.01") -> str:
+    """Materialize <fixture>/prog/: payloads.parquet (image_id, bytes
+    [SOF2 progressive JFIF], w, h) + expected_prog.parquet (image_id,
+    w, h, rgb_hash), where rgb_hash is the from-spec xxh64 of the pixels
+    DECODED FROM THE BASELINE encoding of the identical source. A
+    progressive decoder that mishandles any scan pass diverges from the
+    baseline decode and misses the hash."""
+    from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+    from .oracle_expected import xxh64
+
+    out_dir = ensure_fixtures(sf_name)
+    prog_dir = os.path.join(out_dir, "prog")
+    marker = os.path.join(prog_dir, "_COMPLETE")
+    want = f"prog={_PROG_COUNT} v1\n"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return prog_dir
+        import shutil
+
+        shutil.rmtree(prog_dir, ignore_errors=True)
+    os.makedirs(prog_dir, exist_ok=True)
+    pay_rows, exp_rows = [], []
+    for i in range(_PROG_COUNT):
+        image_id = f"prog_{i:03d}"
+        rng = _rng_for(f"prog:{image_id}")
+        w, h = 48 + 19 * i, 40 + 13 * i
+        quality = [95, 90, 75, 50][i % 4]
+        if i % 3 == 2:  # gray rows exercise the 1-component scan script
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            base = rng.integers(0, 256, (h // 8 + 1, w // 8 + 1, 3)).astype(np.float64)
+            img = np.clip(np.kron(base, np.ones((8, 8, 1)))[:h, :w], 0, 255).astype(
+                np.uint8
+            )
+            if i % 4 == 3:  # plus pure-noise rows (dense AC, refinements)
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pay_rows.append(
+            {
+                "image_id": image_id,
+                "bytes": encode_jpeg_progressive(img, quality),
+                "w": w,
+                "h": h,
+            }
+        )
+        rgb = decode_jpeg(encode_jpeg(img, quality))  # BASELINE decode
+        exp_rows.append(
+            {
+                "image_id": image_id,
+                "w": w,
+                "h": h,
+                "rgb_hash": np.int64(np.uint64(xxh64(rgb.tobytes()))).item(),
+            }
+        )
+    for name, rows in (("payloads.parquet", pay_rows), ("expected_prog.parquet", exp_rows)):
+        tbl = pa.Table.from_pylist(rows)
+        tmp = os.path.join(prog_dir, f".{name}.{os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(prog_dir, name))
+    tmpm = marker + f".{os.getpid()}.tmp"
+    with open(tmpm, "w") as f:
+        f.write(want)
+    os.replace(tmpm, marker)
+    return prog_dir
