@@ -379,6 +379,162 @@ class TestProgressiveJpeg:
         out = decode_jpeg(encode_jpeg_progressive(img, codecs.JPEG_QUALITY))
         assert codecs.psnr(img, out) >= 40.0
 
+    def test_progressive_420_subsampled(self):
+        """4:2:0 progressive (the common web-JPEG shape; our test encoder
+        is 4:4:4-only): hand-build baseline and progressive streams over
+        the SAME quantized coefficients for a single-MCU 16x16 image
+        (4 Y blocks + 1 Cb + 1 Cr) and assert bit-identical decode —
+        exercises multi-block interleaved DC scans and the non-interleaved
+        per-component AC grid indexing."""
+        import struct
+
+        from cloudtiff_spark import jpeg as J
+
+        rng = np.random.default_rng(77)
+        y = rng.integers(30, 220, (16, 16)).astype(np.float64)
+        cb = rng.integers(100, 156, (8, 8)).astype(np.float64)
+        cr = rng.integers(100, 156, (8, 8)).astype(np.float64)
+        qt = np.ones(64, dtype=np.int32)
+
+        def quant(plane):
+            blocks = J._to_blocks(plane - 128.0)
+            coefs = np.einsum("ij,bjk,kl->bil", J._C, blocks, J._C.T)
+            return np.round(coefs).astype(np.int32).reshape(-1, 64)[:, J._ZIGZAG]
+
+        qplanes = [quant(y), quant(cb), quant(cr)]  # 4, 1, 1 blocks
+        dc_codes = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+        ac_codes = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+
+        def headers(sof_marker):
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            out += bytes(qt[J._ZIGZAG].tolist())
+            sof = struct.pack(">BHHB", 8, 16, 16, 3)
+            sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+            out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+            out += J._dht_segment(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+            out += J._dht_segment(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+            return out
+
+        # ---- baseline stream (one interleaved scan) ----
+        base = headers(b"\xff\xc0")
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+        base += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        w = J._JBitWriter()
+        preds = [0, 0, 0]
+        for ci, q in [(0, qplanes[0]), (1, qplanes[1]), (2, qplanes[2])]:
+            for b in range(q.shape[0]):
+                preds[ci] = J._encode_block(w, q[b], preds[ci], dc_codes, ac_codes)
+        base += w.flush() + b"\xff\xd9"
+
+        # ---- progressive stream (§G scan script, Al=1) ----
+        AL = 1
+        prog = headers(b"\xff\xc2")
+
+        def sos_hdr(comp_ids, ss, se, ah, al):
+            seg = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                seg += bytes([cid, 0x00])
+            seg += bytes([ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+        def put_mag(wtr, v, size):
+            wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+        # scan 1: DC first, interleaved — MCU order: Y0..Y3, Cb, Cr
+        prog += sos_hdr([1, 2, 3], 0, 0, 0, AL)
+        w = J._JBitWriter()
+        preds = [0, 0, 0]
+        for ci, b in [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (2, 0)]:
+            v = int(qplanes[ci][b, 0]) >> AL
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = J._bit_size(abs(diff))
+            code, ln = dc_codes[size]
+            w.write(code, ln)
+            if size:
+                put_mag(w, diff, size)
+        prog += w.flush()
+        # scan 2: DC refine
+        prog += sos_hdr([1, 2, 3], 0, 0, AL, 0)
+        w = J._JBitWriter()
+        for ci, b in [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (2, 0)]:
+            w.write(int(qplanes[ci][b, 0]) & 1, 1)
+        prog += w.flush()
+        # per-component AC first (Al=1) then AC refine — non-interleaved,
+        # component block grid order (raster; Y grid is 2x2)
+        for ci, cid in [(0, 1), (1, 2), (2, 3)]:
+            prog += sos_hdr([cid], 1, 63, 0, AL)
+            w = J._JBitWriter()
+            for b in range(qplanes[ci].shape[0]):
+                zz = qplanes[ci][b]
+                shifted = [
+                    (int(v) >> AL if v >= 0 else -((-int(v)) >> AL)) for v in zz[1:]
+                ]
+                nzp = [i + 1 for i, v in enumerate(shifted) if v != 0]
+                prev = 0
+                for k in nzp:
+                    run = k - prev - 1
+                    prev = k
+                    while run > 15:
+                        c_, l_ = ac_codes[0xF0]
+                        w.write(c_, l_)
+                        run -= 16
+                    v = shifted[k - 1]
+                    size = J._bit_size(abs(v))
+                    c_, l_ = ac_codes[(run << 4) | size]
+                    w.write(c_, l_)
+                    put_mag(w, v, size)
+                if prev != 63:
+                    c_, l_ = ac_codes[0x00]
+                    w.write(c_, l_)
+            prog += w.flush()
+        for ci, cid in [(0, 1), (1, 2), (2, 3)]:
+            prog += sos_hdr([cid], 1, 63, AL, 0)
+            w = J._JBitWriter()
+            for b in range(qplanes[ci].shape[0]):
+                zz = qplanes[ci][b]
+                temps = [abs(int(v)) for v in zz[1:]]
+                signs = [int(v) > 0 for v in zz[1:]]
+                hist = [t >> AL for t in temps]
+                newly = [i for i, (t, hh) in enumerate(zip(temps, hist)) if t and hh == 0]
+                eob_pos = newly[-1] if newly else -1
+                r = 0
+                buffered = []
+                for i, t in enumerate(temps):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_pos:
+                        c_, l_ = ac_codes[0xF0]
+                        w.write(c_, l_)
+                        r -= 16
+                        for bit in buffered:
+                            w.write(bit, 1)
+                        buffered = []
+                    if hist[i] != 0:
+                        buffered.append(t & 1)
+                        continue
+                    c_, l_ = ac_codes[(r << 4) | 1]
+                    w.write(c_, l_)
+                    w.write(1 if signs[i] else 0, 1)
+                    for bit in buffered:
+                        w.write(bit, 1)
+                    buffered = []
+                    r = 0
+                if r > 0 or buffered:
+                    c_, l_ = ac_codes[0x00]
+                    w.write(c_, l_)
+                    for bit in buffered:
+                        w.write(bit, 1)
+            prog += w.flush()
+        prog += b"\xff\xd9"
+
+        dec_base = J.decode_jpeg(bytes(base))
+        dec_prog = J.decode_jpeg(bytes(prog))
+        assert dec_base.shape == (16, 16, 3)
+        assert np.array_equal(dec_base, dec_prog)
+
 
 class TestPredictor:
     def test_roundtrip_matches_cumsum(self):
