@@ -392,11 +392,29 @@ def auto_planes(n: int, target_bucket_rows: int = 1024) -> int:
     return max(2, int(np.ceil(np.log2(max(1.0, n / target_bucket_rows)))))
 
 
+def auto_tables(tau: float, n_planes: int, miss_target: float = 1e-6) -> int:
+    """Hash-table count for a target per-pair miss probability: a true
+    pair at cosine exactly tau collides per plane with
+    p = 1 - arccos(tau)/pi (random-hyperplane LSH), per table with
+    p^planes, and is missed by ALL tables with (1-p^planes)^T. Solving
+    for T at the miss target gives the recall knob as a formula instead
+    of a magic number — tau=0.3, planes=2, 1e-6 yields T=32, exactly the
+    empirically recall-1.0 setting on the fixtures. Clamped to [4, 64]:
+    below 4 the bound is meaninglessly loose, above 64 the fan-out cost
+    exceeds what a wider bucket (fewer planes) buys."""
+    p = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+    per_table = p**n_planes
+    if per_table >= 1.0:
+        return 4
+    t = int(np.ceil(np.log(miss_target) / np.log(1.0 - per_table)))
+    return int(np.clip(t, 4, 64))
+
+
 def embed_near_dup(
     emb: DataFrame,
     tau: float = 0.3,
     n_planes: int | None = None,
-    n_tables: int = 32,
+    n_tables: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -430,6 +448,8 @@ def embed_near_dup(
         return _embed_near_dup_exact(emb, tau, id_col, vec_col)
     if n_planes is None:
         n_planes = auto_planes(emb.count(), target_bucket_rows)
+    if n_tables is None:
+        n_tables = auto_tables(tau, n_planes)
     rng = np.random.default_rng(seed)
     dim = len(emb.select(vec_col).first()[0])
     planes = rng.normal(size=(n_tables, n_planes, dim))

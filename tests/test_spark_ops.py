@@ -490,6 +490,16 @@ class TestEmbedNearDup:
         assert auto_planes(1_000_000_000) == 20
         assert auto_planes(1_000_000, target_bucket_rows=256) == 12
 
+    def test_auto_tables_recall_formula(self):
+        """T = ceil(ln(miss)/ln(1-p^planes)) clamped to [4,64]; the
+        fixture-tuned (tau=0.3, planes=2) setting falls out as 32."""
+        from cloudtiff_spark.operators.dedup import auto_tables
+
+        assert auto_tables(0.3, 2) == 32
+        assert auto_tables(0.3, 3) == 58  # more planes -> more tables
+        assert auto_tables(0.9, 2) == 11  # high-tau pairs collide often
+        assert auto_tables(0.3, 10) == 64  # clamp: fan-out ceiling
+
     def test_bucket_population_stays_bounded(self, spark):
         """Guard: with auto planes the max bucket population per table
         stays within a small multiple of target_bucket_rows (balanced-hash
