@@ -593,6 +593,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if nc == 1:
+                # T.81 A.2: an Ns=1 scan is non-interleaved — its data
+                # units cover ceil(w/8) x ceil(h/8) blocks regardless of
+                # declared sampling factors (which only matter RELATIVE to
+                # other components). Normalizing to 1x1 makes the MCU and
+                # component grids coincide, so both scan paths enumerate
+                # the spec-correct block count for single-component frames
+                # declaring e.g. 2x2.
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
@@ -606,7 +615,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scomp = []
                 for si in range(ns):
                     cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
-                    ci = next(i for i, c in enumerate(frame["comps"]) if c["id"] == cs)
+                    ci = next(
+                        (i for i, c in enumerate(frame["comps"]) if c["id"] == cs), None
+                    )
+                    if ci is None:
+                        raise JpegError(f"SOS component id {cs} not in SOF")
                     scomp.append((ci, frame["comps"][ci], tdta >> 4, tdta & 0xF))
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                 scan, nxt = _destuff(data, pos + seglen)
@@ -627,7 +640,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scomp = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    raise JpegError(f"SOS component id {cs} not in SOF")
                 scomp.append((comp, tdta >> 4, tdta & 0xF))
             scan, _ = _destuff(data, pos + seglen)
             return _decode_scan(frame, scomp, qtables, hluts, restart_interval, scan)
@@ -856,7 +871,6 @@ def _prog_scan(
     if len(scomp) > 1 or ss == 0 and len(scomp) == len(frame["comps"]):
         if ss != 0:
             raise JpegError("interleaved AC scan is illegal (T.81 G.1.1)")
-        restart_unit = max(c["h"] * c["v"] for _, c, _, _ in scomp)  # blocks/MCU marker
         mcu_units = []
         for ci, c, _td, _ta in scomp:
             bw = mcux * c["h"]
@@ -884,7 +898,9 @@ def _prog_scan(
     for ci, c, td, ta in scomp:
         if ss == 0 and ah == 0 and (0, td) not in hluts:
             raise JpegError("missing DC Huffman table")
-        if ss > 0 and ah == 0 and (1, ta) not in hluts:
+        # AC scans decode Huffman symbols in BOTH first and refinement
+        # passes (refinement still codes run/size + EOBRUN symbols)
+        if ss > 0 and (1, ta) not in hluts:
             raise JpegError("missing AC Huffman table")
         luts[ci] = (hluts.get((0, td)), hluts.get((1, ta)))
 

@@ -410,6 +410,19 @@ def auto_tables(tau: float, n_planes: int, miss_target: float = 1e-6) -> int:
     return int(np.clip(t, 4, 64))
 
 
+def auto_lsh_params(n: int, tau: float, target_bucket_rows: int = 1024) -> tuple[int, int]:
+    """Co-solve (planes, tables): start from the bucket-size rule
+    (auto_planes), then — because RECALL is the contract — widen the
+    buckets (fewer planes, more candidate work) while the miss target
+    would need more tables than the fan-out ceiling allows. The clamp in
+    auto_tables is thus never the silent recall killer: it only binds
+    when even 2 planes cannot meet the target (pathologically low tau)."""
+    planes = auto_planes(n, target_bucket_rows)
+    while planes > 2 and auto_tables(tau, planes) >= 64:
+        planes -= 1
+    return planes, auto_tables(tau, planes)
+
+
 def embed_near_dup(
     emb: DataFrame,
     tau: float = 0.3,
@@ -446,12 +459,21 @@ def embed_near_dup(
     1-(1-p^planes)^tables with p = 1 - arccos(tau)/pi."""
     if mode == "exact":
         return _embed_near_dup_exact(emb, tau, id_col, vec_col)
-    if n_planes is None:
-        n_planes = auto_planes(emb.count(), target_bucket_rows)
-    if n_tables is None:
-        n_tables = auto_tables(tau, n_planes)
+    if n_planes is None or n_tables is None:
+        # one aggregation job feeds both knobs (count + an example vector);
+        # separate count()/first() actions would re-run the upstream scan
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+        ).first()
+        n, dim = int(row["n"]), len(row["v"])
+        auto_p, auto_t = auto_lsh_params(n, tau, target_bucket_rows)
+        if n_planes is None:
+            n_planes = auto_p
+        if n_tables is None:
+            n_tables = auto_tables(tau, n_planes)
+    else:
+        dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    dim = len(emb.select(vec_col).first()[0])
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
     @pandas_udf("array<long>")
@@ -499,15 +521,27 @@ def _embed_near_dup_exact(emb: DataFrame, tau: float, id_col: str, vec_col: str)
     M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
 
+    norms_m = np.linalg.norm(M, axis=1)
+
     def gen(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy().astype(np.int64)
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = Xn @ Mn.T  # (batch, n) — one matmul per Arrow batch
-            bi, ci = np.nonzero((S >= tau) & (ids[:, None] < all_ids[None, :]))
+            S = Xn @ Mn.T  # (batch, n) — one matmul per Arrow batch, as SCREEN
+            # screen slightly below tau, then recompute kept pairs with the
+            # CANONICAL elementwise formulation ((x*y).sum/(|x||y|)) — the
+            # one the LSH verify UDF and the oracle use. A matmul's
+            # blocked accumulation can differ in the last ulp, enough to
+            # flip a micro-int at a 1e-6 boundary.
+            bi, ci = np.nonzero((S >= tau - 1e-9) & (ids[:, None] < all_ids[None, :]))
+            xa, xb = X[bi], M[ci]
+            num = (xa * xb).sum(axis=1)
+            den = np.linalg.norm(xa, axis=1) * norms_m[ci]
+            cos = num / den
+            keep = cos >= tau
             yield pd.DataFrame(
-                {"id_a": ids[bi], "id_b": all_ids[ci], "cos": S[bi, ci]}
+                {"id_a": ids[bi[keep]], "id_b": all_ids[ci[keep]], "cos": cos[keep]}
             )
 
     return emb.select(id_col, vec_col).mapInPandas(

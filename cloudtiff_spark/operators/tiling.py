@@ -98,8 +98,14 @@ def resample_catmullrom(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
     # x axis: gather (h, dw, k, c) -> weighted sum over k
     mid = np.einsum("hdkc,dk->hdc", a[:, xi, :], xw)
     out = np.einsum("dkwc,dk->dwc", mid[yi, :, :], yw)
-    info = np.iinfo(arr.dtype)
-    out = np.clip(np.rint(out), info.min, info.max).astype(arr.dtype)
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        out = np.clip(np.rint(out), info.min, info.max).astype(arr.dtype)
+    else:
+        # float rasters: the kernel may legitimately over/undershoot
+        # (Catmull-Rom is interpolating, not range-preserving) — keep the
+        # values, only restore the dtype
+        out = out.astype(arr.dtype)
     return out[:, :, 0] if squeeze else out
 
 

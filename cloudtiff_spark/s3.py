@@ -47,6 +47,17 @@ def timed_urlopen(req, url: str):
         raise
 
 
+def timed_read(resp, url: str) -> bytes:
+    """resp.read() with the typed-timeout mapping: the socket deadline set
+    at urlopen also governs body reads, but a MID-BODY stall surfaces as a
+    bare TimeoutError ('the read operation timed out') — map it to the
+    same RangeFetchTimeout the connect path raises."""
+    try:
+        return resp.read()
+    except TimeoutError as exc:
+        raise RangeFetchTimeout(url, FETCH_TIMEOUT_S) from exc
+
+
 def _hmac(key: bytes, msg: str) -> bytes:
     return hmac.new(key, msg.encode(), hashlib.sha256).digest()
 
@@ -156,4 +167,4 @@ class S3RangeFetcher:
                 # silently downloads everything — fail loudly (same contract
                 # as header_info_http)
                 raise OSError(f"server ignored Range for s3://{self.bucket}/{key}")
-            return resp.read()
+            return timed_read(resp, self.endpoint + path)

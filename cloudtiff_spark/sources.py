@@ -70,13 +70,13 @@ def header_info_http(url: str, initial_bytes: int = 4096) -> tuple[dict, int]:
     n = initial_bytes
     data = b""
     while True:
-        from .s3 import timed_urlopen
+        from .s3 import timed_read, timed_urlopen
 
         req = urllib.request.Request(url, headers={"Range": f"bytes=0-{n - 1}"})
         with timed_urlopen(req, url) as resp:
             if resp.status == 200:
                 raise OSError(f"server ignored Range for {url!r} (status 200)")
-            data = resp.read()
+            data = timed_read(resp, url)
         from .tiff import cog_info
 
         try:

@@ -679,3 +679,55 @@ class TestCatmullRom:
             out = resample_catmullrom(img, 17, 11)
             assert out.dtype == dtype
             assert out.shape == ((11, 17) if len(shape) == 2 else (11, 17, shape[2]))
+
+
+class TestReviewHardening:
+    """Round-4 self-review fixes: untyped-exception paths and edge modes."""
+
+    def test_single_component_frame_ignores_sampling_factors(self):
+        # T.81 A.2: Ns=1 scans are non-interleaved; a gray SOF declaring
+        # 2x2 sampling must decode identically to the same stream at 1x1
+        import struct
+
+        from cloudtiff_spark import jpeg as J
+
+        rng = np.random.default_rng(7)
+        g = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+        b = bytearray(J.encode_jpeg(g, 95))
+        i = b.find(b"\xff\xc0")
+        # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+        b[i + 11] = 0x22  # the component's h|v nibble byte
+        assert np.array_equal(J.decode_jpeg(bytes(b)), J.decode_jpeg(J.encode_jpeg(g, 95)))
+
+    def test_progressive_typed_errors_on_hostile_streams(self):
+        from cloudtiff_spark import jpeg as J
+
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        data = bytearray(J.encode_jpeg_progressive(img, 90))
+        # (a) SOS naming a component id absent from SOF -> typed, not
+        # StopIteration
+        i = data.find(b"\xff\xda")
+        bad = bytearray(data)
+        bad[i + 5] = 9  # first scan-component id
+        with pytest.raises(J.JpegError, match="not in SOF"):
+            J.decode_jpeg(bytes(bad))
+        # (b) refinement scan with its AC table id pointing at an
+        # undefined table -> typed, not TypeError. Find the LAST SOS
+        # (an AC refinement scan, single component) and point ta at 3.
+        j = data.rfind(b"\xff\xda")
+        bad = bytearray(data)
+        bad[j + 6] = 0x03  # td<<4|ta -> ta=3 (undefined)
+        with pytest.raises(J.JpegError, match="missing AC Huffman"):
+            J.decode_jpeg(bytes(bad))
+
+    def test_catmullrom_float_raster(self):
+        from cloudtiff_spark.operators.tiling import resample_catmullrom
+
+        rng = np.random.default_rng(9)
+        f = rng.random((40, 40), dtype=np.float32)
+        out = resample_catmullrom(f, 20, 20)
+        assert out.dtype == np.float32 and out.shape == (20, 20)
+        # interpolating kernel: a constant field stays constant
+        const = np.full((32, 32), 0.625, dtype=np.float32)
+        assert np.allclose(resample_catmullrom(const, 16, 16), 0.625, atol=1e-6)

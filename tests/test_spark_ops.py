@@ -500,6 +500,21 @@ class TestEmbedNearDup:
         assert auto_tables(0.9, 2) == 11  # high-tau pairs collide often
         assert auto_tables(0.3, 10) == 64  # clamp: fan-out ceiling
 
+    def test_auto_lsh_params_cosolve_protects_recall(self):
+        """When the bucket rule wants more planes than the table ceiling
+        can compensate (review finding r4), the solver widens buckets
+        instead of silently dropping the miss target."""
+        from cloudtiff_spark.operators.dedup import auto_lsh_params, auto_tables
+
+        # small corpus: bucket rule dominates
+        assert auto_lsh_params(500, 0.3) == (2, 32)
+        # 10k corpus at tau=0.3: planes=4 would need 102 tables (clamped
+        # to 64 = recall loss); the solver backs off to 3 planes / 58
+        assert auto_lsh_params(10_000, 0.3) == (3, 58)
+        # high tau: collisions are easy, the bucket rule can keep planes
+        p, t = auto_lsh_params(1_000_000, 0.9)
+        assert p == 10 and t == auto_tables(0.9, 10) and t < 64
+
     def test_bucket_population_stays_bounded(self, spark):
         """Guard: with auto planes the max bucket population per table
         stays within a small multiple of target_bucket_rows (balanced-hash
