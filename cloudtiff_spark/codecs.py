@@ -443,6 +443,10 @@ def photometric_to_rgb8(
         return raster_to_rgb8(arr)
     if photometric == 0:
         return 255 - raster_to_rgb8(arr)
+    if photometric == 4 and (arr.ndim == 2 or arr.shape[2] == 1):
+        # TransparencyMask (photometrics.rs:28-29): a 1-bit coverage mask;
+        # decode_tile already scaled it to 0/255 — display as gray
+        return raster_to_rgb8(arr)
     if photometric == 5 and arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
         cmy = arr[:, :, :3].astype(np.uint32)
         k = arr[:, :, 3:4].astype(np.uint32)

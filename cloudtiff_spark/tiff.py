@@ -581,6 +581,27 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     if set(lev.get("bits_per_sample", [8])) - {bits}:
         raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")
     sf = lev.get("sample_format", 1)
+    if bits in (1, 2, 4) and sf == 1:
+        # bit-packed gray (incl. TransparencyMask): the reference's Raster
+        # does sub-byte masking on access (raster/mod.rs:152-183); here the
+        # tile unpacks once to u8 with the image-crate display scaling
+        # v * 255 / (2^bits - 1). Rows pad to byte boundaries (TIFF 6),
+        # FillOrder 1 (MSB first).
+        if spp != 1:
+            raise UnsupportedPixelFormat(f"{bits}-bit is gray-only")
+        row_bytes = (tw * bits + 7) // 8
+        if len(buf) != row_bytes * th:
+            raise ValueError(f"buffer size {len(buf)} != {th}x{row_bytes}B")
+        if lev.get("predictor", 1) != 1:
+            raise UnsupportedPixelFormat("predictors undefined for sub-byte samples")
+        bits_arr = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8).reshape(th, row_bytes), axis=1
+        )
+        samples = bits_arr[:, : tw * bits].reshape(th, tw, bits)
+        weights = 1 << np.arange(bits - 1, -1, -1, dtype=np.uint16)
+        vals = (samples.astype(np.uint16) * weights).sum(axis=2)
+        maxv = (1 << bits) - 1
+        return ((vals * 255 + maxv // 2) // maxv).astype(np.uint8)[:, :, None]
     if bits == 8 and sf == 1:
         dtype = np.uint8
     elif bits == 16 and sf == 1:

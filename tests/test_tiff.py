@@ -504,3 +504,84 @@ class TestTagToString:
         assert "ImageWidth[1]: 128" in out
         assert "ModelTiepoint[6]: [0.0, 0.0, 0.0, 1.5, 50.0, 0.0]" in out
         assert "GeoKeyDirectory[" in out
+
+
+class TestBitPackedGray:
+    """Sub-byte samples (1/2/4-bit gray, incl. TransparencyMask): the
+    reference's Raster does per-access sub-byte masking
+    (raster/mod.rs:152-183); decode_tile unpacks the tile once and scales
+    to u8 with the image-crate rule v*255/(2^bits-1). Streams are
+    hand-built (the writer intentionally does not emit sub-byte formats)."""
+
+    def _tiled_tiff(self, bits, tw, th, payload, photometric=1):
+        import struct
+
+        entries = []
+
+        def tag(code, dtype, values):
+            return (code, dtype, values)
+
+        # uncompressed single-tile classic-LE TIFF
+        ifd_tags = [
+            (256, 3, [tw]),  # width
+            (257, 3, [th]),  # length
+            (258, 3, [bits]),
+            (259, 3, [1]),  # no compression
+            (262, 3, [photometric]),
+            (277, 3, [1]),  # spp
+            (322, 3, [tw]),  # tile width
+            (323, 3, [th]),
+            (324, 4, [0]),  # offsets (patched)
+            (325, 4, [len(payload)]),
+        ]
+        hdr = b"II*\x00" + struct.pack("<I", 8)
+        ifd_pos = 8
+        data_pos = ifd_pos + 2 + 12 * len(ifd_tags) + 4
+        out = bytearray(hdr)
+        out += struct.pack("<H", len(ifd_tags))
+        for code, dt, vals in ifd_tags:
+            v = data_pos if code == 324 else vals[0]
+            out += struct.pack("<HHI", code, dt, 1)
+            out += struct.pack("<I", v) if dt == 4 else struct.pack("<HH", v, 0)
+        out += struct.pack("<I", 0)
+        out += payload
+        return bytes(out)
+
+    def test_1bit_mask_decode(self):
+        from cloudtiff_spark import tiff
+
+        # 8x2 tile: rows 0b10110001, 0b01110000
+        payload = bytes([0b10110001, 0b01110000])
+        data = self._tiled_tiff(1, 8, 2, payload, photometric=4)
+        info = tiff.cog_info(data)
+        t = tiff.decode_tile(data, info, 0, 0)
+        want = np.array(
+            [[1, 0, 1, 1, 0, 0, 0, 1], [0, 1, 1, 1, 0, 0, 0, 0]], dtype=np.uint8
+        ) * 255
+        assert np.array_equal(t[:, :, 0], want)
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+
+        rgb = photometric_to_rgb8(t, 4)
+        assert np.array_equal(rgb[:, :, 0], want)
+
+    def test_2bit_and_4bit_scaling(self):
+        from cloudtiff_spark import tiff
+
+        # 2-bit: samples 0,1,2,3 packed into one byte -> 0,85,170,255
+        data = self._tiled_tiff(2, 4, 1, bytes([0b00011011]))
+        t = tiff.decode_tile(data, tiff.cog_info(data), 0, 0)
+        assert t[0, :, 0].tolist() == [0, 85, 170, 255]
+        # 4-bit: 0x0F 0x8C -> 0, 255, 136, 204
+        data = self._tiled_tiff(4, 4, 1, bytes([0x0F, 0x8C]))
+        t = tiff.decode_tile(data, tiff.cog_info(data), 0, 0)
+        assert t[0, :, 0].tolist() == [0, 255, 136, 204]
+
+    def test_row_padding_to_byte_boundary(self):
+        from cloudtiff_spark import tiff
+
+        # width 5 at 1 bit: each row still occupies a full byte
+        payload = bytes([0b10101000, 0b01010000])
+        data = self._tiled_tiff(1, 5, 2, payload)
+        t = tiff.decode_tile(data, tiff.cog_info(data), 0, 0)
+        assert t[0, :, 0].tolist() == [255, 0, 255, 0, 255]
+        assert t[1, :, 0].tolist() == [0, 255, 0, 255, 0]
