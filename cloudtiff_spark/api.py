@@ -1,0 +1,165 @@
+"""User-facing facade mirroring the reference's entry points.
+
+A cloudtiff user drives the Rust library through three surfaces
+(README.md + lib.rs:40-50): ``CloudTiff::open``-style analyze
+(examples/file.rs:27, http.rs, s3.rs), the render builder
+(``cog.renderer().with_mp_limit(..).of_crop(..).with_reader(..).render()``,
+examples/demo.rs:39-44; ``of_output_region_lat_lon_deg`` for reprojected
+regions, render/mod.rs:168-182), and the WMTS ``tiles`` module
+(wmts.rs:22-44). This module exposes the same verbs over the Spark table
+model, so those call sites translate one-to-one:
+
+    ct = CloudTiffSpark(spark)
+    ct.open_directory("/data/cogs")                 # CloudTiff::open per file
+    ct.disect(cog_bytes)                            # examples/disect.rs
+    r = ct.renderer(images, meta)                   # RenderBuilder
+    r.with_mp_limit(1.0).of_crop(0.1, 0.2, 0.9, 0.8).render()
+    r.of_output_region_lat_lon_deg(w, s, e, n).render()
+    r.wmts_tile(z, x, y).render()
+
+Everything returns lazy DataFrames (the builder IS the logical plan, the
+same way the reference's RenderBuilder is, render/mod.rs:66-75); Catalyst
+replaces the hand-rolled dispatch in renderer.rs:18-57.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CloudTiffSpark:
+    """Session-scoped entry point (the `CloudTiff` analog at table scale)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    # ---- E1: analyze (CloudTiff::open family) ----
+
+    def open_directory(self, path: str, pattern: str = "*.tif") -> DataFrame:
+        """Header-only analyze of every COG under ``path`` — one row per
+        pyramid level (CloudTiff::open + header-only ranged read,
+        cog/mod.rs:91-135 / 272-320)."""
+        from .sources import analyze_cog_headers
+
+        return analyze_cog_headers(self.spark, path, pattern)
+
+    def open_http(self, url: str) -> dict:
+        """Ranged-GET analyze of one remote COG (examples/http.rs)."""
+        from .sources import header_info_http
+
+        info, _ = header_info_http(url)
+        return info
+
+    def open_s3(self, bucket: str, key: str, **client_kw) -> dict:
+        """SigV4 ranged analyze (examples/s3.rs); client_kw feeds the
+        stdlib SigV4 client (endpoint, access_key, secret_key, region)."""
+        from .s3 import S3RangeFetcher
+        from .tiff import cog_info
+
+        client = S3RangeFetcher(bucket=bucket, **client_kw)
+        data = client.fetch(key, 0, 64 * 1024)
+        return cog_info(data)
+
+    def open_bytes(self, data: bytes) -> dict:
+        """In-memory analyze (CloudTiff::open over a byte reader)."""
+        from .tiff import cog_info
+
+        return cog_info(data)
+
+    def disect(self, data: bytes) -> str:
+        """Debug dump of the container structure (examples/disect.rs)."""
+        from .sources import disect
+
+        return disect(data)
+
+    # ---- E2/E3: renders ----
+
+    def renderer(self, images: DataFrame, meta: DataFrame) -> "RenderBuilder":
+        """The RenderBuilder analog (render/mod.rs:66-75) over the
+        images+meta tables; tile materialization is deferred to render()."""
+        return RenderBuilder(self.spark, images, meta)
+
+    # ---- WMTS tiles module (lib.rs:47, wmts.rs) ----
+
+    def wmts_enumerate(self, meta: DataFrame, max_z: int = 18) -> DataFrame:
+        """Every slippy-map tile each image intersects per zoom
+        (tile_tree_indices, wmts.rs:22-44)."""
+        from .operators.spatial import wmts_enumerate
+
+        return wmts_enumerate(meta, max_z=max_z)
+
+
+class RenderBuilder:
+    """Immutable-ish builder: each with_/of_ call returns self for
+    chaining (the reference mutates the same way). ``render()`` produces
+    the DataFrame — dispatch on the region kind mirrors renderer.rs:18-57."""
+
+    def __init__(self, spark: SparkSession, images: DataFrame, meta: DataFrame) -> None:
+        self.spark = spark
+        self.images = images
+        self.meta = meta
+        self._mp_limit = 0.25  # the reference's default preview budget
+        self._crop: tuple[float, float, float, float] | None = None
+        self._region: tuple[float, float, float, float] | None = None
+        self._tiles: DataFrame | None = None
+
+    def with_mp_limit(self, mp: float) -> "RenderBuilder":
+        """Output megapixel cap -> output dims (util.rs:131-142)."""
+        self._mp_limit = float(mp)
+        return self
+
+    def with_tiles(self, tiles: DataFrame) -> "RenderBuilder":
+        """Inject a pre-materialized (possibly persisted) tiles table —
+        the `.with_reader` analog (render/mod.rs:99-101): the tile source
+        is pluggable."""
+        self._tiles = tiles
+        return self
+
+    def of_crop(self, xmin: float, ymin: float, xmax: float, ymax: float) -> "RenderBuilder":
+        """Normalized-unit image crop (render/mod.rs:162-165; saturated)."""
+        clamp = lambda v: min(1.0, max(0.0, float(v)))  # noqa: E731 — UnitFloat clamp (F9)
+        self._crop = (clamp(xmin), clamp(ymin), clamp(xmax), clamp(ymax))
+        self._region = None
+        return self
+
+    def of_output_region_lat_lon_deg(
+        self, west: float, south: float, east: float, north: float
+    ) -> "RenderBuilder":
+        """EPSG:4326 output region (render/mod.rs:168-182): every image
+        intersecting the region renders reprojected into it."""
+        self._region = (float(west), float(south), float(east), float(north))
+        self._crop = None
+        return self
+
+    def wmts_tile(self, z: int, x: int, y: int) -> "RenderBuilder":
+        """One slippy-map tile = its lat/lon bounds as the output region
+        (wmts.rs:124-132 -> of_output_region path, renderer.rs:38-56)."""
+        import math
+
+        n = 1 << z
+        west = x / n * 360.0 - 180.0
+        east = (x + 1) / n * 360.0 - 180.0
+        north = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+        south = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n))))
+        return self.of_output_region_lat_lon_deg(west, south, east, north)
+
+    def render(self) -> DataFrame:
+        """Dispatch on the configured region kind (renderer.rs:18-57)."""
+        from .operators.meta import levels_df
+        from .operators.render import crop_render, region_render
+        from .operators.tiling import build_tiles
+
+        tiles = self._tiles if self._tiles is not None else build_tiles(self.images)
+        lv = levels_df(self.meta)
+        if self._crop is not None:
+            return crop_render(lv, tiles, self._crop, mp_limit=self._mp_limit)
+        if self._region is not None:
+            w, s, e, n = self._region
+            q = self.spark.createDataFrame(
+                [("api_region", "region", w, s, e, n, self._mp_limit)],
+                "query_id string, kind string, rxmin double, rymin double, "
+                "rxmax double, rymax double, mp_limit double",
+            )
+            return region_render(lv, tiles, q)
+        raise ValueError("configure of_crop(...) or of_output_region_lat_lon_deg(...) first")

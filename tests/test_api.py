@@ -1,0 +1,112 @@
+"""Facade tests: the reference's user-facing call sites translate 1:1
+(README/lib.rs surfaces: open/analyze, render builder, WMTS tiles)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cloudtiff_spark.api import CloudTiffSpark
+
+
+@pytest.fixture(scope="module")
+def ct(spark):
+    return CloudTiffSpark(spark)
+
+
+@pytest.fixture(scope="module")
+def small_tables(spark, sf_small):
+    images = spark.read.parquet(os.path.join(sf_small, "images.parquet"))
+    meta = spark.read.parquet(os.path.join(sf_small, "images_meta.parquet"))
+    sample = [r[0] for r in images.select("image_id").limit(8).collect()]
+    yield (
+        images.filter(F.col("image_id").isin(sample)),
+        meta.filter(F.col("image_id").isin(sample)),
+    )
+
+
+class TestAnalyze:
+    def test_open_bytes_and_disect(self, ct):
+        from cloudtiff_spark import tiff
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+        data = tiff.encode_cog(img, 32609, 500000.0, 5000000.0, 10.0)
+        info = ct.open_bytes(data)
+        assert info["projection"]["epsg"] == 32609
+        dump = ct.disect(data)
+        assert "Level" in dump or "level" in dump
+
+    def test_open_directory(self, ct, spark):
+        from cloudtiff_spark.fixtures import ensure_cog_dir
+
+        cog_dir = ensure_cog_dir("sf0.001")
+        df = ct.open_directory(cog_dir)
+        rows = df.collect()
+        assert len(rows) > 0
+        assert {"image_id", "level", "lw", "lh", "sample_format"} <= set(df.columns)
+
+
+class TestRenderBuilder:
+    def test_crop_render_chain(self, ct, small_tables):
+        images, meta = small_tables
+        out = (
+            ct.renderer(images, meta)
+            .with_mp_limit(0.01)
+            .of_crop(0.1, 0.2, 0.9, 0.8)
+            .render()
+            .collect()
+        )
+        assert len(out) == images.count()
+        for r in out[:3]:
+            assert len(r.raster) == r.out_w * r.out_h * 3
+
+    def test_output_region_chain(self, ct, small_tables, spark):
+        images, meta = small_tables
+        # pick a region covering the first image's bounds
+        m = meta.first()
+        out = (
+            ct.renderer(images, meta)
+            .with_mp_limit(0.01)
+            .of_output_region_lat_lon_deg(m.xmin, m.ymin, m.xmax, m.ymax)
+            .render()
+            .collect()
+        )
+        assert any(r.image_id == m.image_id for r in out)
+
+    def test_wmts_tile_chain(self, ct, small_tables):
+        images, meta = small_tables
+        m = meta.first()
+        # the z=4 slippy tile containing the image center
+        import math
+
+        z, n = 4, 16
+        cx = (m.xmin + m.xmax) / 2
+        cy = (m.ymin + m.ymax) / 2
+        x = int((cx + 180.0) / 360.0 * n)
+        lat_r = math.radians(max(-85.05, min(85.05, cy)))
+        y = int((1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n)
+        out = ct.renderer(images, meta).with_mp_limit(0.005).wmts_tile(z, x, y).render()
+        rows = out.collect()
+        assert any(r.image_id == m.image_id for r in rows)
+
+    def test_unconfigured_raises(self, ct, small_tables):
+        images, meta = small_tables
+        with pytest.raises(ValueError, match="of_crop"):
+            ct.renderer(images, meta).render()
+
+    def test_with_tiles_injection(self, ct, small_tables):
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images, meta = small_tables
+        tiles = build_tiles(images)
+        a = (
+            ct.renderer(images, meta)
+            .with_tiles(tiles)
+            .with_mp_limit(0.01)
+            .of_crop(0.2, 0.2, 0.8, 0.8)
+            .render()
+            .collect()
+        )
+        assert len(a) == images.count()
