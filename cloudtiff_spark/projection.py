@@ -336,6 +336,64 @@ def aea2sp_inverse(x_m, y_m, a, e2, p):
     return np.degrees(theta / n + lon0), np.degrees(phi)
 
 
+def _laea_consts(a, e2, p):
+    e = np.sqrt(e2)
+    lat0 = np.radians(p["lat0"])
+    qp = _q_snyder(np.pi / 2, e, e2)
+    q1 = _q_snyder(lat0, e, e2)
+    beta1 = np.arcsin(q1 / qp)
+    rq = a * np.sqrt(qp / 2)
+    m1 = _m_snyder(lat0, e2)
+    d = a * m1 / (rq * np.cos(beta1))
+    return e, qp, beta1, rq, d, np.radians(p["lon0"])
+
+
+def laea_forward(lon_deg, lat_deg, a, e2, p):
+    """Oblique ellipsoidal Lambert azimuthal equal-area
+    (Snyder 24-2..24-14) — ETRS89-LAEA Europe (EPSG:3035) family."""
+    e, qp, beta1, rq, d, lon0 = _laea_consts(a, e2, p)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    q = _q_snyder(lat, e, e2)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    dlon = lon - lon0
+    b = rq * np.sqrt(
+        2.0 / (1.0 + np.sin(beta1) * np.sin(beta) + np.cos(beta1) * np.cos(beta) * np.cos(dlon))
+    )
+    x = p["fe"] + b * d * np.cos(beta) * np.sin(dlon)
+    y = p["fn"] + (b / d) * (
+        np.cos(beta1) * np.sin(beta) - np.sin(beta1) * np.cos(beta) * np.cos(dlon)
+    )
+    return x, y
+
+
+def laea_inverse(x_m, y_m, a, e2, p):
+    """Snyder 24-15..24-26 with the authalic-latitude Newton iteration."""
+    e, qp, beta1, rq, d, lon0 = _laea_consts(a, e2, p)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = np.asarray(y_m, np.float64) - p["fn"]
+    rho = np.sqrt((x / d) ** 2 + (d * y) ** 2)
+    rho_safe = np.where(rho == 0.0, 1.0, rho)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    q = qp * (
+        np.cos(ce) * np.sin(beta1) + (d * y * np.sin(ce) * np.cos(beta1)) / rho_safe
+    )
+    q = np.where(rho == 0.0, qp * np.sin(beta1), q)
+    lam = lon0 + np.arctan2(
+        x * np.sin(ce),
+        d * rho_safe * np.cos(beta1) * np.cos(ce) - d * d * y * np.sin(beta1) * np.sin(ce),
+    )
+    lam = np.where(rho == 0.0, lon0, lam)
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = 1 - e2 * s**2
+        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return np.degrees(lam), np.degrees(phi)
+
+
 def _ps_rho_factor(a, e2, p):
     """a*m_c/t_c (lat_ts form, Snyder 21-34) or 2a k0 / sqrt((1+e)^(1+e)
     (1-e)^(1-e)) (k0 form, Snyder 21-39) — the rho = factor * t scale."""
@@ -417,6 +475,13 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
     # WGS84 / UPS North and South (k0 variant)
     32661: ("ps", _A, _E2, dict(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=False)),
     32761: ("ps", _A, _E2, dict(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=True)),
+    # ETRS89-extended / LAEA Europe (the EU INSPIRE statistical grid)
+    3035: (
+        "laea",
+        _GRS80_A,
+        _GRS80_E2,
+        dict(lat0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0),
+    ),
     # ETRS89 / LCC Europe
     3034: (
         "lcc2sp",
@@ -426,8 +491,18 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
     ),
 }
 
-_FAMILY_FWD = {"lcc2sp": lcc2sp_forward, "aea2sp": aea2sp_forward, "ps": ps_forward}
-_FAMILY_INV = {"lcc2sp": lcc2sp_inverse, "aea2sp": aea2sp_inverse, "ps": ps_inverse}
+_FAMILY_FWD = {
+    "lcc2sp": lcc2sp_forward,
+    "aea2sp": aea2sp_forward,
+    "ps": ps_forward,
+    "laea": laea_forward,
+}
+_FAMILY_INV = {
+    "lcc2sp": lcc2sp_inverse,
+    "aea2sp": aea2sp_inverse,
+    "ps": ps_inverse,
+    "laea": laea_inverse,
+}
 
 
 def crs_is_supported(epsg: int) -> bool:

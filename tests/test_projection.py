@@ -172,7 +172,7 @@ class TestConicPolarFamilies:
     scale 1 at standard parallels, Jacobian 1 for equal-area, exact
     round-trip closure."""
 
-    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034]
+    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035]
 
     @staticmethod
     def _local_scale(fwd, lon, lat, a, e2):
@@ -189,13 +189,19 @@ class TestConicPolarFamilies:
 
     def _fwd(self, epsg):
         family, a, e2, p = P.CRS_REGISTRY[epsg]
-        fn = {"lcc2sp": P.lcc2sp_forward, "aea2sp": P.aea2sp_forward, "ps": P.ps_forward}[family]
+        fn = {
+            "lcc2sp": P.lcc2sp_forward,
+            "aea2sp": P.aea2sp_forward,
+            "ps": P.ps_forward,
+            "laea": P.laea_forward,
+        }[family]
         return (lambda lo, la: fn(lo, la, a, e2, p)), a, e2, p, family
 
     def test_roundtrip_closure_all_registry_crs(self):
         rng = np.random.default_rng(77)
         domains = {
             2154: (-4.5, 8.0, 42.0, 51.0),
+            3035: (-10.0, 30.0, 35.0, 65.0),
             3034: (-10.0, 30.0, 35.0, 65.0),
             5070: (-120.0, -75.0, 25.0, 49.0),
             3031: (-180.0, 180.0, -88.0, -62.0),
@@ -228,6 +234,26 @@ class TestConicPolarFamilies:
         for lon, lat in [(-96.0, 29.5), (-96.0, 45.5), (-80.0, 40.0), (-115.0, 33.0)]:
             h, k = self._local_scale(fwd, lon, lat, a, e2)
             assert abs(h * k - 1) < 1e-6, (lon, lat)
+
+    def test_laea_area_jacobian_one(self):
+        # oblique azimuthal axes are not meridian-aligned: use the full
+        # cross-product Jacobian, not h*k
+        fwd, a, e2, p, _ = self._fwd(3035)
+        d = 1e-6
+        for lon, lat in [(10.0, 52.0), (25.0, 60.0), (-5.0, 40.0)]:
+            x0, y0 = fwd(np.array([lon]), np.array([lat]))
+            x1, y1 = fwd(np.array([lon]), np.array([lat + d]))
+            x2, y2 = fwd(np.array([lon + d]), np.array([lat]))
+            latr = np.radians(lat)
+            m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+            n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+            jac = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))[0] / (
+                m_rad * np.radians(d) * n_rad * np.cos(latr) * np.radians(d)
+            )
+            assert abs(jac - 1) < 1e-6, (lon, lat)
+        # projection center maps exactly to the false origin
+        x, y = fwd(np.array([p["lon0"]]), np.array([p["lat0"]]))
+        assert abs(x[0] - p["fe"]) < 1e-6 and abs(y[0] - p["fn"]) < 1e-6
 
     def test_polar_stereographic_invariants(self):
         # pole maps to (fe, fn); scale 1 at lat_ts; k0 at the pole for UPS
