@@ -394,6 +394,95 @@ def laea_inverse(x_m, y_m, a, e2, p):
     return np.degrees(lam), np.degrees(phi)
 
 
+def laea_polar_forward(lon_deg, lat_deg, a, e2, p):
+    """Polar-aspect ellipsoidal LAEA (Snyder 24-23/24-24 polar case;
+    north: rho = a*sqrt(qp - q)): Arctic/Antarctic LAEA grids
+    (EPSG 357x family)."""
+    e = np.sqrt(e2)
+    qp = _q_snyder(np.pi / 2, e, e2)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lon0 = np.radians(p["lon0"])
+    south = p.get("south", False)
+    if south:
+        lat = -lat
+        dlon = -(lon - lon0)
+    else:
+        dlon = lon - lon0
+    q = _q_snyder(lat, e, e2)
+    rho = a * np.sqrt(np.maximum(qp - q, 0.0))
+    x = rho * np.sin(dlon)
+    y = -rho * np.cos(dlon)
+    if south:
+        x, y = -x, -y
+    return p["fe"] + x, p["fn"] + y
+
+
+def laea_polar_inverse(x_m, y_m, a, e2, p):
+    e = np.sqrt(e2)
+    qp = _q_snyder(np.pi / 2, e, e2)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = np.asarray(y_m, np.float64) - p["fn"]
+    lon0 = np.radians(p["lon0"])
+    south = p.get("south", False)
+    if south:
+        x, y = -x, -y
+    rho = np.sqrt(x**2 + y**2)
+    q = qp - (rho / a) ** 2
+    dlon = np.arctan2(x, -y)
+    # at/near the pole q -> qp and the Newton step divides by cos(phi)=0:
+    # resolve those points directly (phi = pi/2), iterate the rest
+    at_pole = q >= qp * (1.0 - 1e-14)
+    q_it = np.where(at_pole, 0.0, q)
+    phi = np.arcsin(np.clip(q_it / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = 1 - e2 * s**2
+        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
+            q_it / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    phi = np.where(at_pole, np.pi / 2, phi)
+    dlon = np.where(rho == 0.0, 0.0, dlon)
+    if south:
+        phi = -phi
+        dlon = -dlon
+    lon = np.degrees(lon0 + dlon)
+    lon = -((-lon + 180.0) % 360.0 - 180.0)
+    return lon, np.degrees(phi)
+
+
+def cea_forward(lon_deg, lat_deg, a, e2, p):
+    """Ellipsoidal cylindrical equal-area (Snyder 10-1/10-2):
+    x = a k0 dlon, y = a q/(2 k0), k0 = m(lat_ts) — the EASE-Grid 2.0
+    family (EPSG 6933)."""
+    e = np.sqrt(e2)
+    lat_ts = np.radians(p["lat_ts"])
+    k0 = _m_snyder(lat_ts, e2)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    dlon = lon - np.radians(p["lon0"])
+    q = _q_snyder(lat, e, e2)
+    return p["fe"] + a * k0 * dlon, p["fn"] + a * q / (2 * k0)
+
+
+def cea_inverse(x_m, y_m, a, e2, p):
+    e = np.sqrt(e2)
+    lat_ts = np.radians(p["lat_ts"])
+    k0 = _m_snyder(lat_ts, e2)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = np.asarray(y_m, np.float64) - p["fn"]
+    q = 2 * k0 * y / a
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = 1 - e2 * s**2
+        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    lon = np.degrees(np.radians(p["lon0"]) + x / (a * k0))
+    return lon, np.degrees(phi)
+
+
 def _ps_rho_factor(a, e2, p):
     """a*m_c/t_c (lat_ts form, Snyder 21-34) or 2a k0 / sqrt((1+e)^(1+e)
     (1-e)^(1-e)) (k0 form, Snyder 21-39) — the rho = factor * t scale."""
@@ -475,6 +564,10 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
     # WGS84 / UPS North and South (k0 variant)
     32661: ("ps", _A, _E2, dict(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=False)),
     32761: ("ps", _A, _E2, dict(k0=0.994, lon0=0.0, fe=2000000.0, fn=2000000.0, south=True)),
+    # WGS84 / North Pole LAEA Europe (Arctic mapping family)
+    3575: ("laea_polar", _A, _E2, dict(lon0=10.0, fe=0.0, fn=0.0, south=False)),
+    # WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area)
+    6933: ("cea", _A, _E2, dict(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0)),
     # ETRS89-extended / LAEA Europe (the EU INSPIRE statistical grid)
     3035: (
         "laea",
@@ -496,12 +589,16 @@ _FAMILY_FWD = {
     "aea2sp": aea2sp_forward,
     "ps": ps_forward,
     "laea": laea_forward,
+    "laea_polar": laea_polar_forward,
+    "cea": cea_forward,
 }
 _FAMILY_INV = {
     "lcc2sp": lcc2sp_inverse,
     "aea2sp": aea2sp_inverse,
     "ps": ps_inverse,
     "laea": laea_inverse,
+    "laea_polar": laea_polar_inverse,
+    "cea": cea_inverse,
 }
 
 

@@ -172,7 +172,7 @@ class TestConicPolarFamilies:
     scale 1 at standard parallels, Jacobian 1 for equal-area, exact
     round-trip closure."""
 
-    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035]
+    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035, 3575, 6933]
 
     @staticmethod
     def _local_scale(fwd, lon, lat, a, e2):
@@ -194,6 +194,8 @@ class TestConicPolarFamilies:
             "aea2sp": P.aea2sp_forward,
             "ps": P.ps_forward,
             "laea": P.laea_forward,
+            "laea_polar": P.laea_polar_forward,
+            "cea": P.cea_forward,
         }[family]
         return (lambda lo, la: fn(lo, la, a, e2, p)), a, e2, p, family
 
@@ -202,6 +204,8 @@ class TestConicPolarFamilies:
         domains = {
             2154: (-4.5, 8.0, 42.0, 51.0),
             3035: (-10.0, 30.0, 35.0, 65.0),
+            3575: (-180.0, 180.0, 46.0, 89.5),
+            6933: (-179.0, 179.0, -80.0, 80.0),
             3034: (-10.0, 30.0, 35.0, 65.0),
             5070: (-120.0, -75.0, 25.0, 49.0),
             3031: (-180.0, 180.0, -88.0, -62.0),
@@ -299,3 +303,28 @@ class TestConicPolarFamilies:
         # parameter mis-wiring (wrong lat0/lon0 shifts results by km)
         x, y = P.transform_coords(np.array([2.3522]), np.array([48.8566]), 4326, 2154)
         assert abs(x[0] - 652500.0) < 100.0 and abs(y[0] - 6862000.0) < 100.0
+
+    def test_polar_laea_and_ease_grid(self):
+        # 3575: north pole -> origin; round-trip covered by the sweep
+        x, y = P.transform_coords(np.array([33.0]), np.array([90.0]), 4326, 3575)
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+        # 6933 (EASE-Grid 2.0): equator maps to y=0 and the published map
+        # half-width is x(180 deg) = 17,367,530.45 m
+        x, y = P.transform_coords(np.array([180.0]), np.array([0.0]), 4326, 6933)
+        assert abs(y[0]) < 1e-9
+        assert abs(x[0] - 17367530.445161372) < 0.01
+        # equal-area property for both (cross-product Jacobian)
+        for epsg, pt in [(3575, (40.0, 70.0)), (6933, (25.0, 45.0))]:
+            fwd, a, e2, p, _ = self._fwd(epsg)
+            d = 1e-6
+            lon, lat = pt
+            x0, y0 = fwd(np.array([lon]), np.array([lat]))
+            x1, y1 = fwd(np.array([lon]), np.array([lat + d]))
+            x2, y2 = fwd(np.array([lon + d]), np.array([lat]))
+            latr = np.radians(lat)
+            m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+            n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+            jac = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))[0] / (
+                m_rad * np.radians(d) * n_rad * np.cos(latr) * np.radians(d)
+            )
+            assert abs(jac - 1) < 1e-5, epsg
