@@ -51,15 +51,26 @@ class CloudTiffSpark:
         info, _ = header_info_http(url)
         return info
 
-    def open_s3(self, bucket: str, key: str, **client_kw) -> dict:
+    def open_s3(self, bucket: str, key: str, initial_bytes: int = 65536, **client_kw) -> dict:
         """SigV4 ranged analyze (examples/s3.rs); client_kw feeds the
-        stdlib SigV4 client (endpoint, access_key, secret_key, region)."""
+        stdlib SigV4 client (endpoint, access_key, secret_key, region).
+        Grow-and-reparse on truncation like the other header-only paths
+        (io/http.rs does a fresh ranged GET per retry, same here)."""
+        import struct
+
         from .s3 import S3RangeFetcher
         from .tiff import cog_info
 
         client = S3RangeFetcher(bucket=bucket, **client_kw)
-        data = client.fetch(key, 0, 64 * 1024)
-        return cog_info(data)
+        n = initial_bytes
+        while True:
+            data = client.fetch(key, 0, n)
+            try:
+                return cog_info(data)
+            except struct.error:
+                if len(data) < n:  # short body: already the whole object
+                    raise
+                n *= 2
 
     def open_bytes(self, data: bytes) -> dict:
         """In-memory analyze (CloudTiff::open over a byte reader)."""
@@ -117,9 +128,14 @@ class RenderBuilder:
         return self
 
     def of_crop(self, xmin: float, ymin: float, xmax: float, ymax: float) -> "RenderBuilder":
-        """Normalized-unit image crop (render/mod.rs:162-165; saturated)."""
+        """Normalized-unit image crop (render/mod.rs:162-165; saturated).
+        Degenerate or inverted extents fail HERE, not deep inside the
+        pandas assemble stage."""
         clamp = lambda v: min(1.0, max(0.0, float(v)))  # noqa: E731 — UnitFloat clamp (F9)
-        self._crop = (clamp(xmin), clamp(ymin), clamp(xmax), clamp(ymax))
+        crop = (clamp(xmin), clamp(ymin), clamp(xmax), clamp(ymax))
+        if not (crop[0] < crop[2] and crop[1] < crop[3]):
+            raise ValueError(f"empty/inverted crop after unit clamp: {crop}")
+        self._crop = crop
         self._region = None
         return self
 
@@ -128,6 +144,10 @@ class RenderBuilder:
     ) -> "RenderBuilder":
         """EPSG:4326 output region (render/mod.rs:168-182): every image
         intersecting the region renders reprojected into it."""
+        if not (float(west) < float(east) and float(south) < float(north)):
+            raise ValueError(
+                f"empty/inverted region: west={west} south={south} east={east} north={north}"
+            )
         self._region = (float(west), float(south), float(east), float(north))
         self._crop = None
         return self

@@ -426,9 +426,11 @@ def photometric_to_rgb8(
       ``rgb = (255-channel)*(255-k)/255`` (the standard uncalibrated rule;
       engine extension — the reference only ENUMERATES CMYK,
       photometrics.rs:36-37, and would misread it as RGBA)
+    - 4 TransparencyMask — 1-sample coverage mask; decode_tile scales it
+      to 0/255, displayed as gray replicate
     - 6 YCbCr        — (h,w,3) u8 full-range BT.601 (same matrix as the
       JFIF codec), chunky non-subsampled only
-    - everything else (TransparencyMask, CIELab, ...) raises the typed
+    - everything else (CIELab, ICCLab, separated, ...) raises the typed
       UnsupportedPhotometric carrying the spec name, mirroring the
       reference's enumeration."""
     from .errors import UnsupportedPhotometric

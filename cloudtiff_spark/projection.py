@@ -296,6 +296,32 @@ def _q_snyder(lat, e, e2):
     return (1 - e2) * (s / (1 - e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
 
 
+def _authalic_phi(q, e, e2):
+    """Invert q -> phi (Snyder 3-16 Newton iteration), shared by every
+    equal-area inverse (Albers, oblique/polar LAEA, CEA). Runs to
+    CONVERGENCE, not a fixed count: near the poles dq/dphi -> 0 and 8
+    iterations leave km-scale error; values within the last ~1e-10 of
+    q(pole) resolve directly to +/-pi/2."""
+    q = np.asarray(q, np.float64)
+    qp = _q_snyder(np.pi / 2, e, e2)
+    # only snap when q is numerically AT/over the pole value — the Newton
+    # converges sub-meter arbitrarily close below it (the double root just
+    # needs more iterations: error halves per step near the pole)
+    at_pole = np.abs(q) >= qp
+    q_it = np.where(at_pole, 0.0, q)
+    phi = np.arcsin(np.clip(q_it / 2, -1, 1))
+    for _ in range(200):
+        s = np.sin(phi)
+        denom = 1 - e2 * s**2
+        step = (denom**2 / (2 * np.cos(phi))) * (
+            q_it / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+        phi = phi + step
+        if np.all(np.abs(step) < 1e-16):
+            break
+    return np.where(at_pole, np.sign(q) * np.pi / 2, phi)
+
+
 def _aea_consts(a, e2, p):
     e = np.sqrt(e2)
     lat0, lat1, lat2 = map(np.radians, (p["lat0"], p["lat1"], p["lat2"]))
@@ -326,13 +352,7 @@ def aea2sp_inverse(x_m, y_m, a, e2, p):
     rho = np.sqrt(x**2 + y**2)
     theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
     q = (c - (rho * n / a) ** 2) / n
-    phi = np.arcsin(np.clip(q / 2, -1, 1))
-    for _ in range(8):
-        s = np.sin(phi)
-        denom = 1 - e2 * s**2
-        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
-            q / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        )
+    phi = _authalic_phi(q, e, e2)
     return np.degrees(theta / n + lon0), np.degrees(phi)
 
 
@@ -384,13 +404,7 @@ def laea_inverse(x_m, y_m, a, e2, p):
         d * rho_safe * np.cos(beta1) * np.cos(ce) - d * d * y * np.sin(beta1) * np.sin(ce),
     )
     lam = np.where(rho == 0.0, lon0, lam)
-    phi = np.arcsin(np.clip(q / 2, -1, 1))
-    for _ in range(8):
-        s = np.sin(phi)
-        denom = 1 - e2 * s**2
-        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
-            q / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        )
+    phi = _authalic_phi(q, e, e2)
     return np.degrees(lam), np.degrees(phi)
 
 
@@ -430,18 +444,7 @@ def laea_polar_inverse(x_m, y_m, a, e2, p):
     rho = np.sqrt(x**2 + y**2)
     q = qp - (rho / a) ** 2
     dlon = np.arctan2(x, -y)
-    # at/near the pole q -> qp and the Newton step divides by cos(phi)=0:
-    # resolve those points directly (phi = pi/2), iterate the rest
-    at_pole = q >= qp * (1.0 - 1e-14)
-    q_it = np.where(at_pole, 0.0, q)
-    phi = np.arcsin(np.clip(q_it / 2, -1, 1))
-    for _ in range(8):
-        s = np.sin(phi)
-        denom = 1 - e2 * s**2
-        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
-            q_it / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        )
-    phi = np.where(at_pole, np.pi / 2, phi)
+    phi = _authalic_phi(q, e, e2)
     dlon = np.where(rho == 0.0, 0.0, dlon)
     if south:
         phi = -phi
@@ -472,13 +475,7 @@ def cea_inverse(x_m, y_m, a, e2, p):
     x = np.asarray(x_m, np.float64) - p["fe"]
     y = np.asarray(y_m, np.float64) - p["fn"]
     q = 2 * k0 * y / a
-    phi = np.arcsin(np.clip(q / 2, -1, 1))
-    for _ in range(8):
-        s = np.sin(phi)
-        denom = 1 - e2 * s**2
-        phi = phi + (denom**2 / (2 * np.cos(phi))) * (
-            q / (1 - e2) - s / denom + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        )
+    phi = _authalic_phi(q, e, e2)
     lon = np.degrees(np.radians(p["lon0"]) + x / (a * k0))
     return lon, np.degrees(phi)
 

@@ -52,6 +52,7 @@ T_TILELENGTH = 323
 T_TILEOFFSETS = 324
 T_TILEBYTECOUNTS = 325
 T_PREDICTOR = 317
+T_FILLORDER = 266
 T_EXTRASAMPLES = 338
 T_SAMPLEFORMAT = 339
 T_MODELPIXELSCALE = 33550
@@ -514,6 +515,7 @@ def cog_info(data: bytes) -> dict:
                 tile_h=tags[T_TILELENGTH][0],
                 compression=tags[T_COMPRESSION][0],
                 predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
+                fill_order=tags.get(T_FILLORDER, [1])[0],
                 bits_per_sample=tags.get(T_BITSPERSAMPLE, [8]),
                 samples_per_pixel=tags.get(
                     T_SAMPLESPERPIXEL, [len(tags.get(T_BITSPERSAMPLE, [8]))]
@@ -582,13 +584,18 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")
     sf = lev.get("sample_format", 1)
     if bits in (1, 2, 4) and sf == 1:
-        # bit-packed gray (incl. TransparencyMask): the reference's Raster
+        # bit-packed gray / mask / palette indices: the reference's Raster
         # does sub-byte masking on access (raster/mod.rs:152-183); here the
-        # tile unpacks once to u8 with the image-crate display scaling
-        # v * 255 / (2^bits - 1). Rows pad to byte boundaries (TIFF 6),
-        # FillOrder 1 (MSB first).
+        # tile unpacks once. Gray/mask photometrics scale to u8 with the
+        # image-crate rule v * 255 / (2^bits - 1); RGBPalette (3) keeps the
+        # RAW indices — they address the ColorMap, scaling would corrupt
+        # them. Rows pad to byte boundaries (TIFF 6).
         if spp != 1:
             raise UnsupportedPixelFormat(f"{bits}-bit is gray-only")
+        if lev.get("fill_order", 1) != 1:
+            # tag 266: LSB-first bit packing (fax pipelines) — reject loudly
+            # rather than silently reversing every byte's pixels
+            raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
         row_bytes = (tw * bits + 7) // 8
         if len(buf) != row_bytes * th:
             raise ValueError(f"buffer size {len(buf)} != {th}x{row_bytes}B")
@@ -600,6 +607,8 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         samples = bits_arr[:, : tw * bits].reshape(th, tw, bits)
         weights = 1 << np.arange(bits - 1, -1, -1, dtype=np.uint16)
         vals = (samples.astype(np.uint16) * weights).sum(axis=2)
+        if lev.get("photometric", 1) == 3:
+            return vals.astype(np.uint8)[:, :, None]
         maxv = (1 << bits) - 1
         return ((vals * 255 + maxv // 2) // maxv).astype(np.uint8)[:, :, None]
     if bits == 8 and sf == 1:

@@ -328,3 +328,13 @@ class TestConicPolarFamilies:
                 m_rad * np.radians(d) * n_rad * np.cos(latr) * np.radians(d)
             )
             assert abs(jac - 1) < 1e-5, epsg
+
+    def test_polar_convergence_to_sub_meter(self):
+        """Review finding: the fixed-count Newton left km-scale error near
+        the pole; the convergence loop must hold sub-meter to 1e-5 deg of
+        the pole for the polar LAEA and CEA inverses."""
+        for epsg in (3575, 6933):
+            for lat in [89.9, 89.99, 89.999, 89.9999]:
+                x, y = P.transform_coords(np.array([40.0]), np.array([lat]), 4326, epsg)
+                _, lat2 = P.transform_coords(x, y, epsg, 4326)
+                assert abs(lat2[0] - lat) * 111_320.0 < 1.0, (epsg, lat)

@@ -516,11 +516,6 @@ class TestBitPackedGray:
     def _tiled_tiff(self, bits, tw, th, payload, photometric=1):
         import struct
 
-        entries = []
-
-        def tag(code, dtype, values):
-            return (code, dtype, values)
-
         # uncompressed single-tile classic-LE TIFF
         ifd_tags = [
             (256, 3, [tw]),  # width
@@ -585,3 +580,27 @@ class TestBitPackedGray:
         t = tiff.decode_tile(data, tiff.cog_info(data), 0, 0)
         assert t[0, :, 0].tolist() == [255, 0, 255, 0, 255]
         assert t[1, :, 0].tolist() == [0, 255, 0, 255, 0]
+
+    def test_4bit_palette_keeps_raw_indices(self):
+        """Review finding: sub-byte PALETTE tiles must return raw ColorMap
+        indices — display scaling would address past the LUT."""
+        from cloudtiff_spark import tiff
+
+        data = self._tiled_tiff(4, 4, 1, bytes([0x01, 0x23]), photometric=3)
+        t = tiff.decode_tile(data, tiff.cog_info(data), 0, 0)
+        assert t[0, :, 0].tolist() == [0, 1, 2, 3]
+
+    def test_fillorder_2_rejected(self):
+        import struct
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        data = bytearray(self._tiled_tiff(1, 8, 1, bytes([0b10100000])))
+        # graft a FillOrder=2 tag is complex; patch the parsed level instead
+        info = tiff.cog_info(bytes(data))
+        info["levels"][0]["fill_order"] = 2
+        import pytest as _pytest
+
+        with _pytest.raises(UnsupportedPixelFormat, match="FillOrder"):
+            tiff.decode_tile(bytes(data), info, 0, 0)

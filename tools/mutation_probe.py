@@ -13,11 +13,15 @@ Usage: python tools/mutation_probe.py   [env: SF_DIR]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_correctness import arrow_rows, value_hash  # noqa: E402 — the
+# canonical driver-parity compare; re-implementing it here could silently
+# diverge from the mimic (it changed once already, to catch typed values)
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -32,18 +36,6 @@ PROBES = {
     # engines' own divergence, not this probe
     "lineitem_price": ["pricing_summary", "top_orders"],
 }
-
-
-def value_hash(rows, cols) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted("|".join(repr(r[i]) for i in order) for r in rows)
-    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
-
-
-def arrow_rows(tbl):
-    cols = tbl.column_names
-    pylists = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-    return (list(zip(*pylists)) if pylists else []), cols
 
 
 def compare(spark, con, E, name: str) -> bool:
