@@ -170,3 +170,96 @@ class TestJpegProperties:
         img = np.full((h, w, 3), 137, dtype=np.uint8)
         out = decode_jpeg(encode_jpeg(img, 90))
         assert np.abs(out.astype(int) - 137).max() <= 2
+
+
+class TestPredictor3Properties:
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31),
+        scale=st.sampled_from([1.0, 1e-6, 1e6, 4000.0]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip_bit_exact(self, h, w, seed, scale):
+        """Predictor 3 (byte-shuffle + delta) is lossless for ANY float32
+        content, including negatives, denormal-ish magnitudes, inf/nan."""
+        from cloudtiff_spark.codecs import predictor3_decode, predictor3_encode
+
+        rng = np.random.default_rng(seed)
+        arr = ((rng.random((h, w), dtype=np.float32) - 0.5) * scale).astype(np.float32)
+        if seed % 5 == 0 and h * w >= 4:
+            flat = arr.reshape(-1)
+            flat[0] = np.float32("nan")
+            flat[1] = np.float32("inf")
+            flat[2] = -np.float32("inf")
+            flat[3] = np.float32(0.0)
+        out = predictor3_decode(predictor3_encode(arr), w, h)[:, :, 0]
+        assert np.array_equal(
+            arr.astype("<f4").view(np.uint32), out.astype("<f4").view(np.uint32)
+        )
+
+
+class TestBitPackedProperties:
+    @given(
+        bits=st.sampled_from([1, 2, 4]),
+        w=st.integers(1, 33),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_unpack_matches_scalar_bit_extraction(self, bits, w, h, seed):
+        """decode_tile's vectorized unpack must agree with a per-pixel
+        scalar MSB-first bit-extraction oracle for every width/row-pad
+        combination."""
+        from cloudtiff_spark import tiff
+
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 1 << bits, (h, w))
+        row_bytes = (w * bits + 7) // 8
+        payload = bytearray(row_bytes * h)
+        for y in range(h):
+            for x in range(w):
+                bitpos = x * bits
+                for b in range(bits):
+                    if (vals[y, x] >> (bits - 1 - b)) & 1:
+                        byte_i, bit_i = divmod(bitpos + b, 8)
+                        payload[y * row_bytes + byte_i] |= 0x80 >> bit_i
+        lev = dict(
+            compression=1, tile_w=w, tile_h=h, bits_per_sample=[bits],
+            samples_per_pixel=1, sample_format=1, photometric=1,
+            predictor=1, fill_order=1, endian="<",
+            offsets=[0], byte_counts=[len(payload)],
+        )
+        info = {"levels": [lev]}
+        t = tiff.decode_tile(bytes(payload), info, 0, 0)
+        maxv = (1 << bits) - 1
+        want = (vals * 255 + maxv // 2) // maxv
+        assert np.array_equal(t[:, :, 0], want.astype(np.uint8))
+
+
+class TestProjectionProperties:
+    @given(
+        epsg=st.sampled_from([2154, 5070, 3031, 3413, 3034, 3035, 3575, 6933]),
+        lon=st.floats(-179.0, 179.0),
+        lat=st.floats(-85.0, 85.0),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_registry_roundtrip_anywhere_in_hemidomain(self, epsg, lon, lat):
+        """Round-trip closure for hypothesis-random points: polar CRSs get
+        the matching hemisphere, conic CRSs their continental band."""
+        from cloudtiff_spark import projection as P
+
+        if epsg in (3031,):
+            lat = -abs(lat) - 5.0 if abs(lat) < 85 else -85.0
+        elif epsg in (3413, 3575):
+            lat = abs(lat) + 5.0 if abs(lat) < 85 else 85.0
+        elif epsg == 2154:
+            lon, lat = lon / 18.0 + 3.0, lat / 10.0 + 46.0
+        elif epsg in (3034, 3035):
+            lon, lat = lon / 6.0 + 10.0, lat / 6.0 + 50.0
+        elif epsg == 5070:
+            lon, lat = lon / 4.0 - 96.0, lat / 5.0 + 37.0
+        x, y = P.transform_coords(np.array([lon]), np.array([lat]), 4326, epsg)
+        lon2, lat2 = P.transform_coords(x, y, epsg, 4326)
+        dlon = abs((lon2[0] - lon + 180.0) % 360.0 - 180.0)
+        assert dlon < 1e-7 and abs(lat2[0] - lat) < 1e-7
