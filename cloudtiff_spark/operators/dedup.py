@@ -618,3 +618,100 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("id").alias("neighbor_id"))
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: (id, qvec:binary,
+    scale:float). At the 10^12-row design point the float32 embedding
+    column dominates ANN scan cost; int8 cuts bytes 4x while symmetric
+    per-vector scaling (scale = max|x|/127) keeps cosine rank order
+    nearly intact — the standard product-scan compromise. Dequantized
+    value = int8 * scale."""
+
+    @pandas_udf("struct<qvec: binary, scale: double>")
+    def quant(vecs: pd.Series) -> pd.DataFrame:
+        qs, ss = [], []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            s = float(np.abs(x).max()) / 127.0 or 1.0
+            qs.append(np.clip(np.round(x / s), -127, 127).astype(np.int8).tobytes())
+            ss.append(s)
+        return pd.DataFrame({"qvec": qs, "scale": ss})
+
+    q = emb.select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("q"))
+    return q.select("id", F.col("q.qvec").alias("qvec"), F.col("q.scale").alias("scale"))
+
+
+def quantized_cosine_topk(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """cosine_topk over the int8-quantized table: candidates scored on
+    dequantized int8 (4x less memory traffic per scan); with
+    ``rerank > 0``, the top rerank quantized candidates per probe are
+    re-scored on the float vectors (the standard two-stage ANN shape) so
+    the final top-k recovers exact-rank order when quantization flips
+    neighbors. Output schema matches cosine_topk."""
+    q = quantize_embeddings(emb, id_col, vec_col)
+    probes = q.filter(F.col("id").isin(probe_ids)).toPandas()
+    p_ids = probes["id"].to_numpy()
+    p_mat = np.stack(
+        [
+            np.frombuffer(bq, dtype=np.int8).astype(np.float64) * s
+            for bq, s in zip(probes["qvec"], probes["scale"])
+        ]
+    )
+    p_n = p_mat / np.linalg.norm(p_mat, axis=1, keepdims=True)
+
+    @pandas_udf("array<double>")
+    def sims(qvec: pd.Series, scale: pd.Series) -> pd.Series:
+        m = np.stack(
+            [
+                np.frombuffer(b, dtype=np.int8).astype(np.float64) * s
+                for b, s in zip(qvec, scale)
+            ]
+        )
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = mn @ p_n.T
+        return pd.Series([row.tolist() for row in s])
+
+    scored = q.withColumn("sims", sims(F.col("qvec"), F.col("scale")))
+    rows = scored.select(
+        "id", F.posexplode("sims").alias("pi", "sim")
+    ).withColumn("query_id", F.element_at(F.lit(p_ids.tolist()), F.col("pi") + 1))
+    cand = rows.filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "rank", F.col("id").alias("neighbor_id")
+        )
+    # two-stage: keep the quantized top `rerank`, re-score on floats
+    keep = ranked.filter(F.col("rank") <= rerank).select("query_id", "id")
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qvecs = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    joined = keep.join(vecs, "id").join(F.broadcast(qvecs), "query_id")
+
+    @pandas_udf("double")
+    def fcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    w2 = Window.partitionBy("query_id").orderBy(F.col("fsim").desc(), F.col("id").asc())
+    return (
+        joined.withColumn("fsim", fcos(F.col("vec"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
+    )
