@@ -247,6 +247,56 @@ def simhash(docs: DataFrame, n: int = 2) -> DataFrame:
     return votes.select("doc_id", acc.alias("simhash"))
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 2) -> DataFrame:
+    """Near-duplicate PAIRS by SimHash hamming distance — the classic
+    web-dedup operator (Charikar/Manku-Jain-Sarma shape), fully native:
+
+    1. 64-bit simhash per doc (above),
+    2. split into 4 16-bit bands; by PIGEONHOLE, any pair with <= 3
+       differing bits agrees EXACTLY on >= 1 band — banding is lossless
+       for max_hamming <= 3 (the standard web-crawl setting),
+    3. band-bucket self-join carries only (doc_id, band, value),
+    4. exact verify: bit_count(a XOR b) <= max_hamming, native bit math.
+
+    No UDFs anywhere: signature, fan-out, join, and verify are all
+    whole-stage-codegen expressions. Output: (doc_id_a, doc_id_b,
+    hamming) with a < b."""
+    if max_hamming > 3:
+        raise ValueError("4-band pigeonhole is lossless only for max_hamming <= 3")
+    sig = simhash(docs, n=n)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "value"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sim_a"), "band", "value"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sim_b"), "band", "value"
+    )
+    cand = (
+        a.join(b, ["band", "value"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity search
 # ---------------------------------------------------------------------------

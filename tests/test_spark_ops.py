@@ -572,6 +572,36 @@ class TestProgressiveJpegSparkPath:
             assert got[f"prog_{i}"] == got[f"base_{i}"], i
 
 
+class TestSimhashPairs:
+    def test_pigeonhole_matches_bruteforce(self, spark):
+        """4x16-bit banding must be LOSSLESS for hamming <= 3 (a pair with
+        <= 3 differing bits leaves >= 1 band untouched) — compare against
+        the all-pairs popcount oracle on the fixture corpus."""
+        from cloudtiff_spark.operators.dedup import simhash, simhash_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        ids = sorted(sigs)
+        want = {
+            (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+        }
+        got = {
+            (r.doc_id_a, r.doc_id_b, r.hamming)
+            for r in simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert got == want
+
+    def test_max_hamming_over_3_rejected(self, spark):
+        from cloudtiff_spark.operators.dedup import simhash_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_pairs(docs, max_hamming=4)
+
+
 class TestQuantizedANN:
     """int8 scalar quantization for the embedding scan (4x less memory
     traffic per ANN pass at the 10^12-row design point) + the standard
