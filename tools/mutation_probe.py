@@ -28,7 +28,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 #: mutation name -> (queries that must go red under it)
 PROBES = {
-    "doc_text": ["simhash", "fingerprint", "token_stats", "token_count_bpe", "dedup_exact"],
+    "doc_text": [
+        "simhash", "simhash_pairs", "fingerprint", "token_stats",
+        "token_count_bpe", "dedup_exact",
+    ],
     "embedding": ["embed_topk", "embed_near_dup"],
     "image_payload": ["decode_check", "image_features", "thumbnails"],
     # env_probe reads lineitem via spark.read directly (schema probe), so
@@ -75,11 +78,15 @@ def main() -> int:
         E._TILES_CACHE.clear()
         if kind == "doc_text":
             # full replacement, not an append: sketch operators (winnowing
-            # fingerprint) are insensitive to benign suffixes BY DESIGN
+            # fingerprint) are insensitive to benign suffixes BY DESIGN.
+            # Target a doc that participates in a simhash_pairs result —
+            # pair queries are only sensitive to mutations of pair MEMBERS
+            row = con.execute(E.oracle_sql()["simhash_pairs"]).fetchone()
+            target = int(row[0]) if row else 0
             E._docs = lambda s, d: orig_docs(s, d).withColumn(
                 "text",
                 F.when(
-                    F.col("doc_id") == 0,
+                    F.col("doc_id") == target,
                     F.lit("probe mutated replacement text words here entirely new"),
                 ).otherwise(F.col("text")),
             )
