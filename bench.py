@@ -129,7 +129,13 @@ def main() -> None:
             qcold[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
 
-    out = {
+    # The harness that records this benchmark keeps only a bounded tail of
+    # the output, so the final stdout line MUST stay compact (budget: well
+    # under 2000 bytes even at 60+ queries).  Per-query warm times stay on
+    # the line (contract field), rounded to centiseconds; everything verbose
+    # (cold first-pass times, full-precision warm times) goes to a sidecar
+    # file referenced from BENCH.md.
+    detail = {
         "metric": "tile_assignment_plus_pip_join_stage",
         "value": round(best, 3),
         "value_median": round(median, 3),
@@ -142,8 +148,24 @@ def main() -> None:
         "joined_rows": joined_n,
         "cpus": cpus,
     }
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_detail.json")
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # pragma: no cover - read-only checkout
+        print(f"# bench sidecar write failed: {exc}", file=sys.stderr)
+    out = dict(detail)
+    del out["queries_cold"]
+    out["queries"] = {k: round(v, 2) for k, v in qtimes.items()}
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # pragma: no cover - future-query-count guard
+        # keep the headline parseable no matter how many queries land:
+        # drop the per-query dict to the sidecar only.
+        out["queries"] = {"detail": "tools/bench_detail.json"}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
