@@ -247,36 +247,55 @@ def simhash(docs: DataFrame, n: int = 2) -> DataFrame:
     return votes.select("doc_id", acc.alias("simhash"))
 
 
+# Manku-style block layout for simhash_pairs: 64 bits -> 6 blocks
+# (11,11,11,11,10,10).  A table key concatenates 3 blocks (>= 32 bits),
+# one key per C(6,3)=20 block triples.
+_SIMHASH_BLOCK_SIZES = (11, 11, 11, 11, 10, 10)
+_SIMHASH_BLOCK_OFFSETS = (0, 11, 22, 33, 44, 54)
+_SIMHASH_TRIPLES = tuple(
+    (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+)
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 2) -> DataFrame:
     """Near-duplicate PAIRS by SimHash hamming distance — the classic
-    web-dedup operator (Charikar/Manku-Jain-Sarma shape), fully native:
+    web-dedup operator (Charikar-sig + Manku/Jain/Sarma multi-table probe,
+    WWW'07 "Detecting near-duplicates for web crawling"), fully native:
 
     1. 64-bit simhash per doc (above),
-    2. split into 4 16-bit bands; by PIGEONHOLE, any pair with <= 3
-       differing bits agrees EXACTLY on >= 1 band — banding is lossless
-       for max_hamming <= 3 (the standard web-crawl setting),
-    3. band-bucket self-join carries only (doc_id, band, value),
+    2. split into 6 blocks (11/11/11/11/10/10 bits); a pair with <= 3
+       differing bits touches at most 3 blocks, so by PIGEONHOLE it agrees
+       EXACTLY on >= 3 blocks — hence on at least one of the C(6,3)=20
+       3-block concatenations.  Each doc emits 20 (table, key) rows where
+       key is the >= 32-bit concatenation of that table's 3 blocks:
+       lossless for max_hamming <= 3 AND scale-safe — expected bucket
+       population is n/2^32 (vs n/2^16 for naive 4x16 banding, whose
+       bucket self-join goes quadratic at web corpus sizes),
+    3. key-bucket self-join carries only (doc_id, table, key, simhash),
     4. exact verify: bit_count(a XOR b) <= max_hamming, native bit math.
 
     No UDFs anywhere: signature, fan-out, join, and verify are all
     whole-stage-codegen expressions. Output: (doc_id_a, doc_id_b,
     hamming) with a < b."""
     if max_hamming > 3:
-        raise ValueError("4-band pigeonhole is lossless only for max_hamming <= 3")
+        raise ValueError("6-block/3-of-6 pigeonhole is lossless only for max_hamming <= 3")
     sig = simhash(docs, n=n)
+    blk = [
+        F.shiftrightunsigned(F.col("simhash"), _SIMHASH_BLOCK_OFFSETS[i]).bitwiseAND(
+            F.lit((1 << _SIMHASH_BLOCK_SIZES[i]) - 1).cast("long")
+        )
+        for i in range(6)
+    ]
+    keys = [
+        F.shiftleft(blk[i], _SIMHASH_BLOCK_SIZES[j] + _SIMHASH_BLOCK_SIZES[k])
+        .bitwiseOR(F.shiftleft(blk[j], _SIMHASH_BLOCK_SIZES[k]))
+        .bitwiseOR(blk[k])
+        for (i, j, k) in _SIMHASH_TRIPLES
+    ]
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF).cast("long")
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "value"),
+        F.posexplode(F.array(*keys)).alias("band", "value"),
     )
     a = bands.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sim_a"), "band", "value"

@@ -574,8 +574,9 @@ class TestProgressiveJpegSparkPath:
 
 class TestSimhashPairs:
     def test_pigeonhole_matches_bruteforce(self, spark):
-        """4x16-bit banding must be LOSSLESS for hamming <= 3 (a pair with
-        <= 3 differing bits leaves >= 1 band untouched) — compare against
+        """6-block/3-of-6 Manku banding must be LOSSLESS for hamming <= 3
+        (a pair with <= 3 differing bits leaves >= 3 blocks untouched, so
+        it agrees on >= 1 of the C(6,3)=20 3-block keys) — compare against
         the all-pairs popcount oracle on the fixture corpus."""
         from cloudtiff_spark.operators.dedup import simhash, simhash_pairs
 
@@ -600,6 +601,61 @@ class TestSimhashPairs:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         with pytest.raises(ValueError, match="pigeonhole"):
             simhash_pairs(docs, max_hamming=4)
+
+    def test_planted_hamming_pairs_lossless(self):
+        """Seeded corpus of random 64-bit signatures with PLANTED hamming
+        1/2/3 partners: every planted pair must share at least one of the
+        20 3-block table keys (pure-python mirror of the Spark key
+        expressions, same layout constants)."""
+        import random
+
+        from cloudtiff_spark.operators.dedup import (
+            _SIMHASH_BLOCK_OFFSETS,
+            _SIMHASH_BLOCK_SIZES,
+            _SIMHASH_TRIPLES,
+        )
+
+        def keys(sim: int) -> set[tuple[int, int]]:
+            blk = [
+                (sim >> _SIMHASH_BLOCK_OFFSETS[i]) & ((1 << _SIMHASH_BLOCK_SIZES[i]) - 1)
+                for i in range(6)
+            ]
+            out = set()
+            for t, (i, j, k) in enumerate(_SIMHASH_TRIPLES):
+                v = (
+                    (blk[i] << (_SIMHASH_BLOCK_SIZES[j] + _SIMHASH_BLOCK_SIZES[k]))
+                    | (blk[j] << _SIMHASH_BLOCK_SIZES[k])
+                    | blk[k]
+                )
+                out.add((t, v))
+            return out
+
+        rng = random.Random(42)
+        for _ in range(500):
+            x = rng.getrandbits(64)
+            for ham in (1, 2, 3):
+                y = x
+                for b in rng.sample(range(64), ham):
+                    y ^= 1 << b
+                assert keys(x) & keys(y), (hex(x), hex(y), ham)
+        # and a sanity negative: 4 flips CAN escape every table
+        # (not asserted per-sample — only that the scheme is not vacuous)
+        assert len(keys(0)) == 20
+
+    def test_join_key_width_scale_pin(self):
+        """Scale pin: 20 tables, every join key >= 31 bits (the max-min
+        achievable splitting 64 bits into 6 blocks: the 4 triples holding
+        both 10-bit blocks are 31 bits, the other 16 are 32-33).  Guards
+        against regressing to the quadratic 16-bit band keys."""
+        from cloudtiff_spark.operators.dedup import _SIMHASH_BLOCK_SIZES, _SIMHASH_TRIPLES
+
+        assert sum(_SIMHASH_BLOCK_SIZES) == 64
+        assert len(_SIMHASH_TRIPLES) == 20
+        widths = sorted(
+            sum(_SIMHASH_BLOCK_SIZES[b] for b in t) for t in _SIMHASH_TRIPLES
+        )
+        assert widths[0] >= 31
+        assert sum(1 for w in widths if w >= 32) >= 16
 
 
 class TestQuantizedANN:
