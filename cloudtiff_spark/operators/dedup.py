@@ -528,12 +528,30 @@ def embed_near_dup(
     1-(1-p^planes)^tables with p = 1 - arccos(tau)/pi."""
     if mode == "exact":
         return _embed_near_dup_exact(emb, tau, id_col, vec_col)
+
+    def _empty_pairs() -> DataFrame:
+        from pyspark.sql import types as T
+
+        id_t = emb.schema[id_col].dataType
+        return emb.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_t),
+                    T.StructField("id_b", id_t),
+                    T.StructField("cos", T.DoubleType()),
+                ]
+            ),
+        )
+
     if n_planes is None or n_tables is None:
         # one aggregation job feeds both knobs (count + an example vector);
         # separate count()/first() actions would re-run the upstream scan
         row = emb.agg(
             F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
         ).first()
+        if row is None or not row["n"] or row["v"] is None:
+            return _empty_pairs()  # empty / all-null table: no pairs by definition
         n, dim = int(row["n"]), len(row["v"])
         auto_p, auto_t = auto_lsh_params(n, tau, target_bucket_rows)
         if n_planes is None:
@@ -541,7 +559,10 @@ def embed_near_dup(
         if n_tables is None:
             n_tables = auto_tables(tau, n_planes)
     else:
-        dim = len(emb.select(vec_col).first()[0])
+        first = emb.select(vec_col).first()
+        if first is None or first[0] is None:
+            return _empty_pairs()
+        dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
@@ -701,13 +722,13 @@ def quantize_embeddings(
 
     @pandas_udf("struct<qvec: binary, scale: double>")
     def quant(vecs: pd.Series) -> pd.DataFrame:
-        qs, ss = [], []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            s = float(np.abs(x).max()) / 127.0 or 1.0
-            qs.append(np.clip(np.round(x / s), -127, 127).astype(np.int8).tobytes())
-            ss.append(s)
-        return pd.DataFrame({"qvec": qs, "scale": ss})
+        # one stacked matrix per Arrow batch (dims are uniform per table);
+        # the only per-row work left is the int8 tobytes conversion
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        s = np.abs(m).max(axis=1) / 127.0
+        s[s == 0.0] = 1.0
+        qm = np.clip(np.round(m / s[:, None]), -127, 127).astype(np.int8)
+        return pd.DataFrame({"qvec": [row.tobytes() for row in qm], "scale": s})
 
     q = emb.select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("q"))
     return q.select("id", F.col("q.qvec").alias("qvec"), F.col("q.scale").alias("scale"))
@@ -727,6 +748,10 @@ def quantized_cosine_topk(
     re-scored on the float vectors (the standard two-stage ANN shape) so
     the final top-k recovers exact-rank order when quantization flips
     neighbors. Output schema matches cosine_topk."""
+    if rerank:
+        # a rerank pool smaller than k could never fill k neighbors —
+        # the float stage can only reorder what the int8 screen kept
+        rerank = max(rerank, k)
     q = quantize_embeddings(emb, id_col, vec_col)
     probes = q.filter(F.col("id").isin(probe_ids)).toPandas()
     p_ids = probes["id"].to_numpy()

@@ -470,6 +470,28 @@ class TestEmbedNearDup:
         }
         assert lsh == exact and len(exact) > 0
 
+    def test_empty_table_yields_empty_pairs(self, spark):
+        """An empty embeddings table must return an empty (id_a, id_b, cos)
+        frame, not crash auto-sizing on len(None) (the F.first of an empty
+        agg is null)."""
+        from pyspark.sql import types as T
+
+        from cloudtiff_spark.operators.dedup import embed_near_dup
+
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+        for kwargs in ({}, {"n_planes": 2, "n_tables": 4}):
+            out = embed_near_dup(empty, tau=0.3, **kwargs)
+            assert out.columns == ["id_a", "id_b", "cos"]
+            assert out.count() == 0
+
     def test_pairs_are_ordered_and_thresholded(self, spark):
         from cloudtiff_spark.operators.dedup import embed_near_dup
 
@@ -702,6 +724,37 @@ class TestQuantizedANN:
             for r in quantized_cosine_topk(emb, probes, k=5, rerank=20).collect()
         }
         assert reranked == exact
+
+    def test_rerank_smaller_than_k_still_fills_k(self, spark):
+        """0 < rerank < k clamps to k — the float stage can only reorder
+        what the int8 screen kept, so a 2-row pool could never yield 5
+        neighbors (previously silently returned short result sets)."""
+        from cloudtiff_spark.operators.dedup import quantized_cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = quantized_cosine_topk(emb, [0, 7], k=5, rerank=2).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.query_id, set()).add(r.rank)
+        assert per == {0: {1, 2, 3, 4, 5}, 7: {1, 2, 3, 4, 5}}
+
+    def test_graded_setting_matches_exact(self, spark):
+        """Pin the CORRECTNESS-graded configuration (k=5, rerank=50):
+        its oracle is the exact cosine top-k SQL, valid only while the
+        two-stage search has recall 1.0 on the frozen fixture."""
+        import __spark_entry__ as E
+        from cloudtiff_spark.operators.dedup import cosine_topk
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk(E._emb(spark, sf), E.EMBED_PROBES, k=5).collect()
+        }
+        graded = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in E.q_quantized_topk(spark, sf).collect()
+        }
+        assert graded == exact
 
 
 class TestMediaOperators:

@@ -32,7 +32,7 @@ PROBES = {
         "simhash", "simhash_pairs", "fingerprint", "token_stats",
         "token_count_bpe", "dedup_exact",
     ],
-    "embedding": ["embed_topk", "embed_near_dup"],
+    "embedding": ["embed_topk", "embed_near_dup", "quantized_topk"],
     "image_payload": ["decode_check", "image_features", "thumbnails"],
     # env_probe reads lineitem via spark.read directly (schema probe), so
     # the _t patch does not reach it — its cents digit is exercised by the
