@@ -56,10 +56,8 @@ class CloudTiffSpark:
         stdlib SigV4 client (endpoint, access_key, secret_key, region).
         Grow-and-reparse on truncation like the other header-only paths
         (io/http.rs does a fresh ranged GET per retry, same here)."""
-        import struct
-
         from .s3 import S3RangeFetcher
-        from .tiff import cog_info
+        from .tiff import TRUNCATION_ERRORS, cog_info
 
         client = S3RangeFetcher(bucket=bucket, **client_kw)
         n = initial_bytes
@@ -67,7 +65,7 @@ class CloudTiffSpark:
             data = client.fetch(key, 0, n)
             try:
                 return cog_info(data)
-            except struct.error:
+            except TRUNCATION_ERRORS:
                 if len(data) < n:  # short body: already the whole object
                     raise
                 n *= 2

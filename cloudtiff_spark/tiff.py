@@ -498,6 +498,16 @@ def _parse_geokeys(tags: dict) -> dict[int, int | float | str]:
     return out
 
 
+#: Errors cog_info can raise when a byte PREFIX ends mid-structure (an IFD
+#: entry, external value array, or next-IFD offset beyond the prefix):
+#: struct.error from short unpacks, IndexError/ValueError from slicing or
+#: reshaping cut arrays. Grow-and-reparse loops (sources.header_info /
+#: header_info_http / header_info_s3, api.open_s3) retry on these; a
+#: genuinely corrupt file still raises once the whole object is in hand
+#: (the loops stop growing at the object size / short body).
+TRUNCATION_ERRORS = (struct.error, IndexError, ValueError)
+
+
 def cog_info(data: bytes) -> dict:
     """S2 analyze (CloudTiff::open): parsed levels sorted desc by megapixels
     with overview numbering + projection columns. Raises like the reference
@@ -578,6 +588,11 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     else:
         raise CompressionNotSupported(lev["compression"])
     tw, th = lev["tile_w"], lev["tile_h"]
+    if lev.get("fill_order", 1) != 1:
+        # tag 266 applies to EVERY bit depth, not just sub-byte packing:
+        # LSB-first bytes would decode 8/16/32-bit samples silently wrong
+        # too — reject loudly rather than reverse bits per byte
+        raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
     spp = lev.get("samples_per_pixel", 3)
     bits = lev.get("bits_per_sample", [8])[0]
     if set(lev.get("bits_per_sample", [8])) - {bits}:
@@ -592,10 +607,6 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # them. Rows pad to byte boundaries (TIFF 6).
         if spp != 1:
             raise UnsupportedPixelFormat(f"{bits}-bit is gray-only")
-        if lev.get("fill_order", 1) != 1:
-            # tag 266: LSB-first bit packing (fax pipelines) — reject loudly
-            # rather than silently reversing every byte's pixels
-            raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
         row_bytes = (tw * bits + 7) // 8
         if len(buf) != row_bytes * th:
             raise ValueError(f"buffer size {len(buf)} != {th}x{row_bytes}B")

@@ -604,3 +604,46 @@ class TestBitPackedGray:
 
         with _pytest.raises(UnsupportedPixelFormat, match="FillOrder"):
             tiff.decode_tile(bytes(data), info, 0, 0)
+
+    def test_fillorder_2_rejected_for_every_bit_depth(self):
+        """Tag 266 applies to ALL sample widths: an 8-bit tile with
+        FillOrder=2 would decode with bits reversed per byte — it must be
+        rejected just like the sub-byte path (review finding r4)."""
+        import numpy as np
+        import pytest as _pytest
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        img = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3) % 255
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4)
+        info = tiff.cog_info(data)
+        info["levels"][0]["fill_order"] = 2
+        with _pytest.raises(UnsupportedPixelFormat, match="FillOrder"):
+            tiff.decode_tile(data, info, 0, 0)
+
+    def test_truncated_prefix_raises_only_truncation_errors(self):
+        """Every byte-prefix of a real COG must either parse or raise one
+        of tiff.TRUNCATION_ERRORS — the contract the grow-and-reparse
+        loops (local/HTTP/S3 header-only open) rely on to keep growing
+        instead of crashing mid-window (review finding r4: IndexError /
+        ValueError from a tag array cut mid-IFD escaped the struct.error
+        catch)."""
+        import numpy as np
+
+        from cloudtiff_spark import tiff
+
+        img = np.arange(96 * 128 * 3, dtype=np.uint8).reshape(96, 128, 3) % 255
+        data = tiff.encode_cog(img, 32609, 500000.0, 5400000.0, 2.0)
+        full = tiff.cog_info(data)
+        # sweep prefix lengths across the header region densely and the
+        # rest sparsely (the IFD chain lives near the front of a COG)
+        lengths = list(range(1, 2048)) + list(range(2048, len(data), 997))
+        for k in lengths:
+            try:
+                got = tiff.cog_info(data[:k])
+            except tiff.TRUNCATION_ERRORS:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion target
+                raise AssertionError(f"prefix {k}: unexpected {type(exc).__name__}: {exc}")
+            assert len(got["levels"]) == len(full["levels"]), k
