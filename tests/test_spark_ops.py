@@ -1001,3 +1001,39 @@ class TestSkewSalting:
         unsalted = {tuple(r) for r in pip_join(ta, queries, salt=0).collect()}
         salted = {tuple(r) for r in pip_join(ta, queries, salt=SALT, hot=hot).collect()}
         assert salted == unsalted
+
+
+class TestSessionCacheIsolation:
+    """The driver runs sf0.001 smoke then sf0.01 correctness in ONE
+    session; the decode/tile caches must never cross-serve between scale
+    dirs (verdict r4 #8 — assert the keying makes collisions impossible)."""
+
+    def test_caches_keyed_per_sf_dir(self, spark):
+        import __spark_entry__ as E
+
+        E._RASTER_CACHE.clear()
+        E._TILES_CACHE.clear()
+        a = E._shared_decoded(spark, "/root/testdata/sf0.001")
+        b = E._shared_decoded(spark, "/root/testdata/sf0.01")
+        # both entries coexist under distinct keys...
+        assert len(E._RASTER_CACHE) == 2
+        keys = sorted(E._RASTER_CACHE)
+        assert keys[0][0] == keys[1][0] == spark.sparkContext.applicationId
+        assert keys[0][1] != keys[1][1]
+        # ...and repeat lookups return each dir's own cached frame
+        assert E._shared_decoded(spark, "/root/testdata/sf0.001") is a
+        assert E._shared_decoded(spark, "/root/testdata/sf0.01") is b
+        # the frames really are different data, not one scale served twice
+        na, nb = a.count(), b.count()
+        assert na != nb and 0 < na < nb
+
+    def test_trailing_slash_does_not_fork_the_cache(self, spark):
+        """normpath keying: 'dir' and 'dir/' are the same fixture — a
+        second entry would double the cached memory footprint."""
+        import __spark_entry__ as E
+
+        E._RASTER_CACHE.clear()
+        E._TILES_CACHE.clear()
+        a = E._shared_decoded(spark, "/root/testdata/sf0.001")
+        assert E._shared_decoded(spark, "/root/testdata/sf0.001/") is a
+        assert len(E._RASTER_CACHE) == 1
