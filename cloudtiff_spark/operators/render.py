@@ -111,6 +111,56 @@ def decode_tiles_once(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(gen, schema="image_id string, level int, tile_idx int, raw binary")
 
 
+def _out_dims(rw: float, rh: float, mp_limit: float) -> tuple[int, int]:
+    """Output dims: mp cap + aspect (util.rs:131-142). ONE definition shared
+    by the whole-render and block-tiled paths — the blocked path is
+    byte-identical only while every derived quantity uses the identical
+    float expressions."""
+    out_h = int(max(1, round(np.sqrt(mp_limit * 1e6 / (rw / rh)))))
+    out_w = int(max(1, round((rw / rh) * out_h)))
+    return out_w, out_h
+
+
+def _out_lonlat(r0) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Full output-grid pixel-center lon/lat axes (EPSG:4326 target grid).
+    Block paths SLICE these arrays — slicing preserves the exact float
+    values the whole-render path computes."""
+    rxmin, rymin, rxmax, rymax = (float(r0[k]) for k in ("rxmin", "rymin", "rxmax", "rymax"))
+    rw, rh = rxmax - rxmin, rymax - rymin
+    out_w, out_h = _out_dims(rw, rh, float(r0["mp_limit"]))
+    lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
+    lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
+    return lon, lat, out_w, out_h
+
+
+def _map_separable(r0, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """4326 image: separable affine lon->px, lat->py (ABSOLUTE level pixel
+    coords, unclipped — may be negative / beyond the level)."""
+    xmin, ymin, xmax, ymax = (float(r0[k]) for k in ("xmin", "ymin", "xmax", "ymax"))
+    lw, lh = int(r0["lw"]), int(r0["lh"])
+    u = (lon - xmin) / (xmax - xmin)
+    v = (ymax - lat) / (ymax - ymin)
+    return np.floor(u * lw).astype(np.int64), np.floor(v * lh).astype(np.int64)
+
+
+def _map_projected(r0, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Projected image: exact per-pixel CRS transform of the (lon x lat)
+    grid (P3 / J2, util.rs:155-204) -> ABSOLUTE level pixel coords, shape
+    (len(lat), len(lon)). Elementwise, so a block slice of the output grid
+    yields bit-identical values to slicing the whole-grid result."""
+    from ..projection import image_coords_from_crs, transform_coords
+
+    lw, lh = int(r0["lw"]), int(r0["lh"])
+    LON, LAT = np.meshgrid(lon, lat)
+    X, Y = transform_coords(LON.ravel(), LAT.ravel(), 4326, int(r0["epsg"]))
+    sx = float(r0["scale_px"]) * int(r0["w"])
+    sy = float(r0["scale_px"]) * int(r0["h"])
+    U, V = image_coords_from_crs(X, Y, float(r0["origin_x"]), float(r0["origin_y"]), sx, sy)
+    px = np.floor(U * lw).astype(np.int64).reshape(len(lat), len(lon))
+    py = np.floor(V * lh).astype(np.int64).reshape(len(lat), len(lon))
+    return px, py
+
+
 def region_render(
     levels: DataFrame, tiles: DataFrame, queries: DataFrame, decode_once: bool = False
 ) -> DataFrame:
@@ -158,19 +208,12 @@ def region_render(
         r0 = pdf.iloc[0]
         lw, lh = int(r0["lw"]), int(r0["lh"])
         tw, th, cols = int(r0["tile_w"]), int(r0["tile_h"]), int(r0["cols"])
-        xmin, ymin, xmax, ymax = (float(r0[k]) for k in ("xmin", "ymin", "xmax", "ymax"))
-        rxmin, rymin, rxmax, rymax = (float(r0[k]) for k in ("rxmin", "rymin", "rxmax", "rymax"))
-        # output dims: mp cap + aspect (util.rs:131-142)
-        rw, rh = rxmax - rxmin, rymax - rymin
-        out_h = int(max(1, round(np.sqrt(float(r0["mp_limit"]) * 1e6 / (rw / rh)))))
-        out_w = int(max(1, round((rw / rh) * out_h)))
-        # output pixel centers (EPSG:4326 target grid) -> normalized image
-        # coords. For 4326 images the affine is direct; for 32609 images
-        # every pixel center goes through the exact CRS transform first
+        # output pixel centers (EPSG:4326 target grid) -> absolute level
+        # pixel coords. For 4326 images the affine is direct; for projected
+        # images every pixel center goes through the exact CRS transform
         # (P3 / the pixel-map reprojection join J2, util.rs:155-204) — not
         # the bounds-box linear approximation.
-        lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
-        lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
+        lon, lat, out_w, out_h = _out_lonlat(r0)
         # mosaic only the needed tiles into a canvas bounded by the COVERED
         # tile-range bounding box (NOT the full level): peak memory per group
         # is O(crop tiles), independent of image size — the Spark analog of
@@ -180,15 +223,12 @@ def region_render(
         canvas, y_off, x_off = _mosaic_bbox(pdf, tw, th, cols, lw, lh)
         ch, cw = canvas.shape[0], canvas.shape[1]
 
-        epsg = int(r0["epsg"])
-        if epsg == 4326:
+        if int(r0["epsg"]) == 4326:
             # separable affine: gather rows x cols
-            u = (lon - xmin) / (xmax - xmin)
-            v = (ymax - lat) / (ymax - ymin)
-            px = np.floor(u * lw).astype(np.int64) - x_off
-            py = np.floor(v * lh).astype(np.int64) - y_off
-            ok_x = (px >= 0) & (px < cw) & (px + x_off < lw)
-            ok_y = (py >= 0) & (py < ch) & (py + y_off < lh)
+            apx, apy = _map_separable(r0, lon, lat)
+            px, py = apx - x_off, apy - y_off
+            ok_x = (px >= 0) & (px < cw) & (apx < lw)
+            ok_y = (py >= 0) & (py < ch) & (apy < lh)
             # single np.ix_ gather: the chained canvas[rows][:, cols] form
             # materializes an (out_h, cw, 3) intermediate — cw (covered
             # tile-range width) is often much wider than out_w, and this
@@ -197,25 +237,9 @@ def region_render(
             out[~ok_y, :, :] = 0
             out[:, ~ok_x, :] = 0
         else:
-            from ..projection import image_coords_from_crs, transform_coords
-
-            LON, LAT = np.meshgrid(lon, lat)
-            X, Y = transform_coords(LON.ravel(), LAT.ravel(), 4326, epsg)
-            sx = float(r0["scale_px"]) * int(r0["w"])
-            sy = float(r0["scale_px"]) * int(r0["h"])
-            U, V = image_coords_from_crs(
-                X, Y, float(r0["origin_x"]), float(r0["origin_y"]), sx, sy
-            )
-            px = np.floor(U * lw).astype(np.int64).reshape(out_h, out_w) - x_off
-            py = np.floor(V * lh).astype(np.int64).reshape(out_h, out_w) - y_off
-            ok = (
-                (px >= 0)
-                & (px < cw)
-                & (py >= 0)
-                & (py < ch)
-                & (px + x_off < lw)
-                & (py + y_off < lh)
-            )
+            apx, apy = _map_projected(r0, lon, lat)
+            px, py = apx - x_off, apy - y_off
+            ok = (px >= 0) & (px < cw) & (py >= 0) & (py < ch) & (apx < lw) & (apy < lh)
             out = canvas[np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1)]
             out[~ok] = 0
         return pd.DataFrame(
@@ -232,6 +256,239 @@ def region_render(
         )
 
     return joined.groupBy("query_id", "image_id").applyInPandas(assemble, RENDER_SCHEMA)
+
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("query_id", StringType()),
+        StructField("image_id", StringType()),
+        StructField("level", IntegerType()),
+        StructField("by", IntegerType()),
+        StructField("bx", IntegerType()),
+        StructField("row0", IntegerType()),
+        StructField("col0", IntegerType()),
+        StructField("block_h", IntegerType()),
+        StructField("block_w", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("raster", BinaryType()),
+    ]
+)
+
+#: params every block row carries through the blocked pipeline
+_BLK_PARAMS = [
+    "level", "lw", "lh", "tile_w", "tile_h", "cols",
+    "xmin", "ymin", "xmax", "ymax", "epsg", "origin_x", "origin_y",
+    "scale_px", "w", "h", "rxmin", "rymin", "rxmax", "rymax", "mp_limit",
+]
+
+
+def region_render_blocked(
+    levels: DataFrame,
+    tiles: DataFrame,
+    queries: DataFrame,
+    block: int = 512,
+    emit_blocks: bool = False,
+) -> DataFrame:
+    """region_render with the gather keyed by (query, image, OUT BLOCK).
+
+    The whole-render path runs one task per (query, image): a single huge
+    render (mp_limit >= 1 -> gigapixel outputs) serializes its CRS
+    transform + gather on one core and holds the whole canvas. Here the
+    output raster is cut into ``block`` x ``block`` pixel blocks — the
+    same shape as the reference's WMTS tile outputs — and each block is an
+    independent task: per-task memory is O(block^2 + the block's source
+    tiles) and one large render parallelizes across the cluster.
+
+    Stages: (1a) one row per (query, image) fans out natively-countable
+    block rows; (1b) a parallel mapInPandas computes each block's EXACT
+    needed source-tile bbox by running the block's slice of the per-pixel
+    map (sliced from the same float arrays the whole-render path builds, so
+    values are bit-identical); (2) native explode -> tile keys -> LEFT join
+    the tiles table -> per-block mosaic + gather; (3) ``emit_blocks=False``
+    reassembles blocks into RENDER_SCHEMA rows byte-identical to
+    region_render (test-pinned); ``emit_blocks=True`` keeps the block grain
+    (the 100-TB shape: no per-render fan-in task at all).
+
+    A block superset of a pixel's true tile never changes its value (the
+    gather reads absolute coords; extra canvas area is unread), and missing
+    tiles read as 0 either way — so bbox-ranged tile sets preserve byte
+    identity. Output-row existence matches region_render exactly: a
+    (query, image) pair renders iff at least one pruned tile exists in the
+    tiles table (the same inner-join condition, applied as a semi-join)."""
+    wanted = region_extract(levels, queries)
+    q = queries.filter(F.col("kind") == "region").select(
+        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
+    )
+    lv = levels.select(
+        "image_id", "level", "lw", "lh", "tile_w", "tile_h", "cols", "rows",
+        "xmin", "ymin", "xmax", "ymax", "epsg", "origin_x", "origin_y", "scale_px",
+        "w", "h",
+    )
+    keys = ["image_id", "level", "tile_idx"]
+    # existence gate == region_render's inner join: some pruned tile exists
+    present = (
+        wanted.join(tiles.select(*keys), keys, "left_semi")
+        .select("query_id", "image_id")
+        .distinct()
+    )
+    base = (
+        present.join(wanted.select("query_id", "image_id", "level").distinct(), ["query_id", "image_id"])
+        .join(F.broadcast(q), "query_id")
+        .join(lv, ["image_id", "level"])
+    )
+
+    def fanout_blocks(batches):
+        # 1a: (query, image) -> one row per output block (cheap, no pixels)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rw, rh = float(r["rxmax"]) - float(r["rxmin"]), float(r["rymax"]) - float(r["rymin"])
+                out_w, out_h = _out_dims(rw, rh, float(r["mp_limit"]))
+                nby = (out_h + block - 1) // block
+                nbx = (out_w + block - 1) // block
+                for by in range(nby):
+                    for bx in range(nbx):
+                        rows.append([r["query_id"], r["image_id"], by, bx, out_w, out_h]
+                                    + [r[k] for k in _BLK_PARAMS])
+            yield pd.DataFrame(
+                rows, columns=["query_id", "image_id", "by", "bx", "out_w", "out_h"] + _BLK_PARAMS
+            )
+
+    blk_schema = (
+        "query_id string, image_id string, by int, bx int, out_w int, out_h int, "
+        "level int, lw int, lh int, tile_w int, tile_h int, cols int, "
+        "xmin double, ymin double, xmax double, ymax double, epsg int, "
+        "origin_x double, origin_y double, scale_px double, w int, h int, "
+        "rxmin double, rymin double, rxmax double, rymax double, mp_limit double"
+    )
+    blocks = base.mapInPandas(fanout_blocks, schema=blk_schema)
+    # spread blocks across tasks BEFORE the per-block pixel work — the
+    # whole point is that one giant render's blocks land on many cores
+    blocks = blocks.repartition("query_id", "image_id", "by", "bx")
+
+    def needed_ranges(batches):
+        # 1b: per block, the EXACT source-tile bbox its pixels touch
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                lon, lat, out_w, out_h = _out_lonlat(r)
+                row0 = int(r["by"]) * block
+                col0 = int(r["bx"]) * block
+                row1, col1 = min(row0 + block, out_h), min(col0 + block, out_w)
+                lw, lh = int(r["lw"]), int(r["lh"])
+                tw, th = int(r["tile_w"]), int(r["tile_h"])
+                if int(r["epsg"]) == 4326:
+                    apx, apy = _map_separable(r, lon[col0:col1], lat[row0:row1])
+                    vx, vy = apx[(apx >= 0) & (apx < lw)], apy[(apy >= 0) & (apy < lh)]
+                    empty = vx.size == 0 or vy.size == 0
+                else:
+                    apx, apy = _map_projected(r, lon[col0:col1], lat[row0:row1])
+                    ok = (apx >= 0) & (apx < lw) & (apy >= 0) & (apy < lh)
+                    vx, vy = apx[ok], apy[ok]
+                    empty = vx.size == 0
+                if empty:
+                    rng = [None, None, None, None]
+                else:
+                    rng = [
+                        int(vy.min()) // th, int(vy.max()) // th,
+                        int(vx.min()) // tw, int(vx.max()) // tw,
+                    ]
+                out.append([r[c] for c in pdf.columns] + rng)
+            yield pd.DataFrame(out, columns=list(pdf.columns) + ["r0b", "r1b", "c0b", "c1b"])
+
+    ranged = blocks.mapInPandas(
+        needed_ranges, schema=blk_schema + ", r0b int, r1b int, c0b int, c1b int"
+    )
+    # native fan-out to tile keys; explode_outer keeps no-valid-pixel
+    # blocks alive (they still owe an all-zero block to the reassembly)
+    keyed = (
+        ranged.withColumn("_r", F.explode_outer(F.sequence("r0b", "r1b")))
+        .withColumn("_c", F.explode_outer(F.sequence("c0b", "c1b")))
+        .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
+        .drop("_r", "_c", "r0b", "r1b", "c0b", "c1b")
+    )
+    joined = keyed.join(
+        tiles.select(*keys, "fmt", "tile_bytes"), keys, "left"
+    )
+
+    def assemble_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf.iloc[0]
+        lw, lh = int(r0["lw"]), int(r0["lh"])
+        tw, th, cols = int(r0["tile_w"]), int(r0["tile_h"]), int(r0["cols"])
+        lon, lat, out_w, out_h = _out_lonlat(r0)
+        row0, col0 = int(r0["by"]) * block, int(r0["bx"]) * block
+        row1, col1 = min(row0 + block, out_h), min(col0 + block, out_w)
+        bh, bw = row1 - row0, col1 - col0
+        have = pdf[pdf["tile_bytes"].notna()]
+        if len(have):
+            canvas, y_off, x_off = _mosaic_bbox(have, tw, th, cols, lw, lh)
+        else:
+            canvas, y_off, x_off = np.zeros((th, tw, 3), dtype=np.uint8), 0, 0
+        ch, cw = canvas.shape[0], canvas.shape[1]
+        if int(r0["epsg"]) == 4326:
+            apx, apy = _map_separable(r0, lon[col0:col1], lat[row0:row1])
+            px, py = apx - x_off, apy - y_off
+            ok_x = (px >= 0) & (px < cw) & (apx < lw)
+            ok_y = (py >= 0) & (py < ch) & (apy < lh)
+            out = canvas[np.ix_(np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1))]
+            out[~ok_y, :, :] = 0
+            out[:, ~ok_x, :] = 0
+        else:
+            apx, apy = _map_projected(r0, lon[col0:col1], lat[row0:row1])
+            px, py = apx - x_off, apy - y_off
+            ok = (px >= 0) & (px < cw) & (py >= 0) & (py < ch) & (apx < lw) & (apy < lh)
+            out = canvas[np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1)]
+            out[~ok] = 0
+        return pd.DataFrame(
+            [
+                {
+                    "query_id": r0["query_id"],
+                    "image_id": r0["image_id"],
+                    "level": int(r0["level"]),
+                    "by": int(r0["by"]),
+                    "bx": int(r0["bx"]),
+                    "row0": row0,
+                    "col0": col0,
+                    "block_h": bh,
+                    "block_w": bw,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "raster": out.tobytes(),
+                }
+            ]
+        )
+
+    rendered = joined.groupBy("query_id", "image_id", "by", "bx").applyInPandas(
+        assemble_block, BLOCK_SCHEMA
+    )
+    if emit_blocks:
+        return rendered
+
+    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf.iloc[0]
+        out_w, out_h = int(r0["out_w"]), int(r0["out_h"])
+        canvas = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+        for _, r in pdf.iterrows():
+            bh, bw = int(r["block_h"]), int(r["block_w"])
+            y0, x0 = int(r["row0"]), int(r["col0"])
+            canvas[y0 : y0 + bh, x0 : x0 + bw] = np.frombuffer(
+                r["raster"], dtype=np.uint8
+            ).reshape(bh, bw, 3)
+        return pd.DataFrame(
+            [
+                {
+                    "query_id": r0["query_id"],
+                    "image_id": r0["image_id"],
+                    "level": int(r0["level"]),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "raster": canvas.tobytes(),
+                }
+            ]
+        )
+
+    return rendered.groupBy("query_id", "image_id").applyInPandas(reassemble, RENDER_SCHEMA)
 
 
 CROP_SCHEMA = StructType(

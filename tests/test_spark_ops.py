@@ -452,6 +452,64 @@ class TestDecodeOnceRender:
         assert a == b and len(a) > 0
 
 
+class TestBlockedRender:
+    def test_blocked_is_byte_identical(self, tables):
+        """region_render_blocked — the gigapixel-render scale path (one
+        task per output block instead of one per render) — must produce
+        byte-identical rasters and the identical row set, across both the
+        separable 4326 and the exact-CRS projected branches. block=64
+        forces real multi-block fan-out at fixture output sizes."""
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render, region_render_blocked
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images, meta, queries = tables
+        tiles = build_tiles(images)
+        lv = levels_df(meta)
+        key = lambda r: (r.query_id, r.image_id)
+        a = {
+            key(r): (r.level, r.out_w, r.out_h, bytes(r.raster))
+            for r in region_render(lv, tiles, queries).collect()
+        }
+        b = {
+            key(r): (r.level, r.out_w, r.out_h, bytes(r.raster))
+            for r in region_render_blocked(lv, tiles, queries, block=64).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_block_grain_covers_output_exactly(self, tables):
+        """emit_blocks=True: the WMTS-shaped grain — blocks tile the output
+        raster exactly once and concatenate back to the whole-render
+        bytes."""
+        import numpy as np
+
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render, region_render_blocked
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images, meta, queries = tables
+        tiles = build_tiles(images)
+        lv = levels_df(meta)
+        whole = {
+            (r.query_id, r.image_id): (r.out_w, r.out_h, bytes(r.raster))
+            for r in region_render(lv, tiles, queries).collect()
+        }
+        blocks: dict = {}
+        for r in region_render_blocked(lv, tiles, queries, block=64, emit_blocks=True).collect():
+            blocks.setdefault((r.query_id, r.image_id), []).append(r)
+        assert set(blocks) == set(whole)
+        for k, rows in blocks.items():
+            out_w, out_h, want = whole[k]
+            canvas = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+            seen = np.zeros((out_h, out_w), dtype=np.int32)
+            for r in rows:
+                arr = np.frombuffer(r.raster, dtype=np.uint8).reshape(r.block_h, r.block_w, 3)
+                canvas[r.row0 : r.row0 + r.block_h, r.col0 : r.col0 + r.block_w] = arr
+                seen[r.row0 : r.row0 + r.block_h, r.col0 : r.col0 + r.block_w] += 1
+            assert (seen == 1).all(), k  # exact partition, no gaps/overlap
+            assert canvas.tobytes() == want, k
+
+
 class TestEmbedNearDup:
     def test_lsh_equals_exact_on_fixture(self, spark):
         """The LSH scale path must find every exact pair on the frozen
