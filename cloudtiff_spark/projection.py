@@ -221,11 +221,14 @@ def webmercator_inverse(
 # Conic / polar-azimuthal families (Snyder, USGS PP 1395) — the "arbitrary
 # proj4 pair" gap vs the reference (projection/mod.rs:224-244 via proj4rs):
 # named-EPSG Lambert conformal conic, Albers equal-area, and polar
-# stereographic CRSs project through the same 4326 hub. Datum note: every
-# registered CRS sits on GRS80/WGS84-coincident datums (RGF93, ETRS89,
-# NAD83, WGS84) where the null datum shift is sub-meter; CRSs needing a real
-# Helmert/grid shift (e.g. OSGB36's EPSG:27700) stay typed-unsupported
-# rather than silently ~100 m wrong.
+# stereographic CRSs project through the same 4326 hub. Datum note: most
+# registered CRSs sit on GRS80/WGS84-coincident datums (RGF93, ETRS89,
+# NAD83, WGS84) where the null datum shift is sub-meter; classical-datum
+# CRSs (OSGB36 27700, TM75 29903, BD72 31370) declare a "towgs84"
+# 7-parameter Helmert in their registry params (~1-2 m, the published
+# accuracy of the single-Helmert fits). Only datums whose official
+# transformation REQUIRES a distortion grid (NAD27/NADCON, RD/NTv2) stay
+# typed-unsupported rather than silently wrong.
 
 #: (a, e2) pairs — GRS80 and WGS84 differ in 1/f at the 1e-9 level but we
 #: keep both so the constants trace to their authorities
@@ -535,8 +538,122 @@ def ps_inverse(x_m, y_m, a, e2, p):
     return lon, np.degrees(lat)
 
 
+# ---------------------------------------------------------------------------
+# 7-parameter Helmert datum shift (EPSG method 9606, position-vector
+# convention — the +towgs84= convention). The reference reaches datum-shifted
+# CRSs through proj4rs' generic pipeline (projection/mod.rs:224-244); here
+# the same capability is the classic geodetic->geocentric->Helmert->geodetic
+# chain through the WGS84 hub. Single-Helmert accuracy is the published
+# ~1-2 m vs national grid-shift solutions (OSTN15 etc.) — grids stay typed
+# UnsupportedCrs.
+# ---------------------------------------------------------------------------
+
+
+def _geodetic_to_ecef(lon_deg, lat_deg, a: float, e2: float):
+    """Geodetic (h=0) -> geocentric cartesian on the given ellipsoid."""
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    sin_lat, cos_lat = np.sin(lat), np.cos(lat)
+    n = a / np.sqrt(1 - e2 * sin_lat**2)
+    return n * cos_lat * np.cos(lon), n * cos_lat * np.sin(lon), n * (1 - e2) * sin_lat
+
+
+def _ecef_to_geodetic(x, y, z, a: float, e2: float):
+    """Geocentric -> geodetic lon/lat (height solved then dropped — the 2-D
+    raster chain carries no heights). Iterative with a convergence check,
+    NOT a fixed count (pole-adjacent double roots converge slowly); the
+    near-pole h branch avoids the p/cos(lat) blow-up."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    p = np.hypot(x, y)
+    lat = np.arctan2(z, p * (1 - e2))
+    for _ in range(50):
+        sin_lat = np.sin(lat)
+        n = a / np.sqrt(1 - e2 * sin_lat**2)
+        h = np.where(
+            np.abs(lat) > 1.3,
+            z / np.where(sin_lat == 0, 1.0, sin_lat) - n * (1 - e2),
+            p / np.cos(lat) - n,
+        )
+        new = np.arctan2(z, p * (1 - e2 * n / (n + h)))
+        done = np.all(np.abs(new - lat) < 1e-13)
+        lat = new
+        if done:
+            break
+    return np.degrees(np.arctan2(y, x)), np.degrees(lat)
+
+
+def _helmert_matrices(t: tuple) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(M_fwd, T_fwd, M_inv, T_inv) for v_wgs = M_fwd @ v_src + T_fwd.
+    t = (dx_m, dy_m, dz_m, rx_as, ry_as, rz_as, ds_ppm), position-vector.
+    The small-angle rotation matrix is not orthogonal, so the inverse is
+    the EXACT 3x3 inverse — round-trips close to machine precision instead
+    of leaking the O(r^2) small-angle error."""
+    dx, dy, dz, rx, ry, rz, ds = t
+    rx, ry, rz = (np.radians(v / 3600.0) for v in (rx, ry, rz))
+    s = 1.0 + ds * 1e-6
+    m = s * np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    tv = np.array([dx, dy, dz])
+    m_inv = np.linalg.inv(m)
+    return m, tv, m_inv, -m_inv @ tv
+
+
+_HELMERT_CACHE: dict[tuple, tuple] = {}
+
+
+def _helmert_for(t: tuple) -> tuple:
+    if t not in _HELMERT_CACHE:
+        _HELMERT_CACHE[t] = _helmert_matrices(t)
+    return _HELMERT_CACHE[t]
+
+
+def _datum_to_wgs84(lon_deg, lat_deg, a: float, e2: float, t: tuple):
+    """Source-datum geodetic -> WGS84 geodetic."""
+    m, tv, _, _ = _helmert_for(t)
+    x, y, z = _geodetic_to_ecef(lon_deg, lat_deg, a, e2)
+    v = m @ np.stack([np.ravel(x), np.ravel(y), np.ravel(z)]) + tv[:, None]
+    lon, lat = _ecef_to_geodetic(v[0], v[1], v[2], _A, _E2)
+    return lon.reshape(np.shape(x)), lat.reshape(np.shape(x))
+
+
+def _wgs84_to_datum(lon_deg, lat_deg, a: float, e2: float, t: tuple):
+    """WGS84 geodetic -> source-datum geodetic (exact inverse of above)."""
+    _, _, m_inv, tv_inv = _helmert_for(t)
+    x, y, z = _geodetic_to_ecef(lon_deg, lat_deg, _A, _E2)
+    v = m_inv @ np.stack([np.ravel(x), np.ravel(y), np.ravel(z)]) + tv_inv[:, None]
+    lon, lat = _ecef_to_geodetic(v[0], v[1], v[2], a, e2)
+    return lon.reshape(np.shape(x)), lat.reshape(np.shape(x))
+
+
+def tm_forward_p(lon_deg, lat_deg, a: float, e2: float, p: dict):
+    """Registry adapter for the generalized TM (national grids)."""
+    m0 = _merid_arc(np.radians(p["lat0"]), a, e2)
+    return _tm_forward(
+        lon_deg, lat_deg, a, e2, np.radians(p["lon0"]), p["fe"], p["fn"], p["k0"], m0
+    )
+
+
+def tm_inverse_p(x_m, y_m, a: float, e2: float, p: dict):
+    m0 = _merid_arc(np.radians(p["lat0"]), a, e2)
+    return _tm_inverse(
+        x_m, y_m, a, e2, np.radians(p["lon0"]), p["fe"], p["fn"], p["k0"], m0
+    )
+
+
+# non-GRS80/WGS84 ellipsoids (EPSG-published semi-major / inverse flattening)
+_AIRY_A, _AIRY_F = 6377563.396, 1.0 / 299.3249646  # Airy 1830
+_AIRY_E2 = _AIRY_F * (2 - _AIRY_F)
+_AIRYMOD_A = 6377340.189  # Airy Modified 1849 (same flattening as Airy)
+_INTL_A, _INTL_F = 6378388.0, 1.0 / 297.0  # International 1924 (Hayford)
+_INTL_E2 = _INTL_F * (2 - _INTL_F)
+
+
 #: named-EPSG registry: epsg -> (family, a, e2, params). Parameters are the
-#: EPSG-registry published values for each CRS.
+#: EPSG-registry published values for each CRS. An optional params
+#: key "towgs84" = (dx, dy, dz, rx", ry", rz", ds_ppm) declares a
+#: position-vector Helmert shift applied between the projection's datum
+#: and the WGS84 hub (see _datum_to_wgs84).
 CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
     # RGF93 / Lambert-93 (France)
     2154: (
@@ -579,9 +696,43 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
         _GRS80_E2,
         dict(lat0=52.0, lat1=35.0, lat2=65.0, lon0=10.0, fe=4000000.0, fn=2800000.0),
     ),
+    # OSGB36 / British National Grid — Airy 1830 + Helmert to WGS84
+    # (EPSG tfm 1314; single-Helmert accuracy ~2 m vs the OSTN15 grid)
+    27700: (
+        "tm",
+        _AIRY_A,
+        _AIRY_E2,
+        dict(
+            lat0=49.0, lon0=-2.0, k0=0.9996012717, fe=400000.0, fn=-100000.0,
+            towgs84=(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+        ),
+    ),
+    # TM75 / Irish Grid — Airy Modified 1849 + Helmert (EPSG tfm 1954)
+    29903: (
+        "tm",
+        _AIRYMOD_A,
+        _AIRY_E2,
+        dict(
+            lat0=53.5, lon0=-8.0, k0=1.000035, fe=200000.0, fn=250000.0,
+            towgs84=(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+        ),
+    ),
+    # BD72 / Belgian Lambert 72 — International 1924 + Helmert (EPSG tfm
+    # 15929, signs in position-vector convention)
+    31370: (
+        "lcc2sp",
+        _INTL_A,
+        _INTL_E2,
+        dict(
+            lat0=90.0, lat1=51.16666723333333, lat2=49.8333339,
+            lon0=4.367486666666666, fe=150000.013, fn=5400088.438,
+            towgs84=(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747),
+        ),
+    ),
 }
 
 _FAMILY_FWD = {
+    "tm": tm_forward_p,
     "lcc2sp": lcc2sp_forward,
     "aea2sp": aea2sp_forward,
     "ps": ps_forward,
@@ -590,6 +741,7 @@ _FAMILY_FWD = {
     "cea": cea_forward,
 }
 _FAMILY_INV = {
+    "tm": tm_inverse_p,
     "lcc2sp": lcc2sp_inverse,
     "aea2sp": aea2sp_inverse,
     "ps": ps_inverse,
@@ -619,7 +771,12 @@ def _to_4326(xs: np.ndarray, ys: np.ndarray, epsg: int) -> tuple[np.ndarray, np.
         return webmercator_inverse(xs, ys)
     if epsg in CRS_REGISTRY:
         family, a, e2, p = CRS_REGISTRY[epsg]
-        return _FAMILY_INV[family](xs, ys, a, e2, p)
+        lon, lat = _FAMILY_INV[family](xs, ys, a, e2, p)
+        t = p.get("towgs84")
+        if t is not None:
+            # projection inverse lands on the SOURCE datum; shift to WGS84
+            lon, lat = _datum_to_wgs84(lon, lat, a, e2, t)
+        return lon, lat
     return utm_inverse(xs, ys, epsg)  # raises on unsupported EPSG
 
 
@@ -630,6 +787,10 @@ def _from_4326(lon: np.ndarray, lat: np.ndarray, epsg: int) -> tuple[np.ndarray,
         return webmercator_forward(lon, lat)
     if epsg in CRS_REGISTRY:
         family, a, e2, p = CRS_REGISTRY[epsg]
+        t = p.get("towgs84")
+        if t is not None:
+            # shift the WGS84 hub coords onto the projection's datum first
+            lon, lat = _wgs84_to_datum(lon, lat, a, e2, t)
         return _FAMILY_FWD[family](lon, lat, a, e2, p)
     return utm_forward(lon, lat, epsg)
 

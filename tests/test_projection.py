@@ -79,10 +79,12 @@ class TestTransformDispatch:
         assert x[0] == 1.0 and y[0] == 2.0
 
     def test_unsupported_raises(self):
-        # OSGB36 (27700) needs a real Helmert datum shift — deliberately
-        # typed-unsupported rather than silently ~100 m wrong
+        # Amersfoort / RD New (28992) is an oblique stereographic outside
+        # every implemented family — deliberately typed-unsupported rather
+        # than silently wrong (27700 moved to the registry via the Helmert
+        # datum-shift path in round 5)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27700)
+            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 28992)
 
 
 class TestGeneralCrs:
@@ -146,7 +148,7 @@ class TestGeneralCrs:
         from cloudtiff_spark.projection import transform_coords
 
         try:
-            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27700)
+            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 28992)
             raised = False
         except ValueError as exc:
             raised = "unsupported CRS" in str(exc)
@@ -172,7 +174,8 @@ class TestConicPolarFamilies:
     scale 1 at standard parallels, Jacobian 1 for equal-area, exact
     round-trip closure."""
 
-    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035, 3575, 6933]
+    CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035, 3575, 6933,
+             27700, 29903, 31370]
 
     @staticmethod
     def _local_scale(fwd, lon, lat, a, e2):
@@ -190,6 +193,7 @@ class TestConicPolarFamilies:
     def _fwd(self, epsg):
         family, a, e2, p = P.CRS_REGISTRY[epsg]
         fn = {
+            "tm": P.tm_forward_p,
             "lcc2sp": P.lcc2sp_forward,
             "aea2sp": P.aea2sp_forward,
             "ps": P.ps_forward,
@@ -213,6 +217,9 @@ class TestConicPolarFamilies:
             3413: (-180.0, 180.0, 62.0, 88.0),
             32661: (-180.0, 180.0, 75.0, 89.5),
             32761: (-180.0, 180.0, -89.5, -75.0),
+            27700: (-8.0, 2.0, 49.5, 61.0),
+            29903: (-10.7, -5.3, 51.2, 55.5),
+            31370: (2.5, 6.5, 49.4, 51.6),
         }
         for epsg in self.CODES:
             lo0, lo1, la0, la1 = domains[epsg]
@@ -294,7 +301,9 @@ class TestConicPolarFamilies:
     def test_crs_is_supported_matrix(self):
         for epsg in [4326, 3857, 32601, 32760, 25832, 26913] + self.CODES:
             assert P.crs_is_supported(epsg), epsg
-        for epsg in [27700, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
+        # 28992 = oblique stereographic (family not implemented); 26717 =
+        # NAD27 UTM (datum needs a NADCON grid shift, not a Helmert)
+        for epsg in [28992, 26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
             assert not P.crs_is_supported(epsg), epsg
 
     def test_lambert93_known_city(self):
@@ -338,3 +347,93 @@ class TestConicPolarFamilies:
                 x, y = P.transform_coords(np.array([40.0]), np.array([lat]), 4326, epsg)
                 _, lat2 = P.transform_coords(x, y, epsg, 4326)
                 assert abs(lat2[0] - lat) * 111_320.0 < 1.0, (epsg, lat)
+
+
+class TestHelmertDatumShift:
+    """Classical-datum CRSs via the 7-parameter Helmert fallback
+    (projection/mod.rs:224-244 parity for the last CRS class the registry
+    refused: OSGB36/TM75/BD72). Projection math is pinned by published
+    same-datum vectors; the shift by direction-sensitive invariants."""
+
+    def test_osgb_worked_example_projection_only(self):
+        """OS 'A guide to coordinate systems in Great Britain' worked
+        example (OSGB36 geodetic -> grid, same datum, NO shift):
+        52d39'27.2531\"N 1d43'4.5177\"E -> E 651409.903 N 313177.270.
+        Pins the Airy-1830 TM parameters to sub-mm."""
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        _, a, e2, p = P.CRS_REGISTRY[27700]
+        x, y = P.tm_forward_p(np.array([lon]), np.array([lat]), a, e2, p)
+        assert abs(x[0] - 651409.903) < 1e-3
+        assert abs(y[0] - 313177.270) < 1e-3
+
+    def test_osgb_true_origin_exact(self):
+        _, a, e2, p = P.CRS_REGISTRY[27700]
+        x, y = P.tm_forward_p(np.array([-2.0]), np.array([49.0]), a, e2, p)
+        assert abs(x[0] - 400000.0) < 1e-6 and abs(y[0] + 100000.0) < 1e-6
+
+    def test_helmert_direction_via_greenwich(self):
+        """The OSGB36 zero meridian passes through the Airy Transit Circle,
+        whose WGS84 longitude is -0.0014978 deg (~5.4 arcsec W). Shifting
+        that WGS84 position onto OSGB36 must land within ~1 arcsec of
+        longitude 0 (published single-Helmert accuracy); a reversed shift
+        would be ~11 arcsec off — this pins the towgs84 DIRECTION."""
+        _, a, e2, p = P.CRS_REGISTRY[27700]
+        lo, la = P._wgs84_to_datum(
+            np.array([-0.0014978]), np.array([51.4778]), a, e2, p["towgs84"]
+        )
+        assert abs(lo[0] * 3600.0) < 1.0
+        # and the unshifted error is what we claim we're fixing (~5.4")
+        assert abs(-0.0014978 * 3600.0) > 5.0
+
+    def test_helmert_identity_and_exact_inverse(self):
+        zero = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        lo, la = P._wgs84_to_datum(np.array([12.3]), np.array([45.6]), P._A, P._E2, zero)
+        assert lo[0] == pytest.approx(12.3, abs=1e-12)
+        assert la[0] == pytest.approx(45.6, abs=1e-12)
+        # the small-angle matrix is inverted EXACTLY (no O(rot^2) error);
+        # the residual here is the inherent height-dropping effect of a
+        # 2-D shift (each leg solves geodetic height then discards it,
+        # ~50 m along the normal -> ~mm of horizontal leakage), so the
+        # closure gate is 1e-7 deg ~ 1 cm, not machine precision
+        t = P.CRS_REGISTRY[27700][3]["towgs84"]
+        lo1, la1 = P._wgs84_to_datum(np.array([-3.0]), np.array([57.0]), P._AIRY_A, P._AIRY_E2, t)
+        lo2, la2 = P._datum_to_wgs84(lo1, la1, P._AIRY_A, P._AIRY_E2, t)
+        assert abs(lo2[0] + 3.0) < 1e-7 and abs(la2[0] - 57.0) < 1e-7
+
+    def test_irish_and_belgian_origins(self):
+        # TM75 / Irish Grid true origin (53.5N, 8W) -> (200000, 250000)
+        _, a, e2, p = P.CRS_REGISTRY[29903]
+        x, y = P.tm_forward_p(np.array([-8.0]), np.array([53.5]), a, e2, p)
+        assert abs(x[0] - 200000.0) < 1e-6 and abs(y[0] - 250000.0) < 1e-6
+        # Belgian Lambert 72: Brussels (~4.35E, 50.85N) lands in the
+        # published ~(148.6 km, 170.8 km) grid neighborhood — catches
+        # parameter mis-wiring (km-scale) while allowing Helmert ~2 m
+        x2, y2 = P.transform_coords(np.array([4.35]), np.array([50.85]), 4326, 31370)
+        assert abs(x2[0] - 148600.0) < 2000.0 and abs(y2[0] - 170800.0) < 2000.0
+
+    def test_full_transform_roundtrip_through_hub(self):
+        rng = np.random.default_rng(99)
+        for epsg, (lo0, lo1, la0, la1) in {
+            27700: (-7.5, 1.8, 50.0, 60.5),
+            29903: (-10.5, -5.5, 51.4, 55.4),
+            31370: (2.6, 6.4, 49.5, 51.5),
+        }.items():
+            lon = rng.uniform(lo0, lo1, 200)
+            lat = rng.uniform(la0, la1, 200)
+            x, y = P.transform_coords(lon, lat, 4326, epsg)
+            lon2, lat2 = P.transform_coords(x, y, epsg, 4326)
+            # gate ~0.5 m: the 2-D Helmert legs drop geodetic height
+            # (cm-scale horizontal leakage at domain corners) and the
+            # datums themselves are only defined to ~1-2 m
+            assert np.abs(lon2 - lon).max() < 5e-6, epsg
+            assert np.abs(lat2 - lat).max() < 5e-6, epsg
+
+    def test_grid_shift_datums_stay_typed_unsupported(self):
+        """NAD27 (NADCON grid) and RD New (NTv2/grid-corrected oblique
+        stereographic) must keep raising the typed error — the Helmert
+        fallback covers only datums whose official transform IS a
+        Helmert."""
+        for epsg in (26717, 28992):
+            with pytest.raises(ValueError, match="unsupported CRS"):
+                P.transform_coords(np.array([0.0]), np.array([50.0]), 4326, epsg)

@@ -330,6 +330,65 @@ class TestRender:
         assert ok.sum() > 0.5 * ok.size  # the region mostly covers the image
         assert np.array_equal(got, want)
 
+    def test_region_render_osgb_datum_shift_image(self, spark):
+        """An OSGB36 / British National Grid (27700) image — a CRS whose
+        path runs the 7-parameter Helmert datum shift — renders through the
+        full distributed path, and every output pixel matches a local numpy
+        recompute of the same exact-CRS + datum-shift gather."""
+        from cloudtiff_spark.codecs import encode_image
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render
+        from cloudtiff_spark.operators.tiling import build_tiles
+        from cloudtiff_spark.projection import (
+            bounds_lat_lon,
+            image_coords_from_crs,
+            transform_coords,
+        )
+
+        w = h = 96
+        rng = np.random.default_rng(271)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        # anchor near London; 100 m pixels
+        ox, oy, sp = 528000.0, 184000.0, 100.0
+        xmin, ymin, xmax, ymax = bounds_lat_lon(27700, ox, oy, sp * w, sp * h)
+        images = spark.createDataFrame(
+            [("BNG", bytearray(encode_image(img, "deflate_raw")), w, h, "deflate_raw")],
+            "image_id string, bytes binary, w int, h int, fmt string",
+        )
+        meta = spark.createDataFrame(
+            [("BNG", w, h, "deflate_raw", "", 0, 27700, ox, oy, sp,
+              xmin, ymin, xmax, ymax, 64, 64)],
+            "image_id string, w int, h int, fmt string, caption string, phash long, "
+            "epsg int, origin_x double, origin_y double, scale_px double, "
+            "xmin double, ymin double, xmax double, ymax double, tile_w int, tile_h int",
+        )
+        rx0, ry0 = xmin + (xmax - xmin) * 0.2, ymin + (ymax - ymin) * 0.2
+        rx1, ry1 = xmin + (xmax - xmin) * 0.8, ymin + (ymax - ymin) * 0.8
+        queries = spark.createDataFrame(
+            [("q0", "region", [0.0], [0.0], 0.0, 0.0, 0, rx0, ry0, rx1, ry1, 0.005, 0, 0, 0)],
+            "query_id string, kind string, poly_x array<double>, poly_y array<double>, "
+            "px double, py double, k int, rxmin double, rymin double, rxmax double, "
+            "rymax double, mp_limit double, qz int, qx int, qy int",
+        )
+        out = region_render(levels_df(meta), build_tiles(images), queries).collect()
+        assert len(out) == 1
+        r = out[0]
+        got = np.frombuffer(r.raster, np.uint8).reshape(r.out_h, r.out_w, 3)
+        lon = rx0 + (np.arange(r.out_w) + 0.5) / r.out_w * (rx1 - rx0)
+        lat = ry1 - (np.arange(r.out_h) + 0.5) / r.out_h * (ry1 - ry0)
+        LON, LAT = np.meshgrid(lon, lat)
+        X, Y = transform_coords(LON.ravel(), LAT.ravel(), 4326, 27700)
+        lw, lh = grid.level_dims(w, h, r.level)
+        U, V = image_coords_from_crs(X, Y, ox, oy, sp * w, sp * h)
+        px = np.floor(U * lw).astype(np.int64).reshape(r.out_h, r.out_w)
+        py = np.floor(V * lh).astype(np.int64).reshape(r.out_h, r.out_w)
+        ok = (px >= 0) & (px < lw) & (py >= 0) & (py < lh)
+        assert r.level == 0
+        want = np.zeros_like(got)
+        want[ok] = img[np.clip(py, 0, lh - 1), np.clip(px, 0, lw - 1)][ok]
+        assert ok.sum() > 0.5 * ok.size
+        assert np.array_equal(got, want)
+
     def test_region_render_unsupported_crs_is_typed(self, tables):
         """crs_reject sweep (VERDICT r3 action #4): an image whose metadata
         carries an EPSG outside the supported families must surface the
@@ -340,9 +399,9 @@ class TestRender:
         from cloudtiff_spark.operators.tiling import build_tiles
 
         images, meta, queries = tables
-        bad_meta = meta.withColumn("epsg", F.lit(27700))
+        bad_meta = meta.withColumn("epsg", F.lit(28992))
         tiles = build_tiles(images)
-        with pytest.raises(Exception, match="unsupported CRS 27700"):
+        with pytest.raises(Exception, match="unsupported CRS 28992"):
             region_render(levels_df(bad_meta), tiles, queries).collect()
 
 
