@@ -57,7 +57,7 @@ class CloudTiffSpark:
         Grow-and-reparse on truncation like the other header-only paths
         (io/http.rs does a fresh ranged GET per retry, same here)."""
         from .s3 import S3RangeFetcher
-        from .tiff import TRUNCATION_ERRORS, cog_info
+        from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
 
         client = S3RangeFetcher(bucket=bucket, **client_kw)
         n = initial_bytes
@@ -65,6 +65,8 @@ class CloudTiffSpark:
             data = client.fetch(key, 0, n)
             try:
                 return cog_info(data)
+            except CloudTiffError:
+                raise  # typed semantic reject — definitive, never truncation
             except TRUNCATION_ERRORS:
                 if len(data) < n:  # short body: already the whole object
                     raise

@@ -110,3 +110,19 @@ class UnsupportedPhotometric(CloudTiffError):
         super().__init__(f"unsupported photometric {code} ({photometric_name(code)})")
         self.code = code
         self.name = photometric_name(code)
+
+
+class NotATiff(CloudTiffError):
+    """The byte-order mark / magic word is not TIFF — definitive from the
+    first 4-8 bytes, NEVER a truncation condition (the header-only open
+    retry loops re-raise CloudTiffError immediately instead of growing
+    the fetch window to the whole object)."""
+
+
+class NoLevels(CloudTiffError):
+    """A complete IFD chain with no tiled full-resolution level
+    (cog/mod.rs:127-129) — definitive once the chain parses, so the
+    retry loops must not re-fetch on it."""
+
+    def __init__(self) -> None:
+        super().__init__("NoLevels")

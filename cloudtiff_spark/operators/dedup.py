@@ -548,7 +548,10 @@ def embed_near_dup(
         # one aggregation job feeds both knobs (count + an example vector);
         # separate count()/first() actions would re-run the upstream scan
         row = emb.agg(
-            F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+            F.count(F.lit(1)).alias("n"),
+            # ignorenulls: a leading null embedding must not masquerade as
+            # an empty table (review r5 — that would silently drop pairs)
+            F.first(vec_col, ignorenulls=True).alias("v"),
         ).first()
         if row is None or not row["n"] or row["v"] is None:
             return _empty_pairs()  # empty / all-null table: no pairs by definition
@@ -559,7 +562,7 @@ def embed_near_dup(
         if n_tables is None:
             n_tables = auto_tables(tau, n_planes)
     else:
-        first = emb.select(vec_col).first()
+        first = emb.select(vec_col).where(F.col(vec_col).isNotNull()).first()
         if first is None or first[0] is None:
             return _empty_pairs()
         dim = len(first[0])

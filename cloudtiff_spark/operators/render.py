@@ -313,9 +313,20 @@ def region_render_blocked(
     A block superset of a pixel's true tile never changes its value (the
     gather reads absolute coords; extra canvas area is unread), and missing
     tiles read as 0 either way — so bbox-ranged tile sets preserve byte
-    identity. Output-row existence matches region_render exactly: a
-    (query, image) pair renders iff at least one pruned tile exists in the
-    tiles table (the same inner-join condition, applied as a semi-join)."""
+    identity, PROVIDED the set is intersected with region_extract's pruned
+    range (the whole path reads only those tiles; pixels whose exact
+    footprint escapes the linearized range render 0 there and must here
+    too). Output-row existence matches region_render exactly: a (query,
+    image) pair renders iff at least one pruned tile exists in the tiles
+    table (the same inner-join condition, applied as a semi-join).
+
+    Accepted cost (review r5 #4): each block runs the per-pixel CRS map
+    twice — once in needed_ranges (tile bbox), once in the gather. The
+    alternatives either break exactness (sampled/conservative bboxes have
+    no coverage guarantee for non-monotone projections) or blow up shuffle
+    (shipping every pruned tile to every block). The measured end-to-end
+    win in BENCH.md (45-90 s -> ~16 s on a 64 MP render) already includes
+    this factor-2."""
     wanted = region_extract(levels, queries)
     q = queries.filter(F.col("kind") == "region").select(
         "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
@@ -407,6 +418,18 @@ def region_render_blocked(
         .withColumn("_c", F.explode_outer(F.sequence("c0b", "c1b")))
         .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
         .drop("_r", "_c", "r0b", "r1b", "c0b", "c1b")
+    )
+    # byte-identity gate (review r5): region_render gathers ONLY from
+    # region_extract's linearized tile range — for projected images the
+    # exact per-pixel footprint can exceed that range near skewed edges,
+    # and those pixels render 0 in the whole path. Null out (don't drop:
+    # empty blocks must stay alive) any key outside `wanted` so both
+    # paths read the identical tile set.
+    wk = wanted.select(*keys).distinct().withColumn("_w", F.lit(1))
+    keyed = (
+        keyed.join(F.broadcast(wk), keys, "left")
+        .withColumn("tile_idx", F.when(F.col("_w").isNotNull(), F.col("tile_idx")))
+        .drop("_w")
     )
     joined = keyed.join(
         tiles.select(*keys, "fmt", "tile_bytes"), keys, "left"

@@ -77,10 +77,12 @@ def header_info_http(url: str, initial_bytes: int = 4096) -> tuple[dict, int]:
             if resp.status == 200:
                 raise OSError(f"server ignored Range for {url!r} (status 200)")
             data = timed_read(resp, url)
-        from .tiff import TRUNCATION_ERRORS, cog_info
+        from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
 
         try:
             return cog_info(data), len(data)
+        except CloudTiffError:
+            raise  # typed semantic reject — definitive, never truncation
         except TRUNCATION_ERRORS:
             if len(data) < n:  # short body: we already have the whole file
                 raise
@@ -94,7 +96,7 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
     (cog/mod.rs:272-320: parse from the first fetch, re-fetch on EOF).
     Returns (cog_info dict, bytes_read). Never reads tile data unless the
     IFD chain actually extends that far."""
-    from .tiff import TRUNCATION_ERRORS, cog_info
+    from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
 
     size = os.path.getsize(path)
     n = min(initial_bytes, size)
@@ -103,6 +105,8 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
         while True:
             try:
                 return cog_info(data), len(data)
+            except CloudTiffError:
+                raise  # typed semantic reject — definitive, never truncation
             except TRUNCATION_ERRORS:
                 # truncated: an IFD entry / external value / next-IFD offset
                 # fell beyond the prefix -> grow and re-parse
@@ -191,13 +195,15 @@ def header_info_s3(fetcher, key: str, initial_bytes: int = 4096) -> tuple[dict, 
     ``fetch(key, start, length) -> bytes`` (cloudtiff_spark.s3.
     S3RangeFetcher for real/compatible S3; tests inject one pointed at a
     local SigV4-checking 206 server)."""
-    from .tiff import TRUNCATION_ERRORS, cog_info
+    from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
 
     n = initial_bytes
     while True:
         data = fetcher.fetch(key, 0, n)
         try:
             return cog_info(data), len(data)
+        except CloudTiffError:
+            raise  # typed semantic reject — definitive, never truncation
         except TRUNCATION_ERRORS:
             if len(data) < n:  # short body: whole object already fetched
                 raise

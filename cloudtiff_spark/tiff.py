@@ -29,7 +29,10 @@ import numpy as np
 from . import TILE
 from .codecs import lzw_decode, lzw_encode
 from .errors import (
+    CloudTiffError,
     CompressionNotSupported,
+    NoLevels,
+    NotATiff,
     UnsupportedCrs,
     UnsupportedModelTransformation,
     UnsupportedPixelFormat,
@@ -379,7 +382,7 @@ def parse_tiff(data: bytes) -> dict:
     elif data[:2] == b"MM":
         e = ">"
     else:
-        raise ValueError("bad TIFF byte-order mark")
+        raise NotATiff("bad TIFF byte-order mark")
     (magic,) = struct.unpack_from(f"{e}H", data, 2)
     if magic == 42:
         big = False
@@ -388,10 +391,10 @@ def parse_tiff(data: bytes) -> dict:
         big = True
         off_size, zero = struct.unpack_from(f"{e}HH", data, 4)
         if off_size != 8 or zero != 0:
-            raise ValueError("bad BigTIFF header")
+            raise NotATiff("bad BigTIFF header")
         (first,) = struct.unpack_from(f"{e}Q", data, 8)
     else:
-        raise ValueError(f"bad TIFF magic {magic}")
+        raise NotATiff(f"bad TIFF magic {magic}")
 
     fmt_by_type = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
     ifds = []
@@ -538,7 +541,7 @@ def cog_info(data: bytes) -> dict:
             )
         )
     if not levels:
-        raise ValueError("NoLevels")  # cog/mod.rs:127-129
+        raise NoLevels()  # cog/mod.rs:127-129
     for lev in levels:
         lev["endian"] = t["endian"]
     levels.sort(key=lambda l: l["width"] * l["height"], reverse=True)

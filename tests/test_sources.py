@@ -476,3 +476,58 @@ class TestHttpRangeSource:
             assert __import__("time").time() - t0 < 10
         finally:
             lsock.close()
+
+
+class TestDefinitiveRejectsDontRefetch:
+    """Review r5: typed semantic rejects (CloudTiffError) are definitive
+    from the first window — the grow-and-reparse loops must raise
+    immediately instead of doubling the ranged fetch to the whole object
+    (2x object bytes over the network for a multi-GB non-COG)."""
+
+    class CountingFetcher:
+        def __init__(self, body: bytes):
+            self.body = body
+            self.calls = 0
+
+        def fetch(self, key, start, length):
+            self.calls += 1
+            return self.body[start : start + length]
+
+    def test_non_tiff_one_fetch(self):
+        from cloudtiff_spark.errors import NotATiff
+        from cloudtiff_spark.sources import header_info_s3
+
+        f = self.CountingFetcher(b"PK\x03\x04" + b"z" * 1_000_000)  # a zip, 1 MB
+        import pytest as _pytest
+
+        with _pytest.raises(NotATiff):
+            header_info_s3(f, "k", initial_bytes=4096)
+        assert f.calls == 1  # no window growth for a definitive reject
+
+    def test_truncation_still_grows(self):
+        import numpy as np
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.sources import header_info_s3
+
+        img = np.arange(96 * 96 * 3, dtype=np.uint8).reshape(96, 96, 3) % 255
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4)
+        f = self.CountingFetcher(data)
+        info, nread = header_info_s3(f, "k", initial_bytes=64)
+        assert f.calls > 1 and len(info["levels"]) >= 1
+
+    def test_no_levels_is_definitive(self):
+        from cloudtiff_spark.errors import NoLevels
+        from cloudtiff_spark.sources import header_info_s3
+
+        # a valid classic header with an empty IFD chain: II*\0 + offset 8
+        # -> IFD with 0 tags, next=0 (complete chain, zero tiled levels)
+        import struct as _struct
+
+        body = b"II*\x00" + _struct.pack("<I", 8) + _struct.pack("<H", 0) + _struct.pack("<I", 0)
+        f = self.CountingFetcher(body + b"\x00" * 100_000)
+        import pytest as _pytest
+
+        with _pytest.raises(NoLevels):
+            header_info_s3(f, "k", initial_bytes=4096)
+        assert f.calls == 1
