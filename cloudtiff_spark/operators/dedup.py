@@ -756,7 +756,13 @@ def quantized_cosine_topk(
         # the float stage can only reorder what the int8 screen kept
         rerank = max(rerank, k)
     q = quantize_embeddings(emb, id_col, vec_col)
-    probes = q.filter(F.col("id").isin(probe_ids)).toPandas()
+    # quantize ONLY the probe rows for the broadcast side — filtering the
+    # already-quantized frame would trigger a full-table quantization pass
+    # just to fetch k probe rows (per-vector quantization is independent,
+    # so the filtered recompute is bit-identical)
+    probes = quantize_embeddings(
+        emb.filter(F.col(id_col).isin(probe_ids)), id_col, vec_col
+    ).toPandas()
     p_ids = probes["id"].to_numpy()
     p_mat = np.stack(
         [
