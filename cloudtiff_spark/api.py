@@ -114,6 +114,7 @@ class RenderBuilder:
         self._crop: tuple[float, float, float, float] | None = None
         self._region: tuple[float, float, float, float] | None = None
         self._tiles: DataFrame | None = None
+        self._block = 0  # 0 = whole-render grain
 
     def with_mp_limit(self, mp: float) -> "RenderBuilder":
         """Output megapixel cap -> output dims (util.rs:131-142)."""
@@ -152,6 +153,17 @@ class RenderBuilder:
         self._crop = None
         return self
 
+    def with_block_size(self, px: int) -> "RenderBuilder":
+        """Route region renders through the block-tiled path: the output
+        raster is cut into px*px blocks, each an independent task
+        (byte-identical to the whole-render path; the scale grain for
+        gigapixel outputs — see operators.render.region_render_blocked).
+        Pass 0 to return to the whole-render grain."""
+        if px < 0:
+            raise ValueError(f"block size must be >= 0, got {px}")
+        self._block = int(px)
+        return self
+
     def wmts_tile(self, z: int, x: int, y: int) -> "RenderBuilder":
         """One slippy-map tile = its lat/lon bounds as the output region
         (wmts.rs:124-132 -> of_output_region path, renderer.rs:38-56)."""
@@ -167,7 +179,7 @@ class RenderBuilder:
     def render(self) -> DataFrame:
         """Dispatch on the configured region kind (renderer.rs:18-57)."""
         from .operators.meta import levels_df
-        from .operators.render import crop_render, region_render
+        from .operators.render import crop_render, region_render, region_render_blocked
         from .operators.tiling import build_tiles
 
         tiles = self._tiles if self._tiles is not None else build_tiles(self.images)
@@ -181,5 +193,7 @@ class RenderBuilder:
                 "query_id string, kind string, rxmin double, rymin double, "
                 "rxmax double, rymax double, mp_limit double",
             )
+            if self._block:
+                return region_render_blocked(lv, tiles, q, block=self._block)
             return region_render(lv, tiles, q)
         raise ValueError("configure of_crop(...) or of_output_region_lat_lon_deg(...) first")

@@ -75,6 +75,25 @@ class TestRenderBuilder:
         )
         assert any(r.image_id == m.image_id for r in out)
 
+    def test_block_size_route_is_byte_identical(self, ct, small_tables):
+        """with_block_size routes region renders through the block-tiled
+        scale path — same rows, same raster bytes as the whole-render
+        grain."""
+        images, meta = small_tables
+        m = meta.first()
+
+        def run(builder):
+            return {
+                (r.query_id, r.image_id): bytes(r.raster)
+                for r in builder.of_output_region_lat_lon_deg(
+                    m.xmin, m.ymin, m.xmax, m.ymax
+                ).with_mp_limit(0.01).render().collect()
+            }
+
+        whole = run(ct.renderer(images, meta))
+        blocked = run(ct.renderer(images, meta).with_block_size(37))
+        assert whole == blocked and len(whole) > 0
+
     def test_wmts_tile_chain(self, ct, small_tables):
         images, meta = small_tables
         m = meta.first()
