@@ -327,27 +327,29 @@ def region_render_blocked(
     (shipping every pruned tile to every block). The measured end-to-end
     win in BENCH.md (45-90 s -> ~16 s on a 64 MP render) already includes
     this factor-2."""
-    wanted = region_extract(levels, queries)
-    q = queries.filter(F.col("kind") == "region").select(
-        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
-    )
-    lv = levels.select(
-        "image_id", "level", "lw", "lh", "tile_w", "tile_h", "cols", "rows",
-        "xmin", "ymin", "xmax", "ymax", "epsg", "origin_x", "origin_y", "scale_px",
-        "w", "h",
+    from .spatial import region_extract_picked
+
+    # ONE spatial-join evaluation feeds everything: the pre-explosion
+    # relation carries the pruned tile rectangle (tr0..tc1) as columns, so
+    # the per-block stages never re-join against region_extract (an
+    # earlier shape evaluated the join three times — review r5 follow-up)
+    pe = region_extract_picked(levels, queries).select(
+        "query_id", "image_id", "tr0", "tr1", "tc0", "tc1", *_BLK_PARAMS
     )
     keys = ["image_id", "level", "tile_idx"]
     # existence gate == region_render's inner join: some pruned tile exists
+    wanted_keys = (
+        pe.withColumn("_r", F.explode(F.sequence("tr0", "tr1")))
+        .withColumn("_c", F.explode(F.sequence("tc0", "tc1")))
+        .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
+        .select("query_id", *keys)
+    )
     present = (
-        wanted.join(tiles.select(*keys), keys, "left_semi")
+        wanted_keys.join(tiles.select(*keys), keys, "left_semi")
         .select("query_id", "image_id")
         .distinct()
     )
-    base = (
-        present.join(wanted.select("query_id", "image_id", "level").distinct(), ["query_id", "image_id"])
-        .join(F.broadcast(q), "query_id")
-        .join(lv, ["image_id", "level"])
-    )
+    base = pe.join(F.broadcast(present), ["query_id", "image_id"], "left_semi")
 
     def fanout_blocks(batches):
         # 1a: (query, image) -> one row per output block (cheap, no pixels)
@@ -360,14 +362,20 @@ def region_render_blocked(
                 nbx = (out_w + block - 1) // block
                 for by in range(nby):
                     for bx in range(nbx):
-                        rows.append([r["query_id"], r["image_id"], by, bx, out_w, out_h]
-                                    + [r[k] for k in _BLK_PARAMS])
+                        rows.append(
+                            [r["query_id"], r["image_id"], by, bx, out_w, out_h,
+                             r["tr0"], r["tr1"], r["tc0"], r["tc1"]]
+                            + [r[k] for k in _BLK_PARAMS]
+                        )
             yield pd.DataFrame(
-                rows, columns=["query_id", "image_id", "by", "bx", "out_w", "out_h"] + _BLK_PARAMS
+                rows,
+                columns=["query_id", "image_id", "by", "bx", "out_w", "out_h",
+                         "tr0", "tr1", "tc0", "tc1"] + _BLK_PARAMS,
             )
 
     blk_schema = (
         "query_id string, image_id string, by int, bx int, out_w int, out_h int, "
+        "tr0 int, tr1 int, tc0 int, tc1 int, "
         "level int, lw int, lh int, tile_w int, tile_h int, cols int, "
         "xmin double, ymin double, xmax double, ymax double, epsg int, "
         "origin_x double, origin_y double, scale_px double, w int, h int, "
@@ -401,10 +409,17 @@ def region_render_blocked(
                 if empty:
                     rng = [None, None, None, None]
                 else:
-                    rng = [
-                        int(vy.min()) // th, int(vy.max()) // th,
-                        int(vx.min()) // tw, int(vx.max()) // tw,
+                    # intersect with the pruned wanted rectangle carried on
+                    # the row: region_render gathers ONLY from that range,
+                    # so pixels whose exact footprint escapes it read 0 in
+                    # both paths (byte-identity; review r5 #2)
+                    rb = [
+                        max(int(vy.min()) // th, int(r["tr0"])),
+                        min(int(vy.max()) // th, int(r["tr1"])),
+                        max(int(vx.min()) // tw, int(r["tc0"])),
+                        min(int(vx.max()) // tw, int(r["tc1"])),
                     ]
+                    rng = rb if rb[0] <= rb[1] and rb[2] <= rb[3] else [None, None, None, None]
                 out.append([r[c] for c in pdf.columns] + rng)
             yield pd.DataFrame(out, columns=list(pdf.columns) + ["r0b", "r1b", "c0b", "c1b"])
 
@@ -418,18 +433,6 @@ def region_render_blocked(
         .withColumn("_c", F.explode_outer(F.sequence("c0b", "c1b")))
         .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
         .drop("_r", "_c", "r0b", "r1b", "c0b", "c1b")
-    )
-    # byte-identity gate (review r5): region_render gathers ONLY from
-    # region_extract's linearized tile range — for projected images the
-    # exact per-pixel footprint can exceed that range near skewed edges,
-    # and those pixels render 0 in the whole path. Null out (don't drop:
-    # empty blocks must stay alive) any key outside `wanted` so both
-    # paths read the identical tile set.
-    wk = wanted.select(*keys).distinct().withColumn("_w", F.lit(1))
-    keyed = (
-        keyed.join(F.broadcast(wk), keys, "left")
-        .withColumn("tile_idx", F.when(F.col("_w").isNotNull(), F.col("tile_idx")))
-        .drop("_w")
     )
     joined = keyed.join(
         tiles.select(*keys, "fmt", "tile_bytes"), keys, "left"

@@ -334,13 +334,15 @@ def pip_join(
 # ---------------------------------------------------------------------------
 
 
-def region_extract(levels: DataFrame, queries: DataFrame) -> DataFrame:
-    """For each 'region' query: images intersecting the lon/lat rect, the
-    LOD-selected level (sane variant of cog/mod.rs:218-236 + util.rs:34-100,
-    see SURVEY.md §1.3), and the covering tile indices (level.rs:204-231).
+def region_extract_picked(levels: DataFrame, queries: DataFrame) -> DataFrame:
+    """The PRE-EXPLOSION region-extract relation: one row per
+    (query, image) with the LOD-picked level, full level/render params,
+    and the covered tile-range rectangle as columns (tr0..tr1, tc0..tc1).
+    region_render_blocked consumes this directly so the spatial join runs
+    once and the pruned range travels as data instead of a re-join.
 
-    Output: (query_id, image_id, level, tile_idx).
-    """
+    Output columns: query_id, image_id, level + level params + the query's
+    render params + tr0/tr1/tc0/tc1."""
     q = queries.filter(F.col("kind") == "region").select(
         "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
     )
@@ -417,9 +419,26 @@ def region_extract(levels: DataFrame, queries: DataFrame) -> DataFrame:
     c1 = F.greatest(F.lit(0), F.least(F.col("cols") - 1, F.ceil(F.col("cu1") * lw / tw) - 1))
     r0 = F.greatest(F.lit(0), F.least(F.col("rows") - 1, F.floor(F.col("cv0") * lh / th)))
     r1 = F.greatest(F.lit(0), F.least(F.col("rows") - 1, F.ceil(F.col("cv1") * lh / th) - 1))
+    picked = (
+        picked.withColumn("tr0", r0.cast("int"))
+        .withColumn("tr1", r1.cast("int"))
+        .withColumn("tc0", c0.cast("int"))
+        .withColumn("tc1", c1.cast("int"))
+    )
+    return picked
+
+
+def region_extract(levels: DataFrame, queries: DataFrame) -> DataFrame:
+    """For each 'region' query: images intersecting the lon/lat rect, the
+    LOD-selected level (sane variant of cog/mod.rs:218-236 + util.rs:34-100,
+    see SURVEY.md §1.3), and the covering tile indices (level.rs:204-231).
+
+    Output: (query_id, image_id, level, tile_idx) — the exploded form of
+    region_extract_picked's (tr0..tr1) x (tc0..tc1) rectangle."""
     out = (
-        picked.withColumn("_r", F.explode(F.sequence(r0, r1)))
-        .withColumn("_c", F.explode(F.sequence(c0, c1)))
+        region_extract_picked(levels, queries)
+        .withColumn("_r", F.explode(F.sequence("tr0", "tr1")))
+        .withColumn("_c", F.explode(F.sequence("tc0", "tc1")))
         .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
     )
     return out.select("query_id", "image_id", "level", "tile_idx")
