@@ -33,7 +33,10 @@ PROBES = {
         "token_count_bpe", "dedup_exact",
     ],
     "embedding": ["embed_topk", "embed_near_dup", "quantized_topk"],
-    "image_payload": ["decode_check", "image_features", "thumbnails"],
+    "image_payload": [
+        "decode_check", "image_features", "thumbnails",
+        "region_render", "blocked_render",
+    ],
     # env_probe reads lineitem via spark.read directly (schema probe), so
     # the _t patch does not reach it — its cents digit is exercised by the
     # engines' own divergence, not this probe
@@ -99,11 +102,19 @@ def main() -> int:
                 ).otherwise(F.col("embedding")),
             )
         elif kind == "image_payload":
+            # target an image that appears in the RENDER outputs (the
+            # blocked_render oracle rows are a subset of region_render's),
+            # so the render queries are guaranteed sensitive to it; falls
+            # back to the first subset image if the oracle is empty
+            row = con.execute(
+                E.oracle_sql()["blocked_render"] + " ORDER BY image_id LIMIT 1"
+            ).fetchone()
+            render_target = row[1] if row else None
 
             def tables(s, d):
                 images, meta, queries = orig_tables(s, d)
                 # corrupt one 10%-subset image's payload tail byte
-                first = (
+                first = render_target or (
                     images.filter(F.col("image_id").endswith("0"))
                     .select("image_id")
                     .orderBy("image_id")
