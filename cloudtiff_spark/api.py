@@ -185,6 +185,14 @@ class RenderBuilder:
         tiles = self._tiles if self._tiles is not None else build_tiles(self.images)
         lv = levels_df(self.meta)
         if self._crop is not None:
+            if self._block:
+                # fail loudly: a user who set the block size to avoid the
+                # one-task-per-image memory blowup must not silently get
+                # the whole-render crop path (review r5 pass 2 #5)
+                raise ValueError(
+                    "with_block_size applies to region renders only; "
+                    "the crop path has no block-tiled variant yet"
+                )
             return crop_render(lv, tiles, self._crop, mp_limit=self._mp_limit)
         if self._region is not None:
             w, s, e, n = self._region

@@ -526,6 +526,10 @@ def embed_near_dup(
     degenerates toward all-pairs on a large corpus; the auto rule keeps the
     per-bucket candidate quadratic bounded while recall stays governed by
     1-(1-p^planes)^tables with p = 1 - arccos(tau)/pi."""
+    # null embeddings can never pair; drop them up front — np.stack inside
+    # the signature/cosine UDFs would otherwise crash on a mixed batch
+    # (review r5 pass 2 #2)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     if mode == "exact":
         return _embed_near_dup_exact(emb, tau, id_col, vec_col)
 

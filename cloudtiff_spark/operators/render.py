@@ -272,10 +272,6 @@ BLOCK_SCHEMA = StructType(
         StructField("out_w", IntegerType()),
         StructField("out_h", IntegerType()),
         StructField("raster", BinaryType()),
-        # internal existence flag (set on block (0,0) iff any pruned tile
-        # exists in the tiles table); stripped before rows leave the
-        # operator
-        StructField("present", IntegerType()),
     ]
 )
 
@@ -331,22 +327,39 @@ def region_render_blocked(
     (shipping every pruned tile to every block). The measured end-to-end
     win in BENCH.md (45-90 s -> ~16 s on a 64 MP render) already includes
     this factor-2."""
+    if block <= 0:
+        raise ValueError(f"block size must be a positive pixel count, got {block}")
     from .spatial import region_extract_picked
 
-    # ONE spatial-join evaluation feeds everything: the pre-explosion
-    # relation carries the pruned tile rectangle (tr0..tc1) as columns, so
-    # the per-block stages never re-join against region_extract (an
-    # earlier shape evaluated the join three times — review r5 follow-up)
+    # the pre-explosion relation carries the pruned tile rectangle
+    # (tr0..tc1) as columns, so the pixel-work stages never re-join
+    # against region_extract (an earlier shape evaluated the join three
+    # times — review r5 follow-up); only the metadata existence gate below
+    # evaluates it a second time
     pe = region_extract_picked(levels, queries).select(
         "query_id", "image_id", "tr0", "tr1", "tc0", "tc1", *_BLK_PARAMS
     )
     keys = ["image_id", "level", "tile_idx"]
-    # The existence gate (region_render emits a pair iff some pruned tile
-    # exists in the tiles table) rides the SAME tile join: block (0, 0) of
-    # each render fans out an extra probe=1 key set spanning the full
-    # pruned rectangle, and a pair is kept iff any probe key matched. A
-    # separate semi-join would re-evaluate the spatial join a second time.
-    base = pe
+    # Existence gate == region_render's inner join: a pair renders iff some
+    # pruned tile exists in the tiles table. Checked HERE as a metadata
+    # semi-join (keys only — never tile payloads): this re-evaluates the
+    # spatial join once more, but that is a metadata-sized join, which is
+    # the right trade at scale. The alternatives tried and rejected
+    # (review r5 pass 2 #3/#4): an existence-probe fan-out through the
+    # payload join ships every pruned tile's bytes into block (0,0)'s
+    # task, and a window over block rows shuffles every block RASTER into
+    # one partition per render — both reintroduce the single-task
+    # bottleneck this operator exists to remove.
+    present = (
+        pe.withColumn("_r", F.explode(F.sequence("tr0", "tr1")))
+        .withColumn("_c", F.explode(F.sequence("tc0", "tc1")))
+        .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
+        .select("query_id", *keys)
+        .join(tiles.select(*keys), keys, "left_semi")
+        .select("query_id", "image_id")
+        .distinct()
+    )
+    base = pe.join(F.broadcast(present), ["query_id", "image_id"], "left_semi")
 
     def fanout_blocks(batches):
         # 1a: (query, image) -> one row per output block (cheap, no pixels)
@@ -417,21 +430,11 @@ def region_render_blocked(
                         min(int(vx.max()) // tw, int(r["tc1"])),
                     ]
                     rng = rb if rb[0] <= rb[1] and rb[2] <= rb[3] else [None, None, None, None]
-                out.append([r[c] for c in pdf.columns] + rng + [0])
-                if int(r["by"]) == 0 and int(r["bx"]) == 0:
-                    # existence-probe fan-out: the FULL pruned rectangle,
-                    # excluded from the mosaic, answers "does any wanted
-                    # tile exist?" through the one tile join below
-                    out.append(
-                        [r[c] for c in pdf.columns]
-                        + [int(r["tr0"]), int(r["tr1"]), int(r["tc0"]), int(r["tc1"]), 1]
-                    )
-            yield pd.DataFrame(
-                out, columns=list(pdf.columns) + ["r0b", "r1b", "c0b", "c1b", "probe"]
-            )
+                out.append([r[c] for c in pdf.columns] + rng)
+            yield pd.DataFrame(out, columns=list(pdf.columns) + ["r0b", "r1b", "c0b", "c1b"])
 
     ranged = blocks.mapInPandas(
-        needed_ranges, schema=blk_schema + ", r0b int, r1b int, c0b int, c1b int, probe int"
+        needed_ranges, schema=blk_schema + ", r0b int, r1b int, c0b int, c1b int"
     )
     # native fan-out to tile keys; explode_outer keeps no-valid-pixel
     # blocks alive (they still owe an all-zero block to the reassembly)
@@ -453,9 +456,6 @@ def region_render_blocked(
         row0, col0 = int(r0["by"]) * block, int(r0["bx"]) * block
         row1, col1 = min(row0 + block, out_h), min(col0 + block, out_w)
         bh, bw = row1 - row0, col1 - col0
-        probe = pdf[pdf["probe"] == 1]
-        present = int(probe["tile_bytes"].notna().any()) if len(probe) else 0
-        pdf = pdf[pdf["probe"] == 0]
         have = pdf[pdf["tile_bytes"].notna()]
         if len(have):
             canvas, y_off, x_off = _mosaic_bbox(have, tw, th, cols, lw, lh)
@@ -491,23 +491,12 @@ def region_render_blocked(
                     "out_w": out_w,
                     "out_h": out_h,
                     "raster": out.tobytes(),
-                    "present": present,
                 }
             ]
         )
 
     rendered = joined.groupBy("query_id", "image_id", "by", "bx").applyInPandas(
         assemble_block, BLOCK_SCHEMA
-    )
-    # keep a render iff its block (0,0) probe found a wanted tile — the
-    # identical condition to region_render's inner join
-    from pyspark.sql.window import Window
-
-    wnd = Window.partitionBy("query_id", "image_id")
-    rendered = (
-        rendered.withColumn("_p", F.max("present").over(wnd))
-        .filter(F.col("_p") == 1)
-        .drop("_p", "present")
     )
     if emit_blocks:
         return rendered

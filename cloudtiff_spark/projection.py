@@ -560,15 +560,20 @@ def _geodetic_to_ecef(lon_deg, lat_deg, a: float, e2: float):
 
 def _ecef_to_geodetic(x, y, z, a: float, e2: float):
     """Geocentric -> geodetic lon/lat (height solved then dropped — the 2-D
-    raster chain carries no heights). Iterative with a convergence check,
-    NOT a fixed count (pole-adjacent double roots converge slowly); the
+    raster chain carries no heights). FIXED 12 iterations, deliberately no
+    early break: a batch-global convergence break would make the result
+    depend on which OTHER elements share the batch (the blocked render
+    slices grids and relies on elementwise-identical values, review r5
+    pass 2 #1). Worst case measured over all registry ellipsoids incl.
+    near-pole inputs is 4 iterations to <1e-13 rad — 12 is a 3x margin,
+    and the iterate merely oscillates at the last ulp beyond that. The
     near-pole h branch avoids the p/cos(lat) blow-up."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
     p = np.hypot(x, y)
     lat = np.arctan2(z, p * (1 - e2))
-    for _ in range(50):
+    for _ in range(12):
         sin_lat = np.sin(lat)
         n = a / np.sqrt(1 - e2 * sin_lat**2)
         h = np.where(
@@ -576,11 +581,7 @@ def _ecef_to_geodetic(x, y, z, a: float, e2: float):
             z / np.where(sin_lat == 0, 1.0, sin_lat) - n * (1 - e2),
             p / np.cos(lat) - n,
         )
-        new = np.arctan2(z, p * (1 - e2 * n / (n + h)))
-        done = np.all(np.abs(new - lat) < 1e-13)
-        lat = new
-        if done:
-            break
+        lat = np.arctan2(z, p * (1 - e2 * n / (n + h)))
     return np.degrees(np.arctan2(y, x)), np.degrees(lat)
 
 

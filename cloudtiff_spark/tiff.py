@@ -377,6 +377,11 @@ def encode_cog(
 
 def parse_tiff(data: bytes) -> dict:
     """-> {endian, big, ifds: [ {code: [values]} ]} (S1, tiff/mod.rs:85-124)."""
+    if len(data) < 4:
+        # fewer bytes than the byte-order mark + magic: indistinguishable
+        # from a truncated fetch — must NOT raise the typed NotATiff (the
+        # header-open retry loops treat typed rejects as definitive)
+        raise struct.error("TIFF header shorter than 4 bytes")
     if data[:2] == b"II":
         e = "<"
     elif data[:2] == b"MM":

@@ -75,6 +75,16 @@ class TestRenderBuilder:
         )
         assert any(r.image_id == m.image_id for r in out)
 
+    def test_block_size_with_crop_fails_loudly(self, ct, small_tables):
+        """with_block_size + of_crop must raise, not silently run the
+        whole-render crop path the user set the block size to avoid."""
+        import pytest as _pytest
+
+        images, meta = small_tables
+        b = ct.renderer(images, meta).with_block_size(256).of_crop(0.1, 0.2, 0.9, 0.8)
+        with _pytest.raises(ValueError, match="region renders only"):
+            b.render()
+
     def test_block_size_route_is_byte_identical(self, ct, small_tables):
         """with_block_size routes region renders through the block-tiled
         scale path — same rows, same raster bytes as the whole-render

@@ -536,6 +536,64 @@ class TestBlockedRender:
         }
         assert a == b and len(a) > 0
 
+    def test_blocked_identical_for_helmert_crs_image(self, spark):
+        """Byte-identity must hold through the DATUM-SHIFT branch too: the
+        geodetic solve iterates a FIXED count precisely so a block slice
+        computes bit-identical coords to the whole grid (a batch-global
+        convergence break made the result depend on batch mates — review
+        r5 pass 2 #1)."""
+        from cloudtiff_spark.codecs import encode_image
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render, region_render_blocked
+        from cloudtiff_spark.operators.tiling import build_tiles
+        from cloudtiff_spark.projection import bounds_lat_lon
+
+        w = h = 96
+        rng = np.random.default_rng(277)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ox, oy, sp = 528000.0, 184000.0, 100.0  # London, OSGB36 grid
+        xmin, ymin, xmax, ymax = bounds_lat_lon(27700, ox, oy, sp * w, sp * h)
+        images = spark.createDataFrame(
+            [("BNG", bytearray(encode_image(img, "deflate_raw")), w, h, "deflate_raw")],
+            "image_id string, bytes binary, w int, h int, fmt string",
+        )
+        meta = spark.createDataFrame(
+            [("BNG", w, h, "deflate_raw", "", 0, 27700, ox, oy, sp,
+              xmin, ymin, xmax, ymax, 64, 64)],
+            "image_id string, w int, h int, fmt string, caption string, phash long, "
+            "epsg int, origin_x double, origin_y double, scale_px double, "
+            "xmin double, ymin double, xmax double, ymax double, tile_w int, tile_h int",
+        )
+        rx0, ry0 = xmin + (xmax - xmin) * 0.15, ymin + (ymax - ymin) * 0.15
+        rx1, ry1 = xmin + (xmax - xmin) * 0.85, ymin + (ymax - ymin) * 0.85
+        queries = spark.createDataFrame(
+            [("q0", "region", [0.0], [0.0], 0.0, 0.0, 0, rx0, ry0, rx1, ry1, 0.02, 0, 0, 0)],
+            "query_id string, kind string, poly_x array<double>, poly_y array<double>, "
+            "px double, py double, k int, rxmin double, rymin double, rxmax double, "
+            "rymax double, mp_limit double, qz int, qx int, qy int",
+        )
+        tiles = build_tiles(images)
+        lv = levels_df(meta)
+        a = {
+            (r.query_id, r.image_id): bytes(r.raster)
+            for r in region_render(lv, tiles, queries).collect()
+        }
+        b = {
+            (r.query_id, r.image_id): bytes(r.raster)
+            for r in region_render_blocked(lv, tiles, queries, block=48).collect()
+        }
+        assert a == b and len(a) == 1
+
+    def test_invalid_block_size_rejected(self, tables):
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render_blocked
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images, meta, queries = tables
+        for bad in (0, -5):
+            with pytest.raises(ValueError, match="block size"):
+                region_render_blocked(levels_df(meta), build_tiles(images), queries, block=bad)
+
     def test_block_grain_covers_output_exactly(self, tables):
         """emit_blocks=True: the WMTS-shaped grain — blocks tile the output
         raster exactly once and concatenate back to the whole-render
@@ -608,6 +666,23 @@ class TestEmbedNearDup:
             out = embed_near_dup(empty, tau=0.3, **kwargs)
             assert out.columns == ["id_a", "id_b", "cos"]
             assert out.count() == 0
+
+    def test_mixed_null_embeddings_are_dropped_not_crashed(self, spark):
+        """A table mixing null and real embeddings must compute pairs over
+        the non-null rows (null rows can never pair) — not crash np.stack
+        in the signature UDF (review r5 pass 2 #2)."""
+        from pyspark.sql import Row
+
+        from cloudtiff_spark.operators.dedup import embed_near_dup
+
+        base = [Row(vec_id=1, embedding=None), Row(vec_id=2, embedding=[1.0, 0.0, 0.0])]
+        near = [Row(vec_id=3, embedding=[0.99, 0.14, 0.0]), Row(vec_id=4, embedding=None)]
+        emb = spark.createDataFrame(
+            base + near, "vec_id long, embedding array<double>"
+        )
+        for kwargs in ({"mode": "exact"}, {"n_planes": 2, "n_tables": 32}, {}):
+            pairs = {(r.id_a, r.id_b) for r in embed_near_dup(emb, tau=0.9, **kwargs).collect()}
+            assert pairs == {(2, 3)}, kwargs
 
     def test_pairs_are_ordered_and_thresholded(self, spark):
         from cloudtiff_spark.operators.dedup import embed_near_dup

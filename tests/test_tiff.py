@@ -638,10 +638,19 @@ class TestBitPackedGray:
         full = tiff.cog_info(data)
         # sweep prefix lengths across the header region densely and the
         # rest sparsely (the IFD chain lives near the front of a COG)
+        from cloudtiff_spark.errors import CloudTiffError
+
         lengths = list(range(1, 2048)) + list(range(2048, len(data), 997))
         for k in lengths:
             try:
                 got = tiff.cog_info(data[:k])
+            except CloudTiffError as exc:
+                # mirror the production retry-loop ordering: a TYPED
+                # semantic reject on a truncated prefix of a VALID file
+                # would make header-only opens fail on real COGs (the
+                # loops re-raise CloudTiffError before the truncation
+                # catch) — so it must never happen
+                raise AssertionError(f"prefix {k}: typed reject {type(exc).__name__}: {exc}")
             except tiff.TRUNCATION_ERRORS:
                 continue
             except Exception as exc:  # noqa: BLE001 - the assertion target
