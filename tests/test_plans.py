@@ -133,3 +133,42 @@ class TestLshPayloadShape:
         assert gens, "LSH table explode not found — not the scale path?"
         for g in gens:
             assert "vec" not in g and "embedding" not in g, g[:200]
+
+
+class TestBlockedRenderPlanShape:
+    """Scale pins for the block-tiled render (review r5 pass 2): the tile
+    PAYLOAD must flow through exactly one join keyed by per-block ranges,
+    and nothing may shuffle rasters or payloads per (query, image)."""
+
+    @pytest.fixture(scope="class")
+    def blocked_plan(self, spark, sf_small):
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render_blocked
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images = spark.read.parquet(os.path.join(sf_small, "images.parquet"))
+        meta = spark.read.parquet(os.path.join(sf_small, "images_meta.parquet"))
+        queries = spark.read.parquet(os.path.join(sf_small, "queries.parquet"))
+        out = region_render_blocked(levels_df(meta), build_tiles(images), queries, block=64)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    def test_no_cartesian(self, blocked_plan):
+        assert "CartesianProduct" not in blocked_plan
+        assert "BroadcastNestedLoopJoin" not in blocked_plan
+
+    def test_payload_joined_exactly_once(self, blocked_plan):
+        # tile_bytes must appear in exactly one join's output (the LEFT
+        # payload join); the existence gate is keys-only (a second
+        # payload-bearing join would mean probe/window regressions
+        # shipping bytes into one task came back)
+        import re
+
+        joins_with_payload = [
+            seg for seg in re.split(r"\n(?=[ +:-]*\w+Join)", blocked_plan)
+            if seg.lstrip(" +:-").split("\n")[0].find("Join") >= 0
+            and "tile_bytes" in seg.split("\n")[0]
+        ]
+        assert len(joins_with_payload) <= 1, blocked_plan[:2000]
+
+    def test_existence_gate_is_semi_join(self, blocked_plan):
+        assert "LeftSemi" in blocked_plan
