@@ -226,9 +226,12 @@ def webmercator_inverse(
 # NAD83, WGS84) where the null datum shift is sub-meter; classical-datum
 # CRSs (OSGB36 27700, TM75 29903, BD72 31370) declare a "towgs84"
 # 7-parameter Helmert in their registry params (~1-2 m, the published
-# accuracy of the single-Helmert fits). Only datums whose official
-# transformation REQUIRES a distortion grid (NAD27/NADCON, RD/NTv2) stay
-# typed-unsupported rather than silently wrong.
+# accuracy of the single-Helmert fits; RD New 28992 likewise — its NTv2
+# grid refines the Helmert by decimeters only). Datums whose official
+# transformation REQUIRES a distortion grid for meter-level accuracy
+# (NAD27/NADCON) and unimplemented projection families (Hotine oblique
+# Mercator: CH1903+/LV95) stay typed-unsupported rather than silently
+# wrong.
 
 #: (a, e2) pairs — GRS80 and WGS84 differ in 1/f at the 1e-9 level but we
 #: keep both so the constants trace to their authorities
@@ -538,6 +541,75 @@ def ps_inverse(x_m, y_m, a, e2, p):
     return lon, np.degrees(lat)
 
 
+def _sterea_consts(a: float, e2: float, p: dict):
+    """Oblique stereographic 'alternative' (EPSG method 9809, the RD New
+    projection): double projection via the conformal sphere at lat0.
+    Returns (R, n, c, chi0, lam0_rad, k0, fe, fn) per the public EPSG
+    Guidance Note 7-2 formulas."""
+    e = np.sqrt(e2)
+    phi0 = np.radians(p["lat0"])
+    sin0 = np.sin(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * sin0**2) ** 1.5
+    nu0 = a / np.sqrt(1 - e2 * sin0**2)
+    r_sph = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + (e2 * np.cos(phi0) ** 4) / (1 - e2))
+    s1 = (1 + sin0) / (1 - sin0)
+    s2 = (1 - e * sin0) / (1 + e * sin0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + sin0) * (1 - sin_chi00) / ((n - sin0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    return r_sph, n, c, chi0, np.radians(p["lon0"]), p.get("k0", 1.0), p["fe"], p["fn"]
+
+
+def sterea_forward(lon_deg, lat_deg, a, e2, p):
+    """EPSG 9809 forward (GN7-2): ellipsoid -> conformal sphere ->
+    stereographic."""
+    r_sph, n, c, chi0, lam0, k0, fe, fn = _sterea_consts(a, e2, p)
+    e = np.sqrt(e2)
+    lam = np.radians(np.asarray(lon_deg, np.float64))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    big_lam = n * (lam - lam0) + lam0
+    sin_phi = np.sin(phi)
+    sa = (1 + sin_phi) / (1 - sin_phi)
+    sb = (1 - e * sin_phi) / (1 + e * sin_phi)
+    w = c * (sa * sb**e) ** n
+    chi = np.arcsin((w - 1) / (w + 1))
+    dl = big_lam - lam0
+    b = 1 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) * np.cos(dl)
+    x = fe + 2 * r_sph * k0 * np.cos(chi) * np.sin(dl) / b
+    y = fn + 2 * r_sph * k0 * (np.sin(chi) * np.cos(chi0) - np.cos(chi) * np.sin(chi0) * np.cos(dl)) / b
+    return x, y
+
+
+def sterea_inverse(x_m, y_m, a, e2, p):
+    """EPSG 9809 reverse (GN7-2): stereographic -> conformal sphere ->
+    ellipsoid (fixed-count isometric-latitude iteration — elementwise
+    deterministic, see _ecef_to_geodetic's rationale)."""
+    r_sph, n, c, chi0, lam0, k0, fe, fn = _sterea_consts(a, e2, p)
+    e = np.sqrt(e2)
+    xp = np.asarray(x_m, np.float64) - fe
+    yp = np.asarray(y_m, np.float64) - fn
+    g = 2 * r_sph * k0 * np.tan(np.pi / 4 - chi0 / 2)
+    h = 4 * r_sph * k0 * np.tan(chi0) + g
+    i = np.arctan2(xp, h + yp)
+    j = np.arctan2(xp, g - yp) - i
+    chi = chi0 + 2 * np.arctan((yp - xp * np.tan(j / 2)) / (2 * r_sph * k0))
+    big_lam = j + 2 * i + lam0
+    lam = (big_lam - lam0) / n + lam0
+    # conformal-sphere latitude -> ellipsoidal latitude (GN7-2 iteration)
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(8):  # quadratic; 4 passes reach <1e-14 rad, 8 = margin
+        sin_phi = np.sin(phi)
+        psi_i = np.log(
+            np.tan(phi / 2 + np.pi / 4) * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
+        )
+        phi = phi + (psi - psi_i) * np.cos(phi) * (1 - e2 * sin_phi**2) / (1 - e2)
+    return np.degrees(lam), np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # 7-parameter Helmert datum shift (EPSG method 9606, position-vector
 # convention — the +towgs84= convention). The reference reaches datum-shifted
@@ -648,6 +720,8 @@ _AIRY_E2 = _AIRY_F * (2 - _AIRY_F)
 _AIRYMOD_A = 6377340.189  # Airy Modified 1849 (same flattening as Airy)
 _INTL_A, _INTL_F = 6378388.0, 1.0 / 297.0  # International 1924 (Hayford)
 _INTL_E2 = _INTL_F * (2 - _INTL_F)
+_BESSEL_A, _BESSEL_F = 6377397.155, 1.0 / 299.1528128  # Bessel 1841
+_BESSEL_E2 = _BESSEL_F * (2 - _BESSEL_F)
 
 
 #: named-EPSG registry: epsg -> (family, a, e2, params). Parameters are the
@@ -718,6 +792,20 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
             towgs84=(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
         ),
     ),
+    # Amersfoort / RD New (Netherlands) — oblique stereographic (EPSG
+    # method 9809) on Bessel 1841 + Helmert (classic position-vector
+    # parameter set; the official NTv2 correction grid refines this by
+    # decimeters only)
+    28992: (
+        "sterea",
+        _BESSEL_A,
+        _BESSEL_E2,
+        dict(
+            lat0=52.15616055555555, lon0=5.38763888888889, k0=0.9999079,
+            fe=155000.0, fn=463000.0,
+            towgs84=(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725),
+        ),
+    ),
     # BD72 / Belgian Lambert 72 — International 1924 + Helmert (EPSG tfm
     # 15929, signs in position-vector convention)
     31370: (
@@ -734,6 +822,7 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
 
 _FAMILY_FWD = {
     "tm": tm_forward_p,
+    "sterea": sterea_forward,
     "lcc2sp": lcc2sp_forward,
     "aea2sp": aea2sp_forward,
     "ps": ps_forward,
@@ -743,6 +832,7 @@ _FAMILY_FWD = {
 }
 _FAMILY_INV = {
     "tm": tm_inverse_p,
+    "sterea": sterea_inverse,
     "lcc2sp": lcc2sp_inverse,
     "aea2sp": aea2sp_inverse,
     "ps": ps_inverse,

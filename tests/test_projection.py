@@ -79,12 +79,12 @@ class TestTransformDispatch:
         assert x[0] == 1.0 and y[0] == 2.0
 
     def test_unsupported_raises(self):
-        # Amersfoort / RD New (28992) is an oblique stereographic outside
-        # every implemented family — deliberately typed-unsupported rather
-        # than silently wrong (27700 moved to the registry via the Helmert
-        # datum-shift path in round 5)
+        # CH1903+/LV95 (2056) is a Hotine oblique Mercator outside every
+        # implemented family — deliberately typed-unsupported rather than
+        # silently wrong (27700 and 28992 both moved to the registry in
+        # round 5 via the Helmert datum-shift path)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 28992)
+            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2056)
 
 
 class TestGeneralCrs:
@@ -148,7 +148,7 @@ class TestGeneralCrs:
         from cloudtiff_spark.projection import transform_coords
 
         try:
-            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 28992)
+            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2056)
             raised = False
         except ValueError as exc:
             raised = "unsupported CRS" in str(exc)
@@ -175,7 +175,7 @@ class TestConicPolarFamilies:
     round-trip closure."""
 
     CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035, 3575, 6933,
-             27700, 29903, 31370]
+             27700, 29903, 31370, 28992]
 
     @staticmethod
     def _local_scale(fwd, lon, lat, a, e2):
@@ -194,6 +194,7 @@ class TestConicPolarFamilies:
         family, a, e2, p = P.CRS_REGISTRY[epsg]
         fn = {
             "tm": P.tm_forward_p,
+            "sterea": P.sterea_forward,
             "lcc2sp": P.lcc2sp_forward,
             "aea2sp": P.aea2sp_forward,
             "ps": P.ps_forward,
@@ -217,6 +218,7 @@ class TestConicPolarFamilies:
             3413: (-180.0, 180.0, 62.0, 88.0),
             32661: (-180.0, 180.0, 75.0, 89.5),
             32761: (-180.0, 180.0, -89.5, -75.0),
+            28992: (3.3, 7.2, 50.7, 53.6),
             27700: (-8.0, 2.0, 49.5, 61.0),
             29903: (-10.7, -5.3, 51.2, 55.5),
             31370: (2.5, 6.5, 49.4, 51.6),
@@ -301,9 +303,9 @@ class TestConicPolarFamilies:
     def test_crs_is_supported_matrix(self):
         for epsg in [4326, 3857, 32601, 32760, 25832, 26913] + self.CODES:
             assert P.crs_is_supported(epsg), epsg
-        # 28992 = oblique stereographic (family not implemented); 26717 =
+        # 2056 = Hotine oblique Mercator (family not implemented); 26717 =
         # NAD27 UTM (datum needs a NADCON grid shift, not a Helmert)
-        for epsg in [28992, 26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
+        for epsg in [2056, 26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
             assert not P.crs_is_supported(epsg), epsg
 
     def test_lambert93_known_city(self):
@@ -430,10 +432,70 @@ class TestHelmertDatumShift:
             assert np.abs(lat2 - lat).max() < 5e-6, epsg
 
     def test_grid_shift_datums_stay_typed_unsupported(self):
-        """NAD27 (NADCON grid) and RD New (NTv2/grid-corrected oblique
-        stereographic) must keep raising the typed error — the Helmert
-        fallback covers only datums whose official transform IS a
-        Helmert."""
-        for epsg in (26717, 28992):
+        """NAD27 (NADCON grid) and CH1903+/LV95 (Hotine oblique
+        Mercator) must keep raising the typed error — the Helmert
+        fallback covers only projection families the registry
+        implements."""
+        for epsg in (26717, 2056):
             with pytest.raises(ValueError, match="unsupported CRS"):
                 P.transform_coords(np.array([0.0]), np.array([50.0]), 4326, epsg)
+
+
+class TestObliqueStereographic:
+    """EPSG method 9809 (the RD New projection) — double projection via
+    the conformal sphere, pinned by the authoritative EPSG Guidance Note
+    7-2 worked example plus map invariants."""
+
+    def test_epsg_gn72_worked_example(self):
+        """GN7-2 Amersfoort / RD New example: Bessel geodetic 53N 6E ->
+        E 196105.283 N 557057.739 (same-datum, projection only)."""
+        _, a, e2, p = P.CRS_REGISTRY[28992]
+        x, y = P.sterea_forward(np.array([6.0]), np.array([53.0]), a, e2, p)
+        assert abs(x[0] - 196105.283) < 1e-3
+        assert abs(y[0] - 557057.739) < 1e-3
+
+    def test_origin_and_scale(self):
+        _, a, e2, p = P.CRS_REGISTRY[28992]
+        x, y = P.sterea_forward(np.array([p["lon0"]]), np.array([p["lat0"]]), a, e2, p)
+        assert abs(x[0] - 155000.0) < 1e-6 and abs(y[0] - 463000.0) < 1e-6
+
+    def test_conformal_everywhere(self):
+        """Stereographic is conformal: local scale along meridian equals
+        local scale along parallel (h == k) at every point — the Snyder
+        invariant that pins the formula set without memorized digits."""
+        _, a, e2, p = P.CRS_REGISTRY[28992]
+        d = 1e-7
+        for lon0, lat0 in [(5.4, 52.16), (3.5, 51.0), (7.0, 53.4), (6.5, 50.8)]:
+            x0, y0 = P.sterea_forward(np.array([lon0]), np.array([lat0]), a, e2, p)
+            x1, y1 = P.sterea_forward(np.array([lon0]), np.array([lat0 + d]), a, e2, p)
+            x2, y2 = P.sterea_forward(np.array([lon0 + d]), np.array([lat0]), a, e2, p)
+            latr = np.radians(lat0)
+            m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+            n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+            h = np.hypot(x1 - x0, y1 - y0)[0] / (m_rad * np.radians(d))
+            k = np.hypot(x2 - x0, y2 - y0)[0] / (n_rad * np.cos(latr) * np.radians(d))
+            assert abs(h / k - 1) < 1e-6, (lon0, lat0)
+        # scale at the origin equals k0
+        x0, y0 = P.sterea_forward(np.array([p["lon0"]]), np.array([p["lat0"] + d]), a, e2, p)
+        latr = np.radians(p["lat0"])
+        m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+        h0 = np.hypot(x0 - 155000.0, y0 - 463000.0)[0] / (m_rad * np.radians(d))
+        assert abs(h0 - p["k0"]) < 1e-6
+
+    def test_amsterdam_through_datum_shift(self):
+        """WGS84 Amsterdam Dam Square lands in the published RD
+        neighborhood (~121.4 km, ~487.4 km) through the full Helmert +
+        sterea chain — km-scale gate catches parameter mis-wiring while
+        allowing the ~1 m single-Helmert accuracy."""
+        x, y = P.transform_coords(np.array([4.8936]), np.array([52.3731]), 4326, 28992)
+        assert abs(x[0] - 121400.0) < 1500.0 and abs(y[0] - 487400.0) < 1500.0
+
+    def test_roundtrip_projection_only(self):
+        _, a, e2, p = P.CRS_REGISTRY[28992]
+        rng = np.random.default_rng(28)
+        lon = rng.uniform(3.3, 7.2, 300)
+        lat = rng.uniform(50.7, 53.6, 300)
+        x, y = P.sterea_forward(lon, lat, a, e2, p)
+        lo, la = P.sterea_inverse(x, y, a, e2, p)
+        assert np.abs(lo - lon).max() < 1e-12
+        assert np.abs(la - lat).max() < 1e-12
