@@ -499,3 +499,16 @@ class TestObliqueStereographic:
         lo, la = P.sterea_inverse(x, y, a, e2, p)
         assert np.abs(lo - lon).max() < 1e-12
         assert np.abs(la - lat).max() < 1e-12
+
+    def test_cog_container_roundtrip_datum_shift_crs(self):
+        """The COG writer/parser carries the new datum-shifted EPSG codes
+        through the GeoKey directory like any other projected CRS."""
+        from cloudtiff_spark import tiff
+
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+        for epsg, ox, oy in [(28992, 155000.0, 463000.0), (27700, 528000.0, 184000.0),
+                             (29903, 200000.0, 250000.0), (31370, 150000.0, 170000.0)]:
+            info = tiff.cog_info(tiff.encode_cog(img, epsg, ox, oy, 10.0))
+            p = info["projection"]
+            assert p["epsg"] == epsg and p["origin_x"] == ox and p["origin_y"] == oy
