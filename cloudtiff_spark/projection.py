@@ -229,9 +229,9 @@ def webmercator_inverse(
 # accuracy of the single-Helmert fits; RD New 28992 likewise — its NTv2
 # grid refines the Helmert by decimeters only). Datums whose official
 # transformation REQUIRES a distortion grid for meter-level accuracy
-# (NAD27/NADCON) and unimplemented projection families (Hotine oblique
-# Mercator: CH1903+/LV95) stay typed-unsupported rather than silently
-# wrong.
+# (NAD27/NADCON) and unimplemented projection families / prime meridians
+# (e.g. NTF Paris Lambert 1SP) stay typed-unsupported rather than
+# silently wrong.
 
 #: (a, e2) pairs — GRS80 and WGS84 differ in 1/f at the 1e-9 level but we
 #: keep both so the constants trace to their authorities
@@ -610,6 +610,71 @@ def sterea_inverse(x_m, y_m, a, e2, p):
     return np.degrees(lam), np.degrees(phi)
 
 
+def _somerc_consts(a: float, e2: float, p: dict):
+    """Swiss oblique Mercator (EPSG method 9815 as used by CH1903/LV03 and
+    CH1903+/LV95; swisstopo's published Rosenmund formulation): ellipsoid
+    -> conformal sphere at the projection centre -> rotation to a pseudo-
+    equator -> spherical Mercator."""
+    e = np.sqrt(e2)
+    phi0 = np.radians(p["lat0"])
+    sin0 = np.sin(phi0)
+    alpha = np.sqrt(1 + (e2 / (1 - e2)) * np.cos(phi0) ** 4)
+    r_sph = a * np.sqrt(1 - e2) / (1 - e2 * sin0**2)
+    b0 = np.arcsin(sin0 / alpha)
+    k_const = (
+        np.log(np.tan(np.pi / 4 + b0 / 2))
+        - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+        + alpha * (e / 2) * np.log((1 + e * sin0) / (1 - e * sin0))
+    )
+    return alpha, r_sph, b0, k_const, np.radians(p["lon0"]), p["fe"], p["fn"]
+
+
+def somerc_forward(lon_deg, lat_deg, a, e2, p):
+    alpha, r_sph, b0, k_const, lam0, fe, fn = _somerc_consts(a, e2, p)
+    e = np.sqrt(e2)
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    lam = np.radians(np.asarray(lon_deg, np.float64))
+    sin_phi = np.sin(phi)
+    s = (
+        alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+        - alpha * (e / 2) * np.log((1 + e * sin_phi) / (1 - e * sin_phi))
+        + k_const
+    )
+    b = 2 * np.arctan(np.exp(s)) - np.pi / 2
+    l = alpha * (lam - lam0)
+    lbar = np.arctan2(np.sin(l), np.sin(b0) * np.tan(b) + np.cos(b0) * np.cos(l))
+    bbar = np.arcsin(np.cos(b0) * np.sin(b) - np.sin(b0) * np.cos(b) * np.cos(l))
+    x = fe + r_sph * lbar
+    y = fn + (r_sph / 2) * np.log((1 + np.sin(bbar)) / (1 - np.sin(bbar)))
+    return x, y
+
+
+def somerc_inverse(x_m, y_m, a, e2, p):
+    alpha, r_sph, b0, k_const, lam0, fe, fn = _somerc_consts(a, e2, p)
+    e = np.sqrt(e2)
+    xp = np.asarray(x_m, np.float64) - fe
+    yp = np.asarray(y_m, np.float64) - fn
+    lbar = xp / r_sph
+    bbar = 2 * np.arctan(np.exp(yp / r_sph)) - np.pi / 2
+    b = np.arcsin(np.cos(b0) * np.sin(bbar) + np.sin(b0) * np.cos(bbar) * np.cos(lbar))
+    l = np.arctan2(np.sin(lbar), np.cos(b0) * np.cos(lbar) - np.sin(b0) * np.tan(bbar))
+    lam = lam0 + l / alpha
+    # conformal-sphere -> ellipsoid latitude (fixed count, elementwise
+    # deterministic — see _ecef_to_geodetic's rationale)
+    s = (np.log(np.tan(np.pi / 4 + b / 2)) - k_const) / alpha
+    phi = 2 * np.arctan(np.exp(s)) - np.pi / 2
+    for _ in range(8):
+        sin_phi = np.sin(phi)
+        phi = (
+            2
+            * np.arctan(
+                np.exp(s + (e / 2) * np.log((1 + e * sin_phi) / (1 - e * sin_phi)))
+            )
+            - np.pi / 2
+        )
+    return np.degrees(lam), np.degrees(phi)
+
+
 # ---------------------------------------------------------------------------
 # 7-parameter Helmert datum shift (EPSG method 9606, position-vector
 # convention — the +towgs84= convention). The reference reaches datum-shifted
@@ -806,6 +871,19 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
             towgs84=(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725),
         ),
     ),
+    # CH1903+ / LV95 (Switzerland) — Swiss oblique Mercator (EPSG method
+    # 9815, Rosenmund) on Bessel 1841 + translation-only Helmert (the
+    # CH1903+ datum is defined by exactly this 3-parameter shift)
+    2056: (
+        "somerc",
+        _BESSEL_A,
+        _BESSEL_E2,
+        dict(
+            lat0=46.95240555555556, lon0=7.439583333333333,
+            fe=2600000.0, fn=1200000.0,
+            towgs84=(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
+        ),
+    ),
     # BD72 / Belgian Lambert 72 — International 1924 + Helmert (EPSG tfm
     # 15929, signs in position-vector convention)
     31370: (
@@ -823,6 +901,7 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
 _FAMILY_FWD = {
     "tm": tm_forward_p,
     "sterea": sterea_forward,
+    "somerc": somerc_forward,
     "lcc2sp": lcc2sp_forward,
     "aea2sp": aea2sp_forward,
     "ps": ps_forward,
@@ -833,6 +912,7 @@ _FAMILY_FWD = {
 _FAMILY_INV = {
     "tm": tm_inverse_p,
     "sterea": sterea_inverse,
+    "somerc": somerc_inverse,
     "lcc2sp": lcc2sp_inverse,
     "aea2sp": aea2sp_inverse,
     "ps": ps_inverse,

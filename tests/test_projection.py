@@ -79,12 +79,12 @@ class TestTransformDispatch:
         assert x[0] == 1.0 and y[0] == 2.0
 
     def test_unsupported_raises(self):
-        # CH1903+/LV95 (2056) is a Hotine oblique Mercator outside every
-        # implemented family — deliberately typed-unsupported rather than
-        # silently wrong (27700 and 28992 both moved to the registry in
-        # round 5 via the Helmert datum-shift path)
+        # NTF (Paris) / Lambert zone II (27572) is a 1SP Lambert on a
+        # Paris-meridian, grad-unit CRS — outside every implemented family,
+        # deliberately typed-unsupported rather than silently wrong
+        # (27700/28992/2056 all moved to the registry in round 5)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2056)
+            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27572)
 
 
 class TestGeneralCrs:
@@ -148,7 +148,7 @@ class TestGeneralCrs:
         from cloudtiff_spark.projection import transform_coords
 
         try:
-            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 2056)
+            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27572)
             raised = False
         except ValueError as exc:
             raised = "unsupported CRS" in str(exc)
@@ -175,7 +175,7 @@ class TestConicPolarFamilies:
     round-trip closure."""
 
     CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035, 3575, 6933,
-             27700, 29903, 31370, 28992]
+             27700, 29903, 31370, 28992, 2056]
 
     @staticmethod
     def _local_scale(fwd, lon, lat, a, e2):
@@ -195,6 +195,7 @@ class TestConicPolarFamilies:
         fn = {
             "tm": P.tm_forward_p,
             "sterea": P.sterea_forward,
+            "somerc": P.somerc_forward,
             "lcc2sp": P.lcc2sp_forward,
             "aea2sp": P.aea2sp_forward,
             "ps": P.ps_forward,
@@ -219,6 +220,7 @@ class TestConicPolarFamilies:
             32661: (-180.0, 180.0, 75.0, 89.5),
             32761: (-180.0, 180.0, -89.5, -75.0),
             28992: (3.3, 7.2, 50.7, 53.6),
+            2056: (5.9, 10.5, 45.8, 47.8),
             27700: (-8.0, 2.0, 49.5, 61.0),
             29903: (-10.7, -5.3, 51.2, 55.5),
             31370: (2.5, 6.5, 49.4, 51.6),
@@ -303,9 +305,9 @@ class TestConicPolarFamilies:
     def test_crs_is_supported_matrix(self):
         for epsg in [4326, 3857, 32601, 32760, 25832, 26913] + self.CODES:
             assert P.crs_is_supported(epsg), epsg
-        # 2056 = Hotine oblique Mercator (family not implemented); 26717 =
-        # NAD27 UTM (datum needs a NADCON grid shift, not a Helmert)
-        for epsg in [2056, 26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
+        # 27572 = NTF Paris / Lambert 1SP (family + prime meridian not
+        # implemented); 26717 = NAD27 UTM (datum needs a NADCON grid shift)
+        for epsg in [27572, 26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
             assert not P.crs_is_supported(epsg), epsg
 
     def test_lambert93_known_city(self):
@@ -432,11 +434,11 @@ class TestHelmertDatumShift:
             assert np.abs(lat2 - lat).max() < 5e-6, epsg
 
     def test_grid_shift_datums_stay_typed_unsupported(self):
-        """NAD27 (NADCON grid) and CH1903+/LV95 (Hotine oblique
+        """NAD27 (NADCON grid) and NTF Paris / Lambert zone II (1SP
         Mercator) must keep raising the typed error — the Helmert
         fallback covers only projection families the registry
         implements."""
-        for epsg in (26717, 2056):
+        for epsg in (26717, 27572):
             with pytest.raises(ValueError, match="unsupported CRS"):
                 P.transform_coords(np.array([0.0]), np.array([50.0]), 4326, epsg)
 
@@ -512,3 +514,48 @@ class TestObliqueStereographic:
             info = tiff.cog_info(tiff.encode_cog(img, epsg, ox, oy, 10.0))
             p = info["projection"]
             assert p["epsg"] == epsg and p["origin_x"] == ox and p["origin_y"] == oy
+
+
+class TestSwissObliqueMercator:
+    """EPSG method 9815 (Rosenmund / swisstopo) — CH1903+/LV95."""
+
+    def test_bern_origin_exact(self):
+        _, a, e2, p = P.CRS_REGISTRY[2056]
+        x, y = P.somerc_forward(np.array([p["lon0"]]), np.array([p["lat0"]]), a, e2, p)
+        assert abs(x[0] - 2600000.0) < 1e-6 and abs(y[0] - 1200000.0) < 1e-6
+
+    def test_swisstopo_reference_point_end_to_end(self):
+        """swisstopo's published reference point: WGS84/ETRS89
+        46.04412093N 8.730497076E corresponds to LV95 (2700000, 1100000)
+        (the old LV03 (700000, 100000) fundamental point). Through the
+        FULL Helmert + somerc chain the engine lands within the published
+        ~1 m accuracy of the 3-parameter CH1903+ shift."""
+        x, y = P.transform_coords(
+            np.array([8.730497076]), np.array([46.04412093]), 4326, 2056
+        )
+        assert abs(x[0] - 2700000.0) < 1.5
+        assert abs(y[0] - 1100000.0) < 1.5
+
+    def test_conformal_everywhere(self):
+        _, a, e2, p = P.CRS_REGISTRY[2056]
+        d = 1e-7
+        for lon0, lat0 in [(7.44, 46.95), (6.1, 46.2), (9.8, 47.5)]:
+            x0, y0 = P.somerc_forward(np.array([lon0]), np.array([lat0]), a, e2, p)
+            x1, y1 = P.somerc_forward(np.array([lon0]), np.array([lat0 + d]), a, e2, p)
+            x2, y2 = P.somerc_forward(np.array([lon0 + d]), np.array([lat0]), a, e2, p)
+            latr = np.radians(lat0)
+            m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+            n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+            h = np.hypot(x1 - x0, y1 - y0)[0] / (m_rad * np.radians(d))
+            k = np.hypot(x2 - x0, y2 - y0)[0] / (n_rad * np.cos(latr) * np.radians(d))
+            assert abs(h / k - 1) < 1e-6, (lon0, lat0)
+
+    def test_roundtrip_projection_only(self):
+        _, a, e2, p = P.CRS_REGISTRY[2056]
+        rng = np.random.default_rng(56)
+        lon = rng.uniform(5.9, 10.5, 300)
+        lat = rng.uniform(45.8, 47.8, 300)
+        x, y = P.somerc_forward(lon, lat, a, e2, p)
+        lo, la = P.somerc_inverse(x, y, a, e2, p)
+        assert np.abs(lo - lon).max() < 1e-12
+        assert np.abs(la - lat).max() < 1e-12

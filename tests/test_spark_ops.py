@@ -399,9 +399,9 @@ class TestRender:
         from cloudtiff_spark.operators.tiling import build_tiles
 
         images, meta, queries = tables
-        bad_meta = meta.withColumn("epsg", F.lit(2056))
+        bad_meta = meta.withColumn("epsg", F.lit(27572))
         tiles = build_tiles(images)
-        with pytest.raises(Exception, match="unsupported CRS 2056"):
+        with pytest.raises(Exception, match="unsupported CRS 27572"):
             region_render(levels_df(bad_meta), tiles, queries).collect()
 
 
