@@ -659,19 +659,11 @@ def somerc_inverse(x_m, y_m, a, e2, p):
     b = np.arcsin(np.cos(b0) * np.sin(bbar) + np.sin(b0) * np.cos(bbar) * np.cos(lbar))
     l = np.arctan2(np.sin(lbar), np.cos(b0) * np.cos(lbar) - np.sin(b0) * np.tan(bbar))
     lam = lam0 + l / alpha
-    # conformal-sphere -> ellipsoid latitude (fixed count, elementwise
-    # deterministic — see _ecef_to_geodetic's rationale)
+    # conformal-sphere -> ellipsoid latitude: the isometric-latitude
+    # fixed-point inversion is exactly _conformal_phi with t = exp(-s)
+    # (fixed count, elementwise deterministic — shared with lcc2sp/ps)
     s = (np.log(np.tan(np.pi / 4 + b / 2)) - k_const) / alpha
-    phi = 2 * np.arctan(np.exp(s)) - np.pi / 2
-    for _ in range(8):
-        sin_phi = np.sin(phi)
-        phi = (
-            2
-            * np.arctan(
-                np.exp(s + (e / 2) * np.log((1 + e * sin_phi) / (1 - e * sin_phi)))
-            )
-            - np.pi / 2
-        )
+    phi = _conformal_phi(np.exp(-s), e)
     return np.degrees(lam), np.degrees(phi)
 
 

@@ -157,18 +157,23 @@ class TestBlockedRenderPlanShape:
         assert "BroadcastNestedLoopJoin" not in blocked_plan
 
     def test_payload_joined_exactly_once(self, blocked_plan):
-        # tile_bytes must appear in exactly one join's output (the LEFT
-        # payload join); the existence gate is keys-only (a second
-        # payload-bearing join would mean probe/window regressions
-        # shipping bytes into one task came back)
-        import re
+        # the ONE LeftOuter join is the tile-payload join; the existence
+        # gate is keys-only semi-join machinery. A second outer join (or
+        # any Window) would mean the probe/window regressions — shipping
+        # payloads or rasters into one task per render — came back.
+        # (Join header lines never print output columns, so this counts
+        # join TYPES rather than grepping for tile_bytes on the header —
+        # the earlier form of this guard was vacuous, review r5 pass 3.)
+        assert blocked_plan.count("LeftOuter") == 1, blocked_plan[:2000]
 
-        joins_with_payload = [
-            seg for seg in re.split(r"\n(?=[ +:-]*\w+Join)", blocked_plan)
-            if seg.lstrip(" +:-").split("\n")[0].find("Join") >= 0
-            and "tile_bytes" in seg.split("\n")[0]
-        ]
-        assert len(joins_with_payload) <= 1, blocked_plan[:2000]
+    def test_no_per_render_window_over_blocks(self, blocked_plan):
+        # a Window evaluated over BLOCK rows shuffles every block raster
+        # into one partition per render — the exact shape review pass 2
+        # removed. The only windows allowed are region_extract's LOD pick
+        # (max(_ok) over metadata rows).
+        for line in blocked_plan.splitlines():
+            if "Window" in line:
+                assert "max(_ok" in line, line.strip()[:200]
 
     def test_existence_gate_is_semi_join(self, blocked_plan):
         assert "LeftSemi" in blocked_plan

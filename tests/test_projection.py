@@ -435,9 +435,9 @@ class TestHelmertDatumShift:
 
     def test_grid_shift_datums_stay_typed_unsupported(self):
         """NAD27 (NADCON grid) and NTF Paris / Lambert zone II (1SP
-        Mercator) must keep raising the typed error — the Helmert
-        fallback covers only projection families the registry
-        implements."""
+        Lambert conformal conic on a Paris-meridian grad CRS) must keep
+        raising the typed error — the Helmert fallback covers only
+        projection families the registry implements."""
         for epsg in (26717, 27572):
             with pytest.raises(ValueError, match="unsupported CRS"):
                 P.transform_coords(np.array([0.0]), np.array([50.0]), 4326, epsg)
@@ -510,7 +510,8 @@ class TestObliqueStereographic:
         rng = np.random.default_rng(53)
         img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
         for epsg, ox, oy in [(28992, 155000.0, 463000.0), (27700, 528000.0, 184000.0),
-                             (29903, 200000.0, 250000.0), (31370, 150000.0, 170000.0)]:
+                             (29903, 200000.0, 250000.0), (31370, 150000.0, 170000.0),
+                             (2056, 2600000.0, 1200000.0)]:
             info = tiff.cog_info(tiff.encode_cog(img, epsg, ox, oy, 10.0))
             p = info["projection"]
             assert p["epsg"] == epsg and p["origin_x"] == ox and p["origin_y"] == oy
