@@ -271,7 +271,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 2) -> DataFram
        lossless for max_hamming <= 3 AND scale-safe — expected bucket
        population is n/2^32 (vs n/2^16 for naive 4x16 banding, whose
        bucket self-join goes quadratic at web corpus sizes),
-    3. key-bucket self-join carries only (doc_id, table, key, simhash),
+    3. key-bucket self-join carries only the LEAN (doc_id, band, value)
+       rows — the 64-bit signatures are NOT shipped through the 20x
+       fan-out; after the pair dedup they are re-joined by doc_id (the
+       repo's standard LSH payload-de-amplification shape, same as
+       minhash_lsh_pairs).  The triple reference to ``sig`` does NOT
+       recompute the shingle scan + 64-column vote agg: AQE's exchange
+       reuse collapses the identical aggregation exchanges (final plan
+       shows 3 ReusedExchange nodes — pinned by pytest), so the corpus
+       is scanned once,
     4. exact verify: bit_count(a XOR b) <= max_hamming, native bit math.
 
     No UDFs anywhere: signature, fan-out, join, and verify are all
@@ -294,19 +302,22 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 2) -> DataFram
     ]
     bands = sig.select(
         "doc_id",
-        "simhash",
         F.posexplode(F.array(*keys)).alias("band", "value"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sim_a"), "band", "value"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sim_b"), "band", "value"
-    )
+    a = bands.select(F.col("doc_id").alias("doc_id_a"), "band", "value")
+    b = bands.select(F.col("doc_id").alias("doc_id_b"), "band", "value")
     cand = (
         a.join(b, ["band", "value"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .join(
+            sig.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sim_a")),
+            "doc_id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sim_b")),
+            "doc_id_b",
+        )
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
@@ -741,6 +752,56 @@ def quantize_embeddings(
     return q.select("id", F.col("q.qvec").alias("qvec"), F.col("q.scale").alias("scale"))
 
 
+def _quantized_screen(q: DataFrame, p_ids, p_n, m_keep: int) -> DataFrame:
+    """The int8 screen stage of quantized_cosine_topk with per-BATCH
+    partial top-k: each Arrow batch emits only its own top ``m_keep``
+    candidates per probe (ordered by the SAME (sim desc, id asc) key the
+    downstream global window uses, so boundary ties resolve identically).
+    The union of per-batch top-m sets is a superset of the global top-m,
+    so the window rank downstream returns the bit-identical result while
+    its input shrinks from n*p rows to (n/batch_size)*m_keep*p — at the
+    10^12-row design point that is the difference between shuffling
+    2.5e13 rows and ~1e9.  ``q`` is quantize_embeddings output; ``p_ids``
+    int64 probe ids, ``p_n`` the L2-normalized probe matrix."""
+    n_probes = int(p_ids.shape[0])
+
+    def screen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [
+                    np.frombuffer(bq, dtype=np.int8).astype(np.float64) * s
+                    for bq, s in zip(pdf["qvec"], pdf["scale"])
+                ]
+            )
+            mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            simm = mn @ p_n.T  # (batch, probes)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # a probe is never its own neighbor: mask BEFORE the top-m cut
+            # (masking after could leave a batch short of m_keep real rows)
+            simm[ids[:, None] == p_ids[None, :]] = -np.inf
+            t = min(m_keep, simm.shape[0])
+            out_ids, out_qids, out_sims = [], [], []
+            for j in range(n_probes):
+                # lexsort: last key is primary -> (-sim, id) = sim desc, id asc
+                order = np.lexsort((ids, -simm[:, j]))[:t]
+                keep_sims = simm[order, j]
+                good = keep_sims > -np.inf
+                out_ids.append(ids[order][good])
+                out_sims.append(keep_sims[good])
+                out_qids.append(np.full(int(good.sum()), p_ids[j], dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_ids),
+                    "query_id": np.concatenate(out_qids),
+                    "sim": np.concatenate(out_sims),
+                }
+            )
+
+    return q.mapInPandas(screen, "id bigint, query_id bigint, sim double")
+
+
 def quantized_cosine_topk(
     emb: DataFrame,
     probe_ids: list[int],
@@ -754,11 +815,17 @@ def quantized_cosine_topk(
     ``rerank > 0``, the top rerank quantized candidates per probe are
     re-scored on the float vectors (the standard two-stage ANN shape) so
     the final top-k recovers exact-rank order when quantization flips
-    neighbors. Output schema matches cosine_topk."""
+    neighbors. The screen applies per-Arrow-batch partial top-k (see
+    _quantized_screen) so the rank window never sees the full n*p score
+    explosion. Output schema matches cosine_topk."""
     if rerank:
         # a rerank pool smaller than k could never fill k neighbors —
         # the float stage can only reorder what the int8 screen kept
         rerank = max(rerank, k)
+    # a null embedding would crash the vectorized np.stack inside the
+    # quantization UDF with an opaque shape error — drop such rows up
+    # front (same guard embed_near_dup applies)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     q = quantize_embeddings(emb, id_col, vec_col)
     # quantize ONLY the probe rows for the broadcast side — filtering the
     # already-quantized frame would trigger a full-table quantization pass
@@ -767,7 +834,7 @@ def quantized_cosine_topk(
     probes = quantize_embeddings(
         emb.filter(F.col(id_col).isin(probe_ids)), id_col, vec_col
     ).toPandas()
-    p_ids = probes["id"].to_numpy()
+    p_ids = probes["id"].to_numpy(dtype=np.int64)
     p_mat = np.stack(
         [
             np.frombuffer(bq, dtype=np.int8).astype(np.float64) * s
@@ -776,23 +843,8 @@ def quantized_cosine_topk(
     )
     p_n = p_mat / np.linalg.norm(p_mat, axis=1, keepdims=True)
 
-    @pandas_udf("array<double>")
-    def sims(qvec: pd.Series, scale: pd.Series) -> pd.Series:
-        m = np.stack(
-            [
-                np.frombuffer(b, dtype=np.int8).astype(np.float64) * s
-                for b, s in zip(qvec, scale)
-            ]
-        )
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        s = mn @ p_n.T
-        return pd.Series([row.tolist() for row in s])
-
-    scored = q.withColumn("sims", sims(F.col("qvec"), F.col("scale")))
-    rows = scored.select(
-        "id", F.posexplode("sims").alias("pi", "sim")
-    ).withColumn("query_id", F.element_at(F.lit(p_ids.tolist()), F.col("pi") + 1))
-    cand = rows.filter(F.col("id") != F.col("query_id"))
+    m_keep = rerank if rerank else k
+    cand = _quantized_screen(q, p_ids, p_n, m_keep)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     ranked = cand.withColumn("rank", F.row_number().over(w))
     if not rerank:

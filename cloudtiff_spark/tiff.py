@@ -513,7 +513,24 @@ def _parse_geokeys(tags: dict) -> dict[int, int | float | str]:
 #: header_info_http / header_info_s3, api.open_s3) retry on these; a
 #: genuinely corrupt file still raises once the whole object is in hand
 #: (the loops stop growing at the object size / short body).
+#:
+#: ORDERING INVARIANT: every typed CloudTiffError also subclasses
+#: ValueError, so an ``except TRUNCATION_ERRORS`` clause MUST be preceded
+#: by ``except CloudTiffError: raise`` — otherwise a definitive semantic
+#: reject (NotATiff, NoLevels, ...) is silently retried until the whole
+#: object has been fetched. New call sites should prefer
+#: :func:`is_truncation`, which encodes the exclusion and cannot be
+#: miswired.
 TRUNCATION_ERRORS = (struct.error, IndexError, ValueError)
+
+
+def is_truncation(exc: BaseException) -> bool:
+    """True iff ``exc`` indicates a byte prefix that ended mid-structure
+    (retryable by fetching more bytes) — i.e. one of TRUNCATION_ERRORS
+    that is NOT a typed CloudTiffError semantic reject. Use this in new
+    grow-and-reparse loops instead of catching TRUNCATION_ERRORS
+    directly (see the ordering invariant above)."""
+    return isinstance(exc, TRUNCATION_ERRORS) and not isinstance(exc, CloudTiffError)
 
 
 def cog_info(data: bytes) -> dict:

@@ -622,6 +622,25 @@ class TestBitPackedGray:
         with _pytest.raises(UnsupportedPixelFormat, match="FillOrder"):
             tiff.decode_tile(data, info, 0, 0)
 
+    def test_is_truncation_excludes_typed_rejects(self):
+        """is_truncation encodes the TRUNCATION_ERRORS ordering invariant
+        (ADVICE r5): CloudTiffError subclasses ValueError, so a naive
+        isinstance check against TRUNCATION_ERRORS would classify a
+        definitive semantic reject as retryable and fetch the whole
+        object. The helper must exclude the typed hierarchy."""
+        import struct
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import CloudTiffError, NoLevels, NotATiff
+
+        assert tiff.is_truncation(struct.error("short"))
+        assert tiff.is_truncation(IndexError("cut"))
+        assert tiff.is_truncation(ValueError("reshape"))
+        for exc in (CloudTiffError("x"), NotATiff("y"), NoLevels()):
+            assert isinstance(exc, ValueError)  # the hazard being guarded
+            assert not tiff.is_truncation(exc)
+        assert not tiff.is_truncation(OSError("io"))
+
     def test_truncated_prefix_raises_only_truncation_errors(self):
         """Every byte-prefix of a real COG must either parse or raise one
         of tiff.TRUNCATION_ERRORS — the contract the grow-and-reparse
