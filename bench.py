@@ -82,6 +82,7 @@ def main() -> None:
 
     from cloudtiff_spark.operators.spatial import prepare_pip_queries
 
+    load_before = os.getloadavg()[0]
     hot = hot_cells(tile_assignments(meta)).cache()
     hot.count()
     prepared = prepare_pip_queries(queries)
@@ -112,6 +113,12 @@ def main() -> None:
     # pass (includes planning/codegen cold cost), so both the envelope and
     # the cold story stay visible.
     qiters = int(os.environ.get("BENCH_QUERY_ITERS", "2"))
+    # heavy queries (best warm pass still > 2 s) get extra passes, up to
+    # BENCH_HEAVY_ITERS total: one tenant load spike on this host inflates
+    # a single pass 3-4x (BENCH.md noise study; the r5 driver record
+    # showed exactly that), and expensive queries are the ones where a
+    # polluted best-of-2 misleads for a whole round.
+    heavy_iters = max(int(os.environ.get("BENCH_HEAVY_ITERS", "4")), qiters)
     qtimes: dict[str, float] = {}
     qcold: dict[str, float] = {}
     names = [] if os.environ.get("BENCH_HEADLINE_ONLY") else list(E.queries())
@@ -122,12 +129,17 @@ def main() -> None:
                 t0 = time.time()
                 force_eval(fn(spark, sf_dir))
                 times.append(round(time.time() - t0, 3))
+            while len(times) < heavy_iters and min(times[1:] or times) > 2.0:
+                t0 = time.time()
+                force_eval(fn(spark, sf_dir))
+                times.append(round(time.time() - t0, 3))
             qcold[name] = times[0]
             qtimes[name] = min(times)
         except Exception as exc:  # pragma: no cover
             qtimes[name] = -1.0
             qcold[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+    load_after = os.getloadavg()[0]
 
     # The harness that records this benchmark keeps only a bounded tail of
     # the output, so the final stdout line MUST stay compact (budget: well
@@ -147,6 +159,11 @@ def main() -> None:
         "tiles": tiles_n,
         "joined_rows": joined_n,
         "cpus": cpus,
+        # 1-min loadavg straddling the timed region (headline + queries):
+        # a noisy-tenant
+        # record is self-identifying (values near `cpus`-busy from OTHER
+        # processes mean the timings above are bandwidth-starved)
+        "load": [round(load_before, 1), round(load_after, 1)],
     }
     try:
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_detail.json")

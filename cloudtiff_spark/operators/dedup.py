@@ -49,7 +49,11 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, tau: float = 0.4, n: int = 3, max_df: int | None = None
+    docs: DataFrame,
+    tau: float = 0.4,
+    n: int = 3,
+    max_df: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with shingle-Jaccard >= tau via an
     inverted-index self-join (the scale path for exact all-pairs):
@@ -78,9 +82,13 @@ def jaccard_pairs(
     corpus scale opt into the cap explicitly (the capped operator is
     approximate-by-contract, see tests/test_spark_ops.py's skewed-corpus
     pin).
+    ``sh`` optionally supplies a precomputed ``shingles(docs, n=n)``
+    frame (e.g. a session-persisted shared cache) — it MUST have been
+    built with the same ``n``.
     Output: (doc_id_a, doc_id_b, jaccard) with a < b.
     """
-    s = shingles(docs, n=n).select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    src = sh if sh is not None else shingles(docs, n=n)
+    s = src.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
     ex = s.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
     if max_df is not None:
         # document frequency per shingle; hot list is tiny by construction
@@ -154,7 +162,12 @@ def jaccard_pairs(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, tau: float = 0.4, n: int = 3, bands: int = 16, rows_per_band: int = 4
+    docs: DataFrame,
+    tau: float = 0.4,
+    n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate generation -> exact-jaccard verification.
 
@@ -162,9 +175,12 @@ def minhash_lsh_pairs(
     min per permutation -> band signature -> groupBy band bucket ->
     within-bucket pairs -> exact verify. Same output contract as
     jaccard_pairs (the pytest asserts recall on the fixture corpus).
+    ``sh`` optionally supplies a precomputed ``shingles(docs, n=n)``
+    frame (same-``n`` contract as jaccard_pairs).
     """
     nperm = bands * rows_per_band
-    s = shingles(docs, n=n).select("doc_id", "shingles")
+    src = sh if sh is not None else shingles(docs, n=n)
+    s = src.select("doc_id", "shingles")
     sig = s.select(
         "doc_id",
         F.array(
@@ -227,11 +243,14 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, n: int = 2) -> DataFrame:
+def simhash(docs: DataFrame, n: int = 2, sh: DataFrame | None = None) -> DataFrame:
     """64-bit SimHash over word n-grams, fully native: per-bit sign of the
     sum of +-1 votes from xxhash64(shingle) bits. Output: (doc_id, simhash).
+    ``sh`` optionally supplies a precomputed ``shingles(docs, n=n)`` frame
+    (same-``n`` contract as jaccard_pairs).
     """
-    s = shingles(docs, n=n).select("doc_id", F.explode("shingles").alias("g"))
+    src = sh if sh is not None else shingles(docs, n=n)
+    s = src.select("doc_id", F.explode("shingles").alias("g"))
     s = s.withColumn("h", F.xxhash64("g"))
     votes = s.groupBy("doc_id").agg(
         *[
@@ -257,7 +276,9 @@ _SIMHASH_TRIPLES = tuple(
 )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 2) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, n: int = 2, sh: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate PAIRS by SimHash hamming distance — the classic
     web-dedup operator (Charikar-sig + Manku/Jain/Sarma multi-table probe,
     WWW'07 "Detecting near-duplicates for web crawling"), fully native:
@@ -287,7 +308,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 2) -> DataFram
     hamming) with a < b."""
     if max_hamming > 3:
         raise ValueError("6-block/3-of-6 pigeonhole is lossless only for max_hamming <= 3")
-    sig = simhash(docs, n=n)
+    sig = simhash(docs, n=n, sh=sh)
     blk = [
         F.shiftrightunsigned(F.col("simhash"), _SIMHASH_BLOCK_OFFSETS[i]).bitwiseAND(
             F.lit((1 << _SIMHASH_BLOCK_SIZES[i]) - 1).cast("long")

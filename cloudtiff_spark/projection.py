@@ -227,11 +227,11 @@ def webmercator_inverse(
 # CRSs (OSGB36 27700, TM75 29903, BD72 31370) declare a "towgs84"
 # 7-parameter Helmert in their registry params (~1-2 m, the published
 # accuracy of the single-Helmert fits; RD New 28992 likewise — its NTv2
-# grid refines the Helmert by decimeters only). Datums whose official
-# transformation REQUIRES a distortion grid for meter-level accuracy
-# (NAD27/NADCON) and unimplemented projection families / prime meridians
-# (e.g. NTF Paris Lambert 1SP) stay typed-unsupported rather than
-# silently wrong.
+# grid refines the Helmert by decimeters only; NTF 27572's 3-parameter
+# shift IS the EPSG-published transformation, tfm 1193). Datums whose
+# official transformation REQUIRES a distortion grid for meter-level
+# accuracy (NAD27/NADCON) stay typed-unsupported rather than silently
+# wrong.
 
 #: (a, e2) pairs — GRS80 and WGS84 differ in 1/f at the 1e-9 level but we
 #: keep both so the constants trace to their authorities
@@ -282,6 +282,48 @@ def lcc2sp_forward(lon_deg, lat_deg, a, e2, p):
     rho = a * f_ * _conformal_t(lat, e) ** n
     theta = n * (lon - lon0)
     return p["fe"] + rho * np.sin(theta), p["fn"] + rho0 - rho * np.cos(theta)
+
+
+def _lcc1sp_consts(a, e2, p):
+    """EPSG Guidance Note 7-2 method 9801 constants. The optional "pm"
+    param is the prime meridian's Greenwich longitude in degrees (EPSG
+    method 8903: Paris = 2 deg 20 min 14.025 sec E = 2.5969213 grads);
+    lon0 is expressed relative to that meridian, so the effective
+    Greenwich-referenced origin is pm + lon0."""
+    e = np.sqrt(e2)
+    lat0 = np.radians(p["lat0"])
+    n = np.sin(lat0)
+    m0 = _m_snyder(lat0, e2)
+    t0 = _conformal_t(lat0, e)
+    f_ = m0 / (n * t0**n)
+    r0 = a * f_ * t0**n * p["k0"]
+    lon0 = np.radians(p.get("pm", 0.0) + p["lon0"])
+    return e, n, f_, r0, lon0
+
+
+def lcc1sp_forward(lon_deg, lat_deg, a, e2, p):
+    """Lambert conformal conic, 1 standard parallel with scale factor
+    (EPSG 9801; GN7-2 §1.3.1.1) — the NTF (Paris) Lambert zone layout.
+    Pinned by the GN7-2 Jamaica 1969 worked example and the exact
+    natural-origin invariant (Paris meridian, 52 gr) in pytest."""
+    e, n, f_, r0, lon0 = _lcc1sp_consts(a, e2, p)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    r = a * f_ * _conformal_t(lat, e) ** n * p["k0"]
+    theta = n * (lon - lon0)
+    return p["fe"] + r * np.sin(theta), p["fn"] + r0 - r * np.cos(theta)
+
+
+def lcc1sp_inverse(x_m, y_m, a, e2, p):
+    """EPSG 9801 reverse formulas (GN7-2 §1.3.1.1)."""
+    e, n, f_, r0, lon0 = _lcc1sp_consts(a, e2, p)
+    x = np.asarray(x_m, np.float64) - p["fe"]
+    y = r0 - (np.asarray(y_m, np.float64) - p["fn"])
+    r = np.sign(n) * np.sqrt(x**2 + y**2)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    t = (r / (a * f_ * p["k0"])) ** (1 / n)
+    lat = _conformal_phi(t, e)
+    return np.degrees(theta / n + lon0), np.degrees(lat)
 
 
 def lcc2sp_inverse(x_m, y_m, a, e2, p):
@@ -779,6 +821,8 @@ _INTL_A, _INTL_F = 6378388.0, 1.0 / 297.0  # International 1924 (Hayford)
 _INTL_E2 = _INTL_F * (2 - _INTL_F)
 _BESSEL_A, _BESSEL_F = 6377397.155, 1.0 / 299.1528128  # Bessel 1841
 _BESSEL_E2 = _BESSEL_F * (2 - _BESSEL_F)
+_CL80IGN_A, _CL80IGN_B = 6378249.2, 6356515.0  # Clarke 1880 (IGN), a/b form
+_CL80IGN_E2 = 1.0 - (_CL80IGN_B / _CL80IGN_A) ** 2
 
 
 #: named-EPSG registry: epsg -> (family, a, e2, params). Parameters are the
@@ -876,6 +920,22 @@ CRS_REGISTRY: dict[int, tuple[str, float, float, dict]] = {
             towgs84=(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
         ),
     ),
+    # NTF (Paris) / Lambert zone II (centre France; the zone the bulk of
+    # legacy French COGs carry) — LCC 1SP (EPSG 9801) on Clarke 1880
+    # (IGN), longitudes counted from the PARIS meridian (EPSG 8903:
+    # 2 deg 20 min 14.025 sec = 2.5969213 gr E of Greenwich), natural
+    # origin 52 gr = 46.8 deg, plus the published NTF->WGS84 3-parameter
+    # shift (EPSG tfm 1193)
+    27572: (
+        "lcc1sp",
+        _CL80IGN_A,
+        _CL80IGN_E2,
+        dict(
+            lat0=46.8, lon0=0.0, pm=2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+            k0=0.99987742, fe=600000.0, fn=2200000.0,
+            towgs84=(-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0),
+        ),
+    ),
     # BD72 / Belgian Lambert 72 — International 1924 + Helmert (EPSG tfm
     # 15929, signs in position-vector convention)
     31370: (
@@ -894,6 +954,7 @@ _FAMILY_FWD = {
     "tm": tm_forward_p,
     "sterea": sterea_forward,
     "somerc": somerc_forward,
+    "lcc1sp": lcc1sp_forward,
     "lcc2sp": lcc2sp_forward,
     "aea2sp": aea2sp_forward,
     "ps": ps_forward,
@@ -905,6 +966,7 @@ _FAMILY_INV = {
     "tm": tm_inverse_p,
     "sterea": sterea_inverse,
     "somerc": somerc_inverse,
+    "lcc1sp": lcc1sp_inverse,
     "lcc2sp": lcc2sp_inverse,
     "aea2sp": aea2sp_inverse,
     "ps": ps_inverse,

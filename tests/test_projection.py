@@ -79,12 +79,12 @@ class TestTransformDispatch:
         assert x[0] == 1.0 and y[0] == 2.0
 
     def test_unsupported_raises(self):
-        # NTF (Paris) / Lambert zone II (27572) is a 1SP Lambert on a
-        # Paris-meridian, grad-unit CRS — outside every implemented family,
-        # deliberately typed-unsupported rather than silently wrong
-        # (27700/28992/2056 all moved to the registry in round 5)
+        # NAD27 / UTM 17N (26717): the official NAD27<->NAD83 transform is
+        # the NADCON distortion GRID — no single Helmert reaches meter
+        # accuracy, so it stays typed-unsupported rather than silently
+        # wrong (27572 NTF Paris moved to the registry in round 6)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27572)
+            P.transform_coords(np.array([0.0]), np.array([0.0]), 4326, 26717)
 
 
 class TestGeneralCrs:
@@ -148,7 +148,7 @@ class TestGeneralCrs:
         from cloudtiff_spark.projection import transform_coords
 
         try:
-            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 27572)
+            transform_coords(np.array([0.0]), np.array([0.0]), 4326, 26717)
             raised = False
         except ValueError as exc:
             raised = "unsupported CRS" in str(exc)
@@ -175,7 +175,7 @@ class TestConicPolarFamilies:
     round-trip closure."""
 
     CODES = [2154, 5070, 3031, 3413, 3976, 32661, 32761, 3034, 3035, 3575, 6933,
-             27700, 29903, 31370, 28992, 2056]
+             27700, 29903, 31370, 28992, 2056, 27572]
 
     @staticmethod
     def _local_scale(fwd, lon, lat, a, e2):
@@ -196,6 +196,7 @@ class TestConicPolarFamilies:
             "tm": P.tm_forward_p,
             "sterea": P.sterea_forward,
             "somerc": P.somerc_forward,
+            "lcc1sp": P.lcc1sp_forward,
             "lcc2sp": P.lcc2sp_forward,
             "aea2sp": P.aea2sp_forward,
             "ps": P.ps_forward,
@@ -224,6 +225,7 @@ class TestConicPolarFamilies:
             27700: (-8.0, 2.0, 49.5, 61.0),
             29903: (-10.7, -5.3, 51.2, 55.5),
             31370: (2.5, 6.5, 49.4, 51.6),
+            27572: (-4.5, 8.0, 42.5, 51.0),
         }
         for epsg in self.CODES:
             lo0, lo1, la0, la1 = domains[epsg]
@@ -305,9 +307,8 @@ class TestConicPolarFamilies:
     def test_crs_is_supported_matrix(self):
         for epsg in [4326, 3857, 32601, 32760, 25832, 26913] + self.CODES:
             assert P.crs_is_supported(epsg), epsg
-        # 27572 = NTF Paris / Lambert 1SP (family + prime meridian not
-        # implemented); 26717 = NAD27 UTM (datum needs a NADCON grid shift)
-        for epsg in [27572, 26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
+        # 26717 = NAD27 UTM (datum needs a NADCON grid shift)
+        for epsg in [26717, 4978, 2000, 32661 + 100000, 32500, 25827, 26924]:
             assert not P.crs_is_supported(epsg), epsg
 
     def test_lambert93_known_city(self):
@@ -434,11 +435,12 @@ class TestHelmertDatumShift:
             assert np.abs(lat2 - lat).max() < 5e-6, epsg
 
     def test_grid_shift_datums_stay_typed_unsupported(self):
-        """NAD27 (NADCON grid) and NTF Paris / Lambert zone II (1SP
-        Lambert conformal conic on a Paris-meridian grad CRS) must keep
-        raising the typed error — the Helmert fallback covers only
-        projection families the registry implements."""
-        for epsg in (26717, 27572):
+        """NAD27 (NADCON grid) must keep raising the typed error — its
+        official transform is a distortion grid, and a silent Helmert
+        approximation would be off by up to ~10 m regionally. (NTF Paris
+        27572 graduated to the registry in round 6; its 3-parameter
+        NTF->WGS84 shift IS the EPSG-published transformation.)"""
+        for epsg in (26717,):
             with pytest.raises(ValueError, match="unsupported CRS"):
                 P.transform_coords(np.array([0.0]), np.array([50.0]), 4326, epsg)
 
@@ -560,3 +562,82 @@ class TestSwissObliqueMercator:
         lo, la = P.somerc_inverse(x, y, a, e2, p)
         assert np.abs(lo - lon).max() < 1e-12
         assert np.abs(la - lat).max() < 1e-12
+
+
+class TestLambert1SPParis:
+    """EPSG method 9801 (LCC 1SP) + Paris prime meridian (method 8903) —
+    NTF (Paris) / Lambert zone II (27572), the last reference-capability
+    CRS delta (round-5 verdict item 4)."""
+
+    def test_gn72_jamaica_worked_example(self):
+        """The authoritative GN7-2 §1.3.1.1 worked example for method
+        9801: Jamaica 1969 grid (Clarke 1866, lat0 18N, lon0 77W, k0 1,
+        FE 250000, FN 150000); input 17d55'55.80"N 76d56'37.26"W must
+        land on E 255966.58 / N 142493.51 to the published 0.01 m."""
+        a, e2 = 6378206.400, 0.00676866
+        p = dict(lat0=18.0, lon0=-77.0, k0=1.0, fe=250000.0, fn=150000.0)
+        lat = 17 + 55 / 60 + 55.80 / 3600
+        lon = -(76 + 56 / 60 + 37.26 / 3600)
+        x, y = P.lcc1sp_forward(np.array([lon]), np.array([lat]), a, e2, p)
+        assert abs(x[0] - 255966.58) < 0.01
+        assert abs(y[0] - 142493.51) < 0.01
+        lo, la = P.lcc1sp_inverse(x, y, a, e2, p)
+        assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-10
+
+    def test_paris_natural_origin_exact(self):
+        """At the natural origin (lat 52 gr = 46.8 deg, lon 0 from the
+        Paris meridian = 2d20'14.025" Greenwich) the grid reads exactly
+        (FE, FN) = (600000, 2200000) — pins the grad conversion AND the
+        prime-meridian fold-in with zero tolerance for mis-wiring."""
+        _, a, e2, p = P.CRS_REGISTRY[27572]
+        x, y = P.lcc1sp_forward(np.array([p["pm"]]), np.array([46.8]), a, e2, p)
+        assert abs(x[0] - 600000.0) < 1e-6 and abs(y[0] - 2200000.0) < 1e-6
+
+    def test_paris_meridian_wgs84_offset(self):
+        """Datum-shift DIRECTION pin: the NTF natural origin maps to a
+        WGS84 longitude ~2.5 arcsec WEST of its NTF value (the well-known
+        ~50 m GPS offset of the physical Paris meridian line; a flipped
+        towgs84 sign would land ~2.5 arcsec EAST)."""
+        lon, lat = P.transform_coords(
+            np.array([600000.0]), np.array([2200000.0]), 27572, 4326
+        )
+        d_arcsec = (lon[0] - (2 + 20 / 60 + 14.025 / 3600)) * 3600
+        assert -3.5 < d_arcsec < -1.5
+        assert abs(lat[0] - 46.8) * 3600 < 1.0
+
+    def test_conformal_everywhere(self):
+        _, a, e2, p = P.CRS_REGISTRY[27572]
+        d = 1e-7
+        for lon0, lat0 in [(2.34, 46.8), (-1.5, 47.2), (5.0, 45.0), (2.35, 48.86)]:
+            x0, y0 = P.lcc1sp_forward(np.array([lon0]), np.array([lat0]), a, e2, p)
+            x1, y1 = P.lcc1sp_forward(np.array([lon0]), np.array([lat0 + d]), a, e2, p)
+            x2, y2 = P.lcc1sp_forward(np.array([lon0 + d]), np.array([lat0]), a, e2, p)
+            latr = np.radians(lat0)
+            m_rad = a * (1 - e2) / (1 - e2 * np.sin(latr) ** 2) ** 1.5
+            n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+            h = np.hypot(x1 - x0, y1 - y0)[0] / (m_rad * np.radians(d))
+            k = np.hypot(x2 - x0, y2 - y0)[0] / (n_rad * np.cos(latr) * np.radians(d))
+            assert abs(h / k - 1) < 1e-6, (lon0, lat0)
+
+    def test_scale_k0_at_natural_origin(self):
+        """Local scale at the natural origin equals k0 = 0.99987742 (the
+        defining property of the 1SP variant)."""
+        _, a, e2, p = P.CRS_REGISTRY[27572]
+        d = 1e-7
+        lon0, lat0 = p["pm"], 46.8
+        x0, y0 = P.lcc1sp_forward(np.array([lon0]), np.array([lat0]), a, e2, p)
+        x2, y2 = P.lcc1sp_forward(np.array([lon0 + d]), np.array([lat0]), a, e2, p)
+        latr = np.radians(lat0)
+        n_rad = a / np.sqrt(1 - e2 * np.sin(latr) ** 2)
+        k = np.hypot(x2 - x0, y2 - y0)[0] / (n_rad * np.cos(latr) * np.radians(d))
+        assert abs(k - 0.99987742) < 1e-7
+
+    def test_roundtrip_projection_only(self):
+        _, a, e2, p = P.CRS_REGISTRY[27572]
+        rng = np.random.default_rng(72)
+        lon = rng.uniform(-4.5, 8.0, 300)
+        lat = rng.uniform(42.5, 51.0, 300)
+        x, y = P.lcc1sp_forward(lon, lat, a, e2, p)
+        lo, la = P.lcc1sp_inverse(x, y, a, e2, p)
+        assert np.abs(lo - lon).max() < 1e-11
+        assert np.abs(la - lat).max() < 1e-10

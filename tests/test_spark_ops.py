@@ -389,6 +389,66 @@ class TestRender:
         assert ok.sum() > 0.5 * ok.size
         assert np.array_equal(got, want)
 
+    def test_region_render_ntf_paris_lambert_image(self, spark):
+        """An NTF (Paris) / Lambert zone II (27572) image — the round-6
+        registry addition: LCC 1SP on Clarke 1880 (IGN) with the PARIS
+        prime meridian and the 3-parameter NTF->WGS84 shift — renders
+        through the full distributed path pixel-identically to the local
+        numpy recompute (same oracle shape as the OSGB test above)."""
+        from cloudtiff_spark.codecs import encode_image
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import region_render
+        from cloudtiff_spark.operators.tiling import build_tiles
+        from cloudtiff_spark.projection import (
+            bounds_lat_lon,
+            image_coords_from_crs,
+            transform_coords,
+        )
+
+        w = h = 96
+        rng = np.random.default_rng(572)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        # anchor near Paris (Lambert II etendu grid); 100 m pixels
+        ox, oy, sp = 595000.0, 2432000.0, 100.0
+        xmin, ymin, xmax, ymax = bounds_lat_lon(27572, ox, oy, sp * w, sp * h)
+        images = spark.createDataFrame(
+            [("NTF", bytearray(encode_image(img, "deflate_raw")), w, h, "deflate_raw")],
+            "image_id string, bytes binary, w int, h int, fmt string",
+        )
+        meta = spark.createDataFrame(
+            [("NTF", w, h, "deflate_raw", "", 0, 27572, ox, oy, sp,
+              xmin, ymin, xmax, ymax, 64, 64)],
+            "image_id string, w int, h int, fmt string, caption string, phash long, "
+            "epsg int, origin_x double, origin_y double, scale_px double, "
+            "xmin double, ymin double, xmax double, ymax double, tile_w int, tile_h int",
+        )
+        rx0, ry0 = xmin + (xmax - xmin) * 0.2, ymin + (ymax - ymin) * 0.2
+        rx1, ry1 = xmin + (xmax - xmin) * 0.8, ymin + (ymax - ymin) * 0.8
+        queries = spark.createDataFrame(
+            [("q0", "region", [0.0], [0.0], 0.0, 0.0, 0, rx0, ry0, rx1, ry1, 0.005, 0, 0, 0)],
+            "query_id string, kind string, poly_x array<double>, poly_y array<double>, "
+            "px double, py double, k int, rxmin double, rymin double, rxmax double, "
+            "rymax double, mp_limit double, qz int, qx int, qy int",
+        )
+        out = region_render(levels_df(meta), build_tiles(images), queries).collect()
+        assert len(out) == 1
+        r = out[0]
+        got = np.frombuffer(r.raster, np.uint8).reshape(r.out_h, r.out_w, 3)
+        lon = rx0 + (np.arange(r.out_w) + 0.5) / r.out_w * (rx1 - rx0)
+        lat = ry1 - (np.arange(r.out_h) + 0.5) / r.out_h * (ry1 - ry0)
+        LON, LAT = np.meshgrid(lon, lat)
+        X, Y = transform_coords(LON.ravel(), LAT.ravel(), 4326, 27572)
+        lw, lh = grid.level_dims(w, h, r.level)
+        U, V = image_coords_from_crs(X, Y, ox, oy, sp * w, sp * h)
+        px = np.floor(U * lw).astype(np.int64).reshape(r.out_h, r.out_w)
+        py = np.floor(V * lh).astype(np.int64).reshape(r.out_h, r.out_w)
+        ok = (px >= 0) & (px < lw) & (py >= 0) & (py < lh)
+        assert r.level == 0
+        want = np.zeros_like(got)
+        want[ok] = img[np.clip(py, 0, lh - 1), np.clip(px, 0, lw - 1)][ok]
+        assert ok.sum() > 0.5 * ok.size
+        assert np.array_equal(got, want)
+
     def test_region_render_unsupported_crs_is_typed(self, tables):
         """crs_reject sweep (VERDICT r3 action #4): an image whose metadata
         carries an EPSG outside the supported families must surface the
@@ -399,9 +459,9 @@ class TestRender:
         from cloudtiff_spark.operators.tiling import build_tiles
 
         images, meta, queries = tables
-        bad_meta = meta.withColumn("epsg", F.lit(27572))
+        bad_meta = meta.withColumn("epsg", F.lit(26717))
         tiles = build_tiles(images)
-        with pytest.raises(Exception, match="unsupported CRS 27572"):
+        with pytest.raises(Exception, match="unsupported CRS 26717"):
             region_render(levels_df(bad_meta), tiles, queries).collect()
 
 
@@ -1310,6 +1370,31 @@ class TestSessionCacheIsolation:
         # the frames really are different data, not one scale served twice
         na, nb = a.count(), b.count()
         assert na != nb and 0 < na < nb
+
+    def test_shingle_and_emb_caches_keyed_per_sf_dir(self, spark):
+        """The r6 shingle/embedding session caches follow the same keying
+        contract as the decode/tile caches: per (applicationId, sf_dir[, n])
+        — an n=2 simhash shingle frame must never serve an n=3 jaccard
+        consumer, and scale dirs never cross-serve."""
+        import __spark_entry__ as E
+
+        E._SHINGLE_CACHE.clear()
+        E._EMB_CACHE.clear()
+        s2 = E._shared_shingles(spark, "/root/testdata/sf0.001", 2)
+        s3 = E._shared_shingles(spark, "/root/testdata/sf0.001", 3)
+        assert s2 is not s3 and len(E._SHINGLE_CACHE) == 2
+        assert E._shared_shingles(spark, "/root/testdata/sf0.001", 2) is s2
+        # n really differs: a doc's 2-gram set is not its 3-gram set
+        r2 = s2.orderBy("doc_id").select("shingles").first()[0]
+        r3 = s3.orderBy("doc_id").select("shingles").first()[0]
+        assert r2 != r3
+        e1 = E._shared_emb(spark, "/root/testdata/sf0.001")
+        e2 = E._shared_emb(spark, "/root/testdata/sf0.01")
+        # distinct per-dir entries (the fixture generator happens to emit
+        # the same embedding row count at these two scales, so identity —
+        # not count — is the isolation signal)
+        assert len(E._EMB_CACHE) == 2 and e1 is not e2
+        assert E._shared_emb(spark, "/root/testdata/sf0.001") is e1
 
     def test_trailing_slash_does_not_fork_the_cache(self, spark):
         """normpath keying: 'dir' and 'dir/' are the same fixture — a

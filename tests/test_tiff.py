@@ -89,9 +89,9 @@ class TestRoundTrip:
         assert tiff.T_MODELTRANSFORMATION in parsed["ifds"][0]
 
     def test_unsupported_epsg_raises(self):
-        # outside every supported family (27572: Paris-meridian 1SP LCC)
+        # outside every supported family (26717: NAD27, NADCON-grid datum)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            tiff.encode_cog(_img(64, 64), 27572, 0, 0, 1.0)
+            tiff.encode_cog(_img(64, 64), 26717, 0, 0, 1.0)
 
     def test_no_levels_raises(self):
         # valid empty IFD chain (0 tags, next=0) -> NoLevels
@@ -386,7 +386,7 @@ class TestTypedErrors:
         assert issubclass(UnsupportedCrs, ProjectionError)
         with pytest.raises(UnsupportedCrs):
             tiff.encode_cog(
-                np.zeros((16, 16, 3), np.uint8), 27572, 0.0, 0.0, 1.0
+                np.zeros((16, 16, 3), np.uint8), 26717, 0.0, 0.0, 1.0
             )
 
     def test_unsupported_photometric_typed_with_name(self):

@@ -79,6 +79,8 @@ def main() -> int:
         E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
         E._RASTER_CACHE.clear()
         E._TILES_CACHE.clear()
+        E._SHINGLE_CACHE.clear()
+        E._EMB_CACHE.clear()
         if kind == "doc_text":
             # full replacement, not an append: sketch operators (winnowing
             # fingerprint) are insensitive to benign suffixes BY DESIGN.
@@ -174,6 +176,8 @@ def main() -> int:
     E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
     E._RASTER_CACHE.clear()
     E._TILES_CACHE.clear()
+    E._SHINGLE_CACHE.clear()
+    E._EMB_CACHE.clear()
     for name in ["simhash", "embed_topk", "decode_check", "pricing_summary"]:
         ok = compare(spark, con, E, name)
         print(f"{'ok  ' if ok else 'FAIL'} unmutated -> {name}: {'green' if ok else 'RED'}")
