@@ -115,6 +115,7 @@ class RenderBuilder:
         self._region: tuple[float, float, float, float] | None = None
         self._tiles: DataFrame | None = None
         self._block = 0  # 0 = whole-render grain
+        self._resolution: tuple[int, int] | None = None
 
     def with_mp_limit(self, mp: float) -> "RenderBuilder":
         """Output megapixel cap -> output dims (util.rs:131-142)."""
@@ -164,17 +165,27 @@ class RenderBuilder:
         self._block = int(px)
         return self
 
+    def with_exact_resolution(self, w: int, h: int) -> "RenderBuilder":
+        """Exact output dims for region renders, bypassing the mp-limit
+        formula (render/mod.rs:149-151 with_exact_resolution) — the WMTS
+        tile path pairs this with wmts_tile(z, x, y)."""
+        if int(w) <= 0 or int(h) <= 0:
+            raise ValueError(f"resolution must be positive, got {(w, h)}")
+        self._resolution = (int(w), int(h))
+        return self
+
     def wmts_tile(self, z: int, x: int, y: int) -> "RenderBuilder":
         """One slippy-map tile = its lat/lon bounds as the output region
-        (wmts.rs:124-132 -> of_output_region path, renderer.rs:38-56)."""
-        import math
+        (wmts.rs:124-132 -> of_output_region path, renderer.rs:38-56).
+        Bounds come from the SAME numpy helper the wmts_render operator
+        and the oracle recompute use — one definition, bit-identical
+        doubles on every path."""
+        from .operators.spatial import slippy_bounds_np
 
-        n = 1 << z
-        west = x / n * 360.0 - 180.0
-        east = (x + 1) / n * 360.0 - 180.0
-        north = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
-        south = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n))))
-        return self.of_output_region_lat_lon_deg(west, south, east, north)
+        west, south, east, north = slippy_bounds_np(x, y, z)
+        return self.of_output_region_lat_lon_deg(
+            float(west), float(south), float(east), float(north)
+        )
 
     def render(self) -> DataFrame:
         """Dispatch on the configured region kind (renderer.rs:18-57)."""
@@ -185,6 +196,11 @@ class RenderBuilder:
         tiles = self._tiles if self._tiles is not None else build_tiles(self.images)
         lv = levels_df(self.meta)
         if self._crop is not None:
+            if self._resolution is not None:
+                raise ValueError(
+                    "with_exact_resolution applies to region renders only; "
+                    "crop output dims come from the mp limit"
+                )
             if self._block:
                 # fail loudly: a user who set the block size to avoid the
                 # one-task-per-image memory blowup must not silently get
@@ -196,6 +212,21 @@ class RenderBuilder:
             return crop_render(lv, tiles, self._crop, mp_limit=self._mp_limit)
         if self._region is not None:
             w, s, e, n = self._region
+            if self._resolution is not None:
+                if self._block:
+                    raise ValueError(
+                        "with_exact_resolution and with_block_size are "
+                        "mutually exclusive (the blocked fan-out derives "
+                        "block counts from the mp-limit dims)"
+                    )
+                rw, rh = self._resolution
+                q = self.spark.createDataFrame(
+                    [("api_region", "region", w, s, e, n, self._mp_limit, rw, rh)],
+                    "query_id string, kind string, rxmin double, rymin double, "
+                    "rxmax double, rymax double, mp_limit double, "
+                    "res_w int, res_h int",
+                )
+                return region_render(lv, tiles, q)
             q = self.spark.createDataFrame(
                 [("api_region", "region", w, s, e, n, self._mp_limit)],
                 "query_id string, kind string, rxmin double, rymin double, "

@@ -124,10 +124,16 @@ def _out_dims(rw: float, rh: float, mp_limit: float) -> tuple[int, int]:
 def _out_lonlat(r0) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Full output-grid pixel-center lon/lat axes (EPSG:4326 target grid).
     Block paths SLICE these arrays — slicing preserves the exact float
-    values the whole-render path computes."""
+    values the whole-render path computes. Rows carrying res_w/res_h
+    (wmts_render's fixed-resolution tiles, the analog of the reference's
+    RenderBuilder.with_exact_resolution, render/mod.rs:149-151) use those
+    exact output dims instead of the mp-limit formula."""
     rxmin, rymin, rxmax, rymax = (float(r0[k]) for k in ("rxmin", "rymin", "rxmax", "rymax"))
     rw, rh = rxmax - rxmin, rymax - rymin
-    out_w, out_h = _out_dims(rw, rh, float(r0["mp_limit"]))
+    if "res_w" in r0 and r0["res_w"] is not None and not pd.isna(r0["res_w"]):
+        out_w, out_h = int(r0["res_w"]), int(r0["res_h"])
+    else:
+        out_w, out_h = _out_dims(rw, rh, float(r0["mp_limit"]))
     lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
     lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
     return lon, lat, out_w, out_h
@@ -178,9 +184,11 @@ def region_render(
     dup 5x), so compressed-bytes-per-group stays the default; flip it when
     tiles are large or query fan-in is high."""
     wanted = region_extract(levels, queries)  # query_id, image_id, level, tile_idx
-    # re-attach the per-(query,image) render parameters
+    # re-attach the per-(query,image) render parameters (res_w/res_h ride
+    # along when the caller fixed the output resolution — wmts_render)
+    res_cols = [c for c in ("res_w", "res_h") if c in queries.columns]
     q = queries.filter(F.col("kind") == "region").select(
-        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit"
+        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit", *res_cols
     )
     lv = levels.select(
         "image_id", "level", "lw", "lh", "tile_w", "tile_h", "cols", "rows",
@@ -258,6 +266,59 @@ def region_render(
     return joined.groupBy("query_id", "image_id").applyInPandas(assemble, RENDER_SCHEMA)
 
 
+def wmts_render(
+    levels: DataFrame, tiles: DataFrame, queries: DataFrame, tile_px: int = 256
+) -> DataFrame:
+    """Render each queried slippy tile (kind='wmts') as a fixed
+    tile_px x tile_px raster over the tile's lon/lat bounds — the Spark
+    analog of the reference's xyz tile entry point (render/wmts.rs:124-141
+    tile_bounds_lat_lon_deg feeding RenderBuilder.of_output_region +
+    with_exact_resolution, render/mod.rs:149-196).
+
+    Each (tile, image) pair flows through the SAME LOD pick / tile-range
+    prune / pruned join / bounded-canvas gather as region_render; the only
+    differences are (a) the region rect is the tile's slippy bounds and
+    (b) the output grid is exactly tile_px square (res_w/res_h columns)
+    instead of mp-limit-derived. The LOD pick itself uses the standard
+    mp-continuous rule with mp_limit = tile_px^2/1e6. Tile bounds are
+    computed in a numpy mapInPandas stage (slippy_bounds_np) so they are
+    bit-identical to the sequential oracle recompute — and the stage stays
+    fully distributed for pyramid-scale tile sets.
+
+    Output schema matches region_render (query_id, image_id, level,
+    out_w, out_h, raster)."""
+    from .spatial import slippy_bounds_np
+
+    q = queries.filter(F.col("kind") == "wmts").select("query_id", "qz", "qx", "qy")
+    mp = tile_px * tile_px / 1e6
+
+    def bounds(batches):
+        for pdf in batches:
+            tx0, ty0, tx1, ty1 = slippy_bounds_np(
+                pdf["qx"].to_numpy(), pdf["qy"].to_numpy(), pdf["qz"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "kind": "region",
+                    "rxmin": tx0,
+                    "rymin": ty0,
+                    "rxmax": tx1,
+                    "rymax": ty1,
+                    "mp_limit": mp,
+                    "res_w": np.int32(tile_px),
+                    "res_h": np.int32(tile_px),
+                }
+            )
+
+    wq = q.mapInPandas(
+        bounds,
+        "query_id string, kind string, rxmin double, rymin double, "
+        "rxmax double, rymax double, mp_limit double, res_w int, res_h int",
+    )
+    return region_render(levels, tiles, wq)
+
+
 BLOCK_SCHEMA = StructType(
     [
         StructField("query_id", StringType()),
@@ -329,6 +390,13 @@ def region_render_blocked(
     this factor-2."""
     if block <= 0:
         raise ValueError(f"block size must be a positive pixel count, got {block}")
+    if any(c in queries.columns for c in ("res_w", "res_h")):
+        # the blocked fan-out derives block counts from the mp-limit dims;
+        # silently ignoring a fixed resolution would break byte identity
+        raise ValueError(
+            "region_render_blocked does not support fixed-resolution "
+            "(res_w/res_h) queries; use region_render / wmts_render"
+        )
     from .spatial import region_extract_picked
 
     # the pre-explosion relation carries the pruned tile rectangle

@@ -504,6 +504,27 @@ def wmts_enumerate(meta: DataFrame, max_z: int = 18, tile_px: int = 256) -> Data
     return df.select("image_id", "z", F.col("x").cast("long"), F.col("y").cast("long"))
 
 
+def slippy_bounds_np(qx, qy, qz):
+    """Slippy tile (x, y, z) -> lon/lat bounds (txmin, tymin, txmax,
+    tymax) in numpy float64 — the same math as wmts_lookup's native
+    expressions (wmts.rs:124-141), but evaluated in numpy so the
+    DISTRIBUTED wmts_render path (mapInPandas) and the sequential
+    oracle_expected recompute share ONE definition and produce
+    bit-identical doubles (JVM Math.exp/atan are not guaranteed to agree
+    with C libm to the last ulp; a last-ulp latitude difference could
+    flip a pixel floor in the render gather)."""
+    qx = np.asarray(qx, np.float64)
+    qy = np.asarray(qy, np.float64)
+    n = np.power(2.0, np.asarray(qz, np.float64))
+    txmin = qx / n * 360.0 - 180.0
+    txmax = (qx + 1.0) / n * 360.0 - 180.0
+    v1 = np.pi * (1.0 - 2.0 * qy / n)
+    v2 = np.pi * (1.0 - 2.0 * (qy + 1.0) / n)
+    tymax = np.degrees(np.arctan((np.exp(v1) - np.exp(-v1)) / 2.0))
+    tymin = np.degrees(np.arctan((np.exp(v2) - np.exp(-v2)) / 2.0))
+    return txmin, tymin, txmax, tymax
+
+
 def wmts_lookup(meta: DataFrame, queries: DataFrame) -> DataFrame:
     """Images intersecting a queried slippy tile (query kind 'wmts').
 

@@ -276,8 +276,13 @@ def _region_pick_and_range(q: dict, m: dict, lw_lh: list[tuple[int, int]]) -> tu
     return pick, c0, c1, r0, r1
 
 
-def _expected_region_row(q: dict, m: dict, levels: list) -> dict | None:
-    """Mirror of render.region_render's assemble for one (query, image)."""
+def _expected_region_row(
+    q: dict, m: dict, levels: list, fixed_px: int | None = None
+) -> dict | None:
+    """Mirror of render.region_render's assemble for one (query, image).
+    ``fixed_px`` mirrors wmts_render's fixed tile resolution (res_w/res_h
+    columns): output dims become exactly fixed_px square while the LOD
+    pick still runs the standard mp-continuous rule on q["mp_limit"]."""
     from . import TILE
 
     pr = _region_pick_and_range(q, m, [(lw, lh) for lw, lh, _ in levels])
@@ -289,8 +294,11 @@ def _expected_region_row(q: dict, m: dict, levels: list) -> dict | None:
     ch, cw = (r1 - r0 + 1) * TILE, (c1 - c0 + 1) * TILE
     rxmin, rymin, rxmax, rymax = q["rxmin"], q["rymin"], q["rxmax"], q["rymax"]
     rw, rh = rxmax - rxmin, rymax - rymin
-    out_h = int(max(1, round(np.sqrt(float(q["mp_limit"]) * 1e6 / (rw / rh)))))
-    out_w = int(max(1, round((rw / rh) * out_h)))
+    if fixed_px is not None:
+        out_w = out_h = int(fixed_px)
+    else:
+        out_h = int(max(1, round(np.sqrt(float(q["mp_limit"]) * 1e6 / (rw / rh)))))
+        out_w = int(max(1, round((rw / rh) * out_h)))
     lon = rxmin + (np.arange(out_w) + 0.5) / out_w * rw
     lat = rymax - (np.arange(out_h) + 0.5) / out_h * rh
     if m["epsg"] == 4326:
@@ -341,6 +349,8 @@ def _expected_region_row(q: dict, m: dict, levels: list) -> dict | None:
 
 _CROP = (0.1, 0.2, 0.9, 0.8)
 _CROP_MP = 0.01
+#: wmts_render graded tile resolution (the reference tile_dim default)
+_WMTS_PX = 256
 
 
 def _render_expected_chunk(args: tuple[str, list[int]]) -> tuple[list, list, dict]:
@@ -352,11 +362,27 @@ def _render_expected_chunk(args: tuple[str, list[int]]) -> tuple[list, list, dic
     metas = pq.read_table(os.path.join(fixture_dir, "images_meta.parquet"))
     qry = pq.read_table(os.path.join(fixture_dir, "queries.parquet")).to_pylist()
     regions = [q for q in qry if q["kind"] == "region"]
+    # wmts queries rendered as fixed-256px tiles (wmts_render): the tile
+    # lon/lat bounds come from the SAME numpy helper the distributed
+    # mapInPandas stage uses, so every derived double is bit-identical
+    from .operators.spatial import slippy_bounds_np
+
+    wmts_qs = []
+    for q in (q for q in qry if q["kind"] == "wmts"):
+        tx0, ty0, tx1, ty1 = slippy_bounds_np(q["qx"], q["qy"], q["qz"])
+        wmts_qs.append(
+            {
+                "query_id": q["query_id"],
+                "rxmin": float(tx0), "rymin": float(ty0),
+                "rxmax": float(tx1), "rymax": float(ty1),
+                "mp_limit": _WMTS_PX * _WMTS_PX / 1e6,
+            }
+        )
     meta_by_id = {}
     for i in range(metas.num_rows):
         r = {c: metas[c][i].as_py() for c in metas.column_names}
         meta_by_id[r["image_id"]] = r
-    crop_rows, region_rows = [], []
+    crop_rows, region_rows, wmts_rows = [], [], []
     tb: dict[tuple[str, int], list[int]] = {}
     from .codecs import decode_image
 
@@ -372,6 +398,10 @@ def _render_expected_chunk(args: tuple[str, list[int]]) -> tuple[list, list, dic
             rr = _expected_region_row(q, m, levels)
             if rr is not None:
                 region_rows.append(rr)
+        for q in wmts_qs:
+            rr = _expected_region_row(q, m, levels, fixed_px=_WMTS_PX)
+            if rr is not None:
+                wmts_rows.append(rr)
         # tile byte accounting: rebuild the pyramid and encode each tile
         # (pre-roundtrip pixel content, exactly build_tiles' per-tile bytes)
         from . import TILE
@@ -390,7 +420,7 @@ def _render_expected_chunk(args: tuple[str, list[int]]) -> tuple[list, list, dic
                 data = encode_image(np.ascontiguousarray(t), row["fmt"])
                 acc[0] += 1
                 acc[1] += len(data)
-    return crop_rows, region_rows, {f"{k[0]}|{k[1]}": v for k, v in tb.items()}
+    return crop_rows, region_rows, {f"{k[0]}|{k[1]}": v for k, v in tb.items()}, wmts_rows
 
 
 def _write_atomic(table: pa.Table, path: str) -> None:
@@ -644,7 +674,13 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
     crop_path = os.path.join(fixture_dir, "expected_crop.parquet")
     region_path = os.path.join(fixture_dir, "expected_region.parquet")
     tb_path = os.path.join(fixture_dir, "expected_tile_bytes.parquet")
-    if not (os.path.exists(crop_path) and os.path.exists(region_path) and os.path.exists(tb_path)):
+    wmts_path = os.path.join(fixture_dir, "expected_wmts.parquet")
+    if not (
+        os.path.exists(crop_path)
+        and os.path.exists(region_path)
+        and os.path.exists(tb_path)
+        and os.path.exists(wmts_path)
+    ):
         from concurrent.futures import ProcessPoolExecutor
 
         n = pq.read_metadata(os.path.join(fixture_dir, "images.parquet")).num_rows
@@ -657,6 +693,7 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
                 parts = list(ex.map(_render_expected_chunk, chunks))
         crop_rows = [r for p in parts for r in p[0]]
         region_rows = [r for p in parts for r in p[1]]
+        wmts_rows = [r for p in parts for r in p[3]]
         tb: dict[str, list[int]] = {}
         for p in parts:
             for k, (cnt, byts) in p[2].items():
@@ -665,6 +702,7 @@ def ensure_expected(sf_dir: str, fixture_dir: str) -> str:
                 acc[1] += byts
         _write_atomic(pa.Table.from_pylist(crop_rows), crop_path)
         _write_atomic(pa.Table.from_pylist(region_rows), region_path)
+        _write_atomic(pa.Table.from_pylist(wmts_rows), wmts_path)
         _write_atomic(
             pa.Table.from_pylist(
                 [

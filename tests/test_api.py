@@ -120,6 +120,62 @@ class TestRenderBuilder:
         rows = out.collect()
         assert any(r.image_id == m.image_id for r in rows)
 
+    def test_exact_resolution_wmts_tile(self, ct, small_tables):
+        """wmts_tile + with_exact_resolution (render/mod.rs:149-151): the
+        output raster is exactly the requested dims regardless of the
+        tile's lon/lat aspect, and matches the operator-level wmts_render
+        for the same tile byte-for-byte."""
+        import math
+
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import wmts_render
+        from cloudtiff_spark.operators.tiling import build_tiles
+
+        images, meta = small_tables
+        m = meta.first()
+        z, n = 4, 16
+        cx = (m.xmin + m.xmax) / 2
+        cy = (m.ymin + m.ymax) / 2
+        x = int((cx + 180.0) / 360.0 * n)
+        lat_r = math.radians(max(-85.05, min(85.05, cy)))
+        y = int((1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n)
+        rows = (
+            ct.renderer(images, meta)
+            .with_mp_limit(256 * 256 / 1e6)
+            .wmts_tile(z, x, y)
+            .with_exact_resolution(256, 256)
+            .render()
+            .collect()
+        )
+        assert rows and all(r.out_w == 256 and r.out_h == 256 for r in rows)
+        assert all(len(r.raster) == 256 * 256 * 3 for r in rows)
+        spark = ct.spark
+        q = spark.createDataFrame(
+            [("t0", "wmts", z, x, y)], "query_id string, kind string, qz int, qx int, qy int"
+        )
+        op = wmts_render(levels_df(meta), build_tiles(images), q, tile_px=256).collect()
+        got_api = {(r.image_id): bytes(r.raster) for r in rows}
+        got_op = {(r.image_id): bytes(r.raster) for r in op}
+        # both paths now source bounds from the one slippy_bounds_np
+        # definition, so byte equality is exact by construction
+        assert set(got_op) == set(got_api)
+        for k in got_op:
+            assert got_op[k] == got_api[k]
+
+    def test_exact_resolution_guards(self, ct, small_tables):
+        images, meta = small_tables
+        with pytest.raises(ValueError, match="region renders only"):
+            ct.renderer(images, meta).with_exact_resolution(64, 64).of_crop(
+                0.1, 0.2, 0.9, 0.8
+            ).render()
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            m = meta.first()
+            ct.renderer(images, meta).with_exact_resolution(64, 64).with_block_size(
+                128
+            ).of_output_region_lat_lon_deg(m.xmin, m.ymin, m.xmax, m.ymax).render()
+        with pytest.raises(ValueError, match="positive"):
+            ct.renderer(images, meta).with_exact_resolution(0, 64)
+
     def test_unconfigured_raises(self, ct, small_tables):
         images, meta = small_tables
         with pytest.raises(ValueError, match="of_crop"):

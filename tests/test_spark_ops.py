@@ -389,6 +389,34 @@ class TestRender:
         assert ok.sum() > 0.5 * ok.size
         assert np.array_equal(got, want)
 
+    def test_wmts_render_matches_expected_recompute(self, spark):
+        """q_wmts_render vs the sequential expected_wmts recompute: row
+        set, fixed 256x256 dims, LOD picks, and raster hashes all match.
+        Runs at sf0.01 — the graded scale — because no wmts query tile
+        overlaps a 10%-subset image at sf0.001 (the compare would be
+        vacuous there)."""
+        import __spark_entry__ as E
+        from cloudtiff_spark.fixtures import ensure_fixtures
+        from cloudtiff_spark.oracle_expected import ensure_expected
+
+        sf = "/root/testdata/sf0.01"
+        fdir = ensure_fixtures("sf0.01")
+        ensure_expected(sf, fdir)
+        import pyarrow.parquet as pq_
+
+        exp = {
+            (r["query_id"], r["image_id"]): (r["level"], r["out_w"], r["out_h"], r["raster_hash"])
+            for r in pq_.read_table(
+                os.path.join(fdir, "expected_wmts.parquet")
+            ).to_pylist()
+        }
+        got = {
+            (r.query_id, r.image_id): (r.level, r.out_w, r.out_h, r.raster_hash)
+            for r in E.q_wmts_render(spark, sf).collect()
+        }
+        assert got == exp and len(got) > 0
+        assert all(v[1] == 256 and v[2] == 256 for v in got.values())
+
     def test_region_render_ntf_paris_lambert_image(self, spark):
         """An NTF (Paris) / Lambert zone II (27572) image — the round-6
         registry addition: LCC 1SP on Clarke 1880 (IGN) with the PARIS

@@ -35,7 +35,7 @@ PROBES = {
     "embedding": ["embed_topk", "embed_near_dup", "quantized_topk"],
     "image_payload": [
         "decode_check", "image_features", "thumbnails",
-        "region_render", "blocked_render",
+        "region_render", "blocked_render", "wmts_render",
     ],
     # env_probe reads lineitem via spark.read directly (schema probe), so
     # the _t patch does not reach it — its cents digit is exercised by the
