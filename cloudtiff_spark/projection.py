@@ -823,6 +823,25 @@ _BESSEL_A, _BESSEL_F = 6377397.155, 1.0 / 299.1528128  # Bessel 1841
 _BESSEL_E2 = _BESSEL_F * (2 - _BESSEL_F)
 _CL80IGN_A, _CL80IGN_B = 6378249.2, 6356515.0  # Clarke 1880 (IGN), a/b form
 _CL80IGN_E2 = 1.0 - (_CL80IGN_B / _CL80IGN_A) ** 2
+_CL66_A, _CL66_B = 6378206.4, 6356583.8  # Clarke 1866 (NAD27), a/b form
+_CL66_E2 = 1.0 - (_CL66_B / _CL66_A) ** 2
+
+#: NAD27 -> WGS84 3-parameter shift: EPSG transformation 1173 ("NAD27 to
+#: WGS 84 (4)", CONUS mean, dX=-8 dY=160 dZ=176), PUBLISHED accuracy 10 m.
+#: The authoritative NAD27<->NAD83 transform is the NADCON distortion
+#: grid; this engine takes the same documented-approximation stance the
+#: reference does (proj4rs consumes +towgs84 from the CRS definition,
+#: projection/mod.rs:224-244) instead of rejecting the datum outright —
+#: the 10 m bound is stated here, in SURVEY.md, and in the tests rather
+#: than being silent. Zones 1-22 north (EPSG 26701-26722) exist; Alaska
+#: panhandle zones share the CONUS-mean shift at reduced (~tens of m)
+#: fidelity, which is inside the published transformation's stated scope.
+_NAD27_TOWGS84 = (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def _nad27_lon0(epsg: int) -> float:
+    """Central meridian (radians) for a NAD27 UTM zone EPSG 267zz."""
+    return np.radians(-183.0 + 6.0 * (epsg % 100))
 
 
 #: named-EPSG registry: epsg -> (family, a, e2, params). Parameters are the
@@ -986,6 +1005,7 @@ def crs_is_supported(epsg: int) -> bool:
         (base in (326, 327) and 1 <= zone <= 60)
         or (base == 258 and 28 <= zone <= 38)
         or (base == 269 and 1 <= zone <= 23)
+        or (base == 267 and 1 <= zone <= 22)
     )
 
 
@@ -1002,6 +1022,13 @@ def _to_4326(xs: np.ndarray, ys: np.ndarray, epsg: int) -> tuple[np.ndarray, np.
             # projection inverse lands on the SOURCE datum; shift to WGS84
             lon, lat = _datum_to_wgs84(lon, lat, a, e2, t)
         return lon, lat
+    if epsg // 100 == 267 and 1 <= epsg % 100 <= 22:
+        # NAD27 / UTM north zones: standard TM on Clarke 1866, then the
+        # EPSG-1173 CONUS-mean Helmert (documented 10 m accuracy above)
+        lon, lat = _tm_inverse(
+            xs, ys, _CL66_A, _CL66_E2, _nad27_lon0(epsg), _FE, 0.0, _K0, 0.0
+        )
+        return _datum_to_wgs84(lon, lat, _CL66_A, _CL66_E2, _NAD27_TOWGS84)
     return utm_inverse(xs, ys, epsg)  # raises on unsupported EPSG
 
 
@@ -1017,6 +1044,11 @@ def _from_4326(lon: np.ndarray, lat: np.ndarray, epsg: int) -> tuple[np.ndarray,
             # shift the WGS84 hub coords onto the projection's datum first
             lon, lat = _wgs84_to_datum(lon, lat, a, e2, t)
         return _FAMILY_FWD[family](lon, lat, a, e2, p)
+    if epsg // 100 == 267 and 1 <= epsg % 100 <= 22:
+        lon, lat = _wgs84_to_datum(lon, lat, _CL66_A, _CL66_E2, _NAD27_TOWGS84)
+        return _tm_forward(
+            lon, lat, _CL66_A, _CL66_E2, _nad27_lon0(epsg), _FE, 0.0, _K0, 0.0
+        )
     return utm_forward(lon, lat, epsg)
 
 

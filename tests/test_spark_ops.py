@@ -487,9 +487,9 @@ class TestRender:
         from cloudtiff_spark.operators.tiling import build_tiles
 
         images, meta, queries = tables
-        bad_meta = meta.withColumn("epsg", F.lit(26717))
+        bad_meta = meta.withColumn("epsg", F.lit(31466))
         tiles = build_tiles(images)
-        with pytest.raises(Exception, match="unsupported CRS 26717"):
+        with pytest.raises(Exception, match="unsupported CRS 31466"):
             region_render(levels_df(bad_meta), tiles, queries).collect()
 
 

@@ -89,9 +89,10 @@ class TestRoundTrip:
         assert tiff.T_MODELTRANSFORMATION in parsed["ifds"][0]
 
     def test_unsupported_epsg_raises(self):
-        # outside every supported family (26717: NAD27, NADCON-grid datum)
+        # outside every supported family (31466: DHDN Gauss-Krueger,
+        # NTv2-grid datum; NAD27 graduated in round 6)
         with pytest.raises(ValueError, match="unsupported CRS"):
-            tiff.encode_cog(_img(64, 64), 26717, 0, 0, 1.0)
+            tiff.encode_cog(_img(64, 64), 31466, 0, 0, 1.0)
 
     def test_no_levels_raises(self):
         # valid empty IFD chain (0 tags, next=0) -> NoLevels
@@ -386,7 +387,7 @@ class TestTypedErrors:
         assert issubclass(UnsupportedCrs, ProjectionError)
         with pytest.raises(UnsupportedCrs):
             tiff.encode_cog(
-                np.zeros((16, 16, 3), np.uint8), 26717, 0.0, 0.0, 1.0
+                np.zeros((16, 16, 3), np.uint8), 31466, 0.0, 0.0, 1.0
             )
 
     def test_unsupported_photometric_typed_with_name(self):
