@@ -57,7 +57,7 @@ class CloudTiffSpark:
         Grow-and-reparse on truncation like the other header-only paths
         (io/http.rs does a fresh ranged GET per retry, same here)."""
         from .s3 import S3RangeFetcher
-        from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
+        from .tiff import cog_info, is_truncation
 
         client = S3RangeFetcher(bucket=bucket, **client_kw)
         n = initial_bytes
@@ -65,9 +65,9 @@ class CloudTiffSpark:
             data = client.fetch(key, 0, n)
             try:
                 return cog_info(data)
-            except CloudTiffError:
-                raise  # typed semantic reject — definitive, never truncation
-            except TRUNCATION_ERRORS:
+            except Exception as exc:
+                if not is_truncation(exc):
+                    raise  # typed semantic reject (or unrelated bug)
                 if len(data) < n:  # short body: already the whole object
                     raise
                 n *= 2
@@ -111,6 +111,7 @@ class RenderBuilder:
         self.images = images
         self.meta = meta
         self._mp_limit = 0.25  # the reference's default preview budget
+        self._mp_explicit = False  # with_mp_limit called?
         self._crop: tuple[float, float, float, float] | None = None
         self._region: tuple[float, float, float, float] | None = None
         self._tiles: DataFrame | None = None
@@ -120,6 +121,7 @@ class RenderBuilder:
     def with_mp_limit(self, mp: float) -> "RenderBuilder":
         """Output megapixel cap -> output dims (util.rs:131-142)."""
         self._mp_limit = float(mp)
+        self._mp_explicit = True
         return self
 
     def with_tiles(self, tiles: DataFrame) -> "RenderBuilder":
@@ -220,8 +222,16 @@ class RenderBuilder:
                         "block counts from the mp-limit dims)"
                     )
                 rw, rh = self._resolution
+                # the LOD pick still runs off mp_limit even when the output
+                # dims are fixed; unless the caller set the limit explicitly,
+                # derive it from the requested resolution so the picked
+                # pyramid level matches the output density (the wmts_render
+                # operator uses the same tile_px^2/1e6 rule) — otherwise the
+                # default 0.25 MP preview budget silently picks a DIFFERENT
+                # level than the resolution implies (r6 review pass 1 #1)
+                mp = self._mp_limit if self._mp_explicit else rw * rh / 1e6
                 q = self.spark.createDataFrame(
-                    [("api_region", "region", w, s, e, n, self._mp_limit, rw, rh)],
+                    [("api_region", "region", w, s, e, n, mp, rw, rh)],
                     "query_id string, kind string, rxmin double, rymin double, "
                     "rxmax double, rymax double, mp_limit double, "
                     "res_w int, res_h int",

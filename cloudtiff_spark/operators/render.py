@@ -130,7 +130,16 @@ def _out_lonlat(r0) -> tuple[np.ndarray, np.ndarray, int, int]:
     exact output dims instead of the mp-limit formula."""
     rxmin, rymin, rxmax, rymax = (float(r0[k]) for k in ("rxmin", "rymin", "rxmax", "rymax"))
     rw, rh = rxmax - rxmin, rymax - rymin
-    if "res_w" in r0 and r0["res_w"] is not None and not pd.isna(r0["res_w"]):
+    has_w = "res_w" in r0 and r0["res_w"] is not None and not pd.isna(r0["res_w"])
+    has_h = "res_h" in r0 and r0["res_h"] is not None and not pd.isna(r0["res_h"])
+    if has_w != has_h:
+        # half-set resolution would otherwise surface as an opaque
+        # TypeError deep inside applyInPandas (r6 review pass 1 #2)
+        raise ValueError(
+            f"fixed output resolution needs BOTH res_w and res_h; got "
+            f"res_w={r0.get('res_w')} res_h={r0.get('res_h')}"
+        )
+    if has_w:
         out_w, out_h = int(r0["res_w"]), int(r0["res_h"])
     else:
         out_w, out_h = _out_dims(rw, rh, float(r0["mp_limit"]))
@@ -187,6 +196,11 @@ def region_render(
     # re-attach the per-(query,image) render parameters (res_w/res_h ride
     # along when the caller fixed the output resolution — wmts_render)
     res_cols = [c for c in ("res_w", "res_h") if c in queries.columns]
+    if len(res_cols) == 1:
+        raise ValueError(
+            f"queries carry {res_cols[0]} without its partner; fixed "
+            "output resolution needs BOTH res_w and res_h columns"
+        )
     q = queries.filter(F.col("kind") == "region").select(
         "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit", *res_cols
     )

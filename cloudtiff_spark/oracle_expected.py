@@ -353,10 +353,12 @@ _CROP_MP = 0.01
 _WMTS_PX = 256
 
 
-def _render_expected_chunk(args: tuple[str, list[int]]) -> tuple[list, list, dict]:
+def _render_expected_chunk(
+    args: tuple[str, list[int]],
+) -> tuple[list, list, dict, list]:
     """Worker: for a chunk of fixture image indices (10% subset only),
-    recompute crop rows, region rows, and per-(fmt, level) tile-byte
-    partials."""
+    recompute (crop rows, region rows, per-(fmt, level) tile-byte
+    partials, wmts tile rows) — a 4-tuple since wmts_render landed."""
     fixture_dir, idx = args
     imgs = pq.read_table(os.path.join(fixture_dir, "images.parquet"))
     metas = pq.read_table(os.path.join(fixture_dir, "images_meta.parquet"))

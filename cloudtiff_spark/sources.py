@@ -77,13 +77,15 @@ def header_info_http(url: str, initial_bytes: int = 4096) -> tuple[dict, int]:
             if resp.status == 200:
                 raise OSError(f"server ignored Range for {url!r} (status 200)")
             data = timed_read(resp, url)
-        from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
+        from .tiff import cog_info, is_truncation
 
         try:
             return cog_info(data), len(data)
-        except CloudTiffError:
-            raise  # typed semantic reject — definitive, never truncation
-        except TRUNCATION_ERRORS:
+        except Exception as exc:
+            # is_truncation structurally excludes typed semantic rejects
+            # (CloudTiffError), so definitive errors can't be retried
+            if not is_truncation(exc):
+                raise
             if len(data) < n:  # short body: we already have the whole file
                 raise
             n *= 2
@@ -96,7 +98,7 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
     (cog/mod.rs:272-320: parse from the first fetch, re-fetch on EOF).
     Returns (cog_info dict, bytes_read). Never reads tile data unless the
     IFD chain actually extends that far."""
-    from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
+    from .tiff import cog_info, is_truncation
 
     size = os.path.getsize(path)
     n = min(initial_bytes, size)
@@ -105,9 +107,9 @@ def header_info(path: str, initial_bytes: int = 4096) -> tuple[dict, int]:
         while True:
             try:
                 return cog_info(data), len(data)
-            except CloudTiffError:
-                raise  # typed semantic reject — definitive, never truncation
-            except TRUNCATION_ERRORS:
+            except Exception as exc:
+                if not is_truncation(exc):
+                    raise  # typed semantic reject (or unrelated bug)
                 # truncated: an IFD entry / external value / next-IFD offset
                 # fell beyond the prefix -> grow and re-parse
                 if len(data) >= size:
@@ -195,16 +197,16 @@ def header_info_s3(fetcher, key: str, initial_bytes: int = 4096) -> tuple[dict, 
     ``fetch(key, start, length) -> bytes`` (cloudtiff_spark.s3.
     S3RangeFetcher for real/compatible S3; tests inject one pointed at a
     local SigV4-checking 206 server)."""
-    from .tiff import TRUNCATION_ERRORS, CloudTiffError, cog_info
+    from .tiff import cog_info, is_truncation
 
     n = initial_bytes
     while True:
         data = fetcher.fetch(key, 0, n)
         try:
             return cog_info(data), len(data)
-        except CloudTiffError:
-            raise  # typed semantic reject — definitive, never truncation
-        except TRUNCATION_ERRORS:
+        except Exception as exc:
+            if not is_truncation(exc):
+                raise  # typed semantic reject (or unrelated bug) — definitive
             if len(data) < n:  # short body: whole object already fetched
                 raise
             n *= 2

@@ -139,9 +139,12 @@ class TestRenderBuilder:
         x = int((cx + 180.0) / 360.0 * n)
         lat_r = math.radians(max(-85.05, min(85.05, cy)))
         y = int((1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n)
+        # NO with_mp_limit: the builder derives the LOD budget from the
+        # exact resolution (w*h/1e6) unless the caller overrides it, so
+        # the docstring's wmts_tile+with_exact_resolution pairing picks
+        # the SAME pyramid level wmts_render does (r6 review pass 1 #1)
         rows = (
             ct.renderer(images, meta)
-            .with_mp_limit(256 * 256 / 1e6)
             .wmts_tile(z, x, y)
             .with_exact_resolution(256, 256)
             .render()

@@ -104,14 +104,19 @@ def main() -> int:
                 ).otherwise(F.col("embedding")),
             )
         elif kind == "image_payload":
-            # target an image that appears in the RENDER outputs (the
-            # blocked_render oracle rows are a subset of region_render's),
-            # so the render queries are guaranteed sensitive to it; falls
-            # back to the first subset image if the oracle is empty
+            # target an image that appears in EVERY graded render output
+            # (blocked_render rows are a subset of region_render's, but a
+            # wmts tile set need not cover the same images) — intersect the
+            # two oracles so all three render queries are guaranteed
+            # sensitive; fall back to the first subset image if empty
             row = con.execute(
-                E.oracle_sql()["blocked_render"] + " ORDER BY image_id LIMIT 1"
+                "SELECT image_id FROM ("
+                + E.oracle_sql()["blocked_render"]
+                + ") INTERSECT SELECT image_id FROM ("
+                + E.oracle_sql()["wmts_render"]
+                + ") ORDER BY image_id LIMIT 1"
             ).fetchone()
-            render_target = row[1] if row else None
+            render_target = row[0] if row else None
 
             def tables(s, d):
                 images, meta, queries = orig_tables(s, d)
