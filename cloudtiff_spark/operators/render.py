@@ -176,6 +176,50 @@ def _map_projected(r0, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np
     return px, py
 
 
+def _render_one(r0, canvas: np.ndarray, y_off: int, x_off: int) -> dict:
+    """Render ONE (query, image) output raster from a pre-mosaicked canvas
+    — the shared kernel of the pair-grain assemble (region_render) and the
+    image-grain wmts assemble. ``r0`` is any mapping (pandas Series or
+    plain dict) carrying the level geometry + query rect keys. Both paths
+    call this with a canvas covering exactly the pair's OWN tile bbox, so
+    their outputs are byte-identical by construction."""
+    lw, lh = int(r0["lw"]), int(r0["lh"])
+    # output pixel centers (EPSG:4326 target grid) -> absolute level
+    # pixel coords. For 4326 images the affine is direct; for projected
+    # images every pixel center goes through the exact CRS transform
+    # (P3 / the pixel-map reprojection join J2, util.rs:155-204) — not
+    # the bounds-box linear approximation.
+    lon, lat, out_w, out_h = _out_lonlat(r0)
+    ch, cw = canvas.shape[0], canvas.shape[1]
+    if int(r0["epsg"]) == 4326:
+        # separable affine: gather rows x cols
+        apx, apy = _map_separable(r0, lon, lat)
+        px, py = apx - x_off, apy - y_off
+        ok_x = (px >= 0) & (px < cw) & (apx < lw)
+        ok_y = (py >= 0) & (py < ch) & (apy < lh)
+        # single np.ix_ gather: the chained canvas[rows][:, cols] form
+        # materializes an (out_h, cw, 3) intermediate — cw (covered
+        # tile-range width) is often much wider than out_w, and this
+        # gather dominates region_render's cost at ~1.4 GP of output
+        out = canvas[np.ix_(np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1))]
+        out[~ok_y, :, :] = 0
+        out[:, ~ok_x, :] = 0
+    else:
+        apx, apy = _map_projected(r0, lon, lat)
+        px, py = apx - x_off, apy - y_off
+        ok = (px >= 0) & (px < cw) & (py >= 0) & (py < ch) & (apx < lw) & (apy < lh)
+        out = canvas[np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1)]
+        out[~ok] = 0
+    return {
+        "query_id": r0["query_id"],
+        "image_id": r0["image_id"],
+        "level": int(r0["level"]),
+        "out_w": out_w,
+        "out_h": out_h,
+        "raster": out.tobytes(),
+    }
+
+
 def region_render(
     levels: DataFrame, tiles: DataFrame, queries: DataFrame, decode_once: bool = False
 ) -> DataFrame:
@@ -230,12 +274,6 @@ def region_render(
         r0 = pdf.iloc[0]
         lw, lh = int(r0["lw"]), int(r0["lh"])
         tw, th, cols = int(r0["tile_w"]), int(r0["tile_h"]), int(r0["cols"])
-        # output pixel centers (EPSG:4326 target grid) -> absolute level
-        # pixel coords. For 4326 images the affine is direct; for projected
-        # images every pixel center goes through the exact CRS transform
-        # (P3 / the pixel-map reprojection join J2, util.rs:155-204) — not
-        # the bounds-box linear approximation.
-        lon, lat, out_w, out_h = _out_lonlat(r0)
         # mosaic only the needed tiles into a canvas bounded by the COVERED
         # tile-range bounding box (NOT the full level): peak memory per group
         # is O(crop tiles), independent of image size — the Spark analog of
@@ -243,45 +281,18 @@ def region_render(
         # (renderer.rs:110-148). Pixels mapping outside the box are masked
         # to 0, identical to reading an all-zero missing tile.
         canvas, y_off, x_off = _mosaic_bbox(pdf, tw, th, cols, lw, lh)
-        ch, cw = canvas.shape[0], canvas.shape[1]
-
-        if int(r0["epsg"]) == 4326:
-            # separable affine: gather rows x cols
-            apx, apy = _map_separable(r0, lon, lat)
-            px, py = apx - x_off, apy - y_off
-            ok_x = (px >= 0) & (px < cw) & (apx < lw)
-            ok_y = (py >= 0) & (py < ch) & (apy < lh)
-            # single np.ix_ gather: the chained canvas[rows][:, cols] form
-            # materializes an (out_h, cw, 3) intermediate — cw (covered
-            # tile-range width) is often much wider than out_w, and this
-            # gather dominates region_render's cost at ~1.4 GP of output
-            out = canvas[np.ix_(np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1))]
-            out[~ok_y, :, :] = 0
-            out[:, ~ok_x, :] = 0
-        else:
-            apx, apy = _map_projected(r0, lon, lat)
-            px, py = apx - x_off, apy - y_off
-            ok = (px >= 0) & (px < cw) & (py >= 0) & (py < ch) & (apx < lw) & (apy < lh)
-            out = canvas[np.clip(py, 0, ch - 1), np.clip(px, 0, cw - 1)]
-            out[~ok] = 0
-        return pd.DataFrame(
-            [
-                {
-                    "query_id": r0["query_id"],
-                    "image_id": r0["image_id"],
-                    "level": int(r0["level"]),
-                    "out_w": out_w,
-                    "out_h": out_h,
-                    "raster": out.tobytes(),
-                }
-            ]
-        )
+        return pd.DataFrame([_render_one(r0, canvas, y_off, x_off)])
 
     return joined.groupBy("query_id", "image_id").applyInPandas(assemble, RENDER_SCHEMA)
 
 
 def wmts_render(
-    levels: DataFrame, tiles: DataFrame, queries: DataFrame, tile_px: int = 256
+    levels: DataFrame,
+    tiles: DataFrame,
+    queries: DataFrame,
+    tile_px: int = 256,
+    grain: str = "pair",
+    salt: int = 1,
 ) -> DataFrame:
     """Render each queried slippy tile (kind='wmts') as a fixed
     tile_px x tile_px raster over the tile's lon/lat bounds — the Spark
@@ -289,20 +300,48 @@ def wmts_render(
     tile_bounds_lat_lon_deg feeding RenderBuilder.of_output_region +
     with_exact_resolution, render/mod.rs:149-196).
 
-    Each (tile, image) pair flows through the SAME LOD pick / tile-range
-    prune / pruned join / bounded-canvas gather as region_render; the only
-    differences are (a) the region rect is the tile's slippy bounds and
-    (b) the output grid is exactly tile_px square (res_w/res_h columns)
-    instead of mp-limit-derived. The LOD pick itself uses the standard
-    mp-continuous rule with mp_limit = tile_px^2/1e6. Tile bounds are
-    computed in a numpy mapInPandas stage (slippy_bounds_np) so they are
-    bit-identical to the sequential oracle recompute — and the stage stays
-    fully distributed for pyramid-scale tile sets.
+    Every (tile, image) pair flows through the SAME LOD pick / tile-range
+    prune / pruned join / bounded-canvas gather math as region_render; the
+    only differences are (a) the region rect is the tile's slippy bounds
+    and (b) the output grid is exactly tile_px square (res_w/res_h
+    columns) instead of mp-limit-derived. The LOD pick itself uses the
+    standard mp-continuous rule with mp_limit = tile_px^2/1e6. Tile bounds
+    are computed in a numpy mapInPandas stage (slippy_bounds_np) so they
+    are bit-identical to the sequential oracle recompute — and the stage
+    stays fully distributed for pyramid-scale tile sets.
+
+    ``grain`` picks the physical plan (outputs are byte-identical — the
+    per-query canvas is rebuilt from the query's OWN tile set either way,
+    pinned by pytest):
+
+    - ``"pair"`` (default): the straight region_render path, one group
+      per (query, image). MEASURED faster on the fixture tile set
+      (sf0.1: ~15 s vs ~18-40 s for the image grain across salt settings)
+      because fixture image-levels hold a SINGLE tile (nt=1 for every
+      (image, level) the LOD pick lands on), so the 23x tile-ref
+      duplication costs only duplicated ~KB compressed payloads and
+      cheap re-decodes.
+    - ``"image"``: group by (image_id, level[, salt]) — each source tile
+      ships and DECODES once per group and every query tile of that
+      image-level renders from the shared decoded set. This is the scale
+      grain for real pyramids, where one level spans MANY large tiles
+      and decode dominates (the BENCH decode-cost attribution measured
+      decode at ~70% of tile cost for the JPEG corpus): the pair grain
+      would shuffle and decode each tile once per overlapping query tile
+      (~23x here), the image grain exactly once. ``salt`` (default 1)
+      splits each image-level's QUERY set into salt hash-buckets to
+      bound per-task work for pyramid-scale tile lists — tile payloads
+      then duplicate at most salt times (still << pair grain); raise it
+      when one image-level carries thousands of query tiles.
 
     Output schema matches region_render (query_id, image_id, level,
     out_w, out_h, raster)."""
-    from .spatial import slippy_bounds_np
+    from .spatial import region_extract, slippy_bounds_np
 
+    if grain not in ("image", "pair"):
+        raise ValueError(f"unknown wmts_render grain {grain!r}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     q = queries.filter(F.col("kind") == "wmts").select("query_id", "qz", "qx", "qy")
     mp = tile_px * tile_px / 1e6
 
@@ -330,7 +369,102 @@ def wmts_render(
         "query_id string, kind string, rxmin double, rymin double, "
         "rxmax double, rymax double, mp_limit double, res_w int, res_h int",
     )
-    return region_render(levels, tiles, wq)
+    if grain == "pair":
+        return region_render(levels, tiles, wq)
+
+    # ---- image grain: decode-once-per-group, render all query tiles ----
+    wanted = region_extract(levels, wq)  # query_id, image_id, level, tile_idx
+    qp = wq.select(
+        "query_id", "rxmin", "rymin", "rxmax", "rymax", "mp_limit", "res_w", "res_h"
+    )
+    refs = wanted.join(F.broadcast(qp), "query_id")
+    salt_col = (
+        F.pmod(F.xxhash64("query_id"), F.lit(salt)) if salt > 1 else F.lit(0)
+    )
+    # one row per DISTINCT needed tile (per salt bucket), carrying the
+    # small list of query refs that read it — the tile payload joins once
+    tile_refs = refs.withColumn("salt", salt_col).groupBy(
+        "image_id", "level", "salt", "tile_idx"
+    ).agg(
+        F.collect_list(
+            F.struct(
+                "query_id", "rxmin", "rymin", "rxmax", "rymax",
+                "mp_limit", "res_w", "res_h",
+            )
+        ).alias("refs")
+    )
+    lv = levels.select(
+        "image_id", "level", "lw", "lh", "tile_w", "tile_h", "cols", "rows",
+        "xmin", "ymin", "xmax", "ymax", "epsg", "origin_x", "origin_y", "scale_px",
+        "w", "h",
+    )
+    keys = ["image_id", "level", "tile_idx"]
+    rows = tile_refs.join(lv, ["image_id", "level"]).join(
+        tiles.select(*keys, "fmt", "tile_bytes"), keys, "inner"
+    )
+
+    _LEVEL_KEYS = (
+        "image_id", "level", "lw", "lh", "xmin", "ymin", "xmax", "ymax",
+        "epsg", "origin_x", "origin_y", "scale_px", "w", "h",
+    )
+
+    def assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf.iloc[0]
+        lw, lh = int(r0["lw"]), int(r0["lh"])
+        tw, th, cols = int(r0["tile_w"]), int(r0["tile_h"]), int(r0["cols"])
+        idxs = pdf["tile_idx"].to_numpy().astype(np.int64)
+        fmts = pdf["fmt"].to_numpy()
+        payloads = pdf["tile_bytes"].to_numpy()
+        refs_col = pdf["refs"].to_numpy()
+        decoded: dict[int, np.ndarray] = {}
+        qmap: dict[str, tuple[dict, list[int]]] = {}
+        for i in range(len(idxs)):
+            ti = int(idxs[i])
+            decoded[ti] = decode_image(payloads[i], fmts[i], tw, th)
+            for ref in refs_col[i]:
+                ent = qmap.get(ref["query_id"])
+                if ent is None:
+                    qmap[ref["query_id"]] = (ref, [ti])
+                else:
+                    ent[1].append(ti)
+        base = {k: r0[k] for k in _LEVEL_KEYS}
+        out_rows = []
+        for qid, (ref, tlist) in qmap.items():
+            # per-QUERY canvas over the query's own tile bbox — identical
+            # to the pair-grain _mosaic_bbox canvas, so _render_one output
+            # bytes match the pair grain exactly
+            tarr = np.asarray(tlist, dtype=np.int64)
+            rs, cs = tarr // cols, tarr % cols
+            r_min, c_min = int(rs.min()), int(cs.min())
+            y_off, x_off = r_min * th, c_min * tw
+            canvas = np.zeros(
+                ((int(rs.max()) - r_min + 1) * th, (int(cs.max()) - c_min + 1) * tw, 3),
+                dtype=np.uint8,
+            )
+            for pos in range(len(tarr)):
+                tile = decoded[int(tarr[pos])]
+                y0 = int(rs[pos]) * th - y_off
+                x0 = int(cs[pos]) * tw - x_off
+                hh = min(th, lh - int(rs[pos]) * th)
+                ww = min(tw, lw - int(cs[pos]) * tw)
+                canvas[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+            r0q = dict(base)
+            r0q.update(
+                {
+                    k: ref[k]
+                    for k in (
+                        "rxmin", "rymin", "rxmax", "rymax",
+                        "mp_limit", "res_w", "res_h",
+                    )
+                }
+            )
+            r0q["query_id"] = qid
+            out_rows.append(_render_one(r0q, canvas, y_off, x_off))
+        return pd.DataFrame(out_rows)
+
+    return rows.groupBy("image_id", "level", "salt").applyInPandas(
+        assemble_group, RENDER_SCHEMA
+    )
 
 
 BLOCK_SCHEMA = StructType(

@@ -417,6 +417,41 @@ class TestRender:
         assert got == exp and len(got) > 0
         assert all(v[1] == 256 and v[2] == 256 for v in got.values())
 
+    def test_wmts_render_grains_byte_identical(self, spark):
+        """grain='image' (decode-once-per-(image,level) groups, salted or
+        not) must produce byte-identical rasters to the default pair
+        grain: the per-query canvas is rebuilt from the query's OWN tile
+        set inside the group, so _render_one sees the same canvas/offsets
+        either way. Guards the image grain (the real-pyramid scale path,
+        where a level spans many tiles and decode dominates) against
+        drift from the graded pair-grain plan."""
+        import __spark_entry__ as E
+        from cloudtiff_spark.fixtures import ensure_fixtures
+        from cloudtiff_spark.operators.meta import levels_df
+        from cloudtiff_spark.operators.render import wmts_render
+
+        sf = "/root/testdata/sf0.01"
+        ensure_fixtures("sf0.01")
+        images, meta, queries = E._fixture_tables(spark, sf)
+        sub = E._image_subset(images)
+        lv = levels_df(meta.join(sub.select("image_id"), "image_id", "left_semi"))
+        tiles = E._shared_tiles(spark, sf)
+
+        def snap(df):
+            return {
+                (r.query_id, r.image_id): (r.level, r.out_w, r.out_h, bytes(r.raster))
+                for r in df.collect()
+            }
+
+        base = snap(wmts_render(lv, tiles, queries, grain="pair"))
+        assert len(base) > 0
+        assert snap(wmts_render(lv, tiles, queries, grain="image")) == base
+        assert snap(wmts_render(lv, tiles, queries, grain="image", salt=4)) == base
+        with pytest.raises(ValueError, match="grain"):
+            wmts_render(lv, tiles, queries, grain="bogus")
+        with pytest.raises(ValueError, match="salt"):
+            wmts_render(lv, tiles, queries, grain="image", salt=0)
+
     def test_region_render_ntf_paris_lambert_image(self, spark):
         """An NTF (Paris) / Lambert zone II (27572) image — the round-6
         registry addition: LCC 1SP on Clarke 1880 (IGN) with the PARIS
