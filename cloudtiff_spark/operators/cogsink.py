@@ -1,0 +1,489 @@
+"""Distributed COG sink: build a tiled GeoTIFF + full overview pyramid
+from BLOCK rows, with no task ever holding the whole raster.
+
+The single-pass writer (tiff.py:encode_cog — the Encoder analog,
+encode/mod.rs:108-146) materializes the full pixel array, so one COG is
+one task. That is the right grain for the 10%-subset fixture corpus
+(operators/cog.py:write_cogs maps it per row), but the gigapixel mosaics
+the blocked render emits (render.py:region_render_blocked with
+``emit_blocks=True``) never exist as one array anywhere — this module
+closes the loop so a distributed render can be SUNK as a real COG at the
+same block grain it was produced:
+
+  stage 1  level-0 tiles: each input block IS a COG tile (the blocked
+           render's 256-px grain == the tile grid); compress per block
+           in parallel (mapInPandas, one Arrow batch of blocks per task).
+  stage 2  overview pyramid, level by level (log2 driver loop): each
+           level-i tile gathers the <=3x3 level-(i-1) raw tiles its
+           nearest-resample footprint touches (shuffle keyed by DEST
+           tile), resamples with the exact global index formula, and
+           compresses. Work per level shrinks 4x, so the whole pyramid
+           costs ~1/3 of level 0 — same ratio as the single-pass writer.
+  stage 3  container assembly: tile SIZES (12 bytes/tile metadata) are
+           collected, the header/IFD prefix is built once on the driver
+           (tiff.py:container_prefix), and payloads are either
+           concatenated per image (assemble_cogs — one bounded fan-in
+           task per image, the contiguous-file contract) or streamed to
+           a path in offset order with O(1) driver memory
+           (write_cog_ranged — the single-gigapixel-raster shape; on
+           object storage the known offsets admit parallel multipart
+           ranged writes instead).
+
+Byte identity with encode_cog is exact and test-pinned
+(tests/test_cogsink.py): the per-dest-tile resample evaluates
+``min(floor(global_dst_index * (src_dim / dst_dim)), src_dim - 1)`` —
+elementwise identical float64 ops to resample_nearest
+(operators/tiling.py, ops.rs:70-88 semantics) — so every overview pixel,
+every compressed tile payload, and every container byte matches the
+single-pass writer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..grid import grid_shape, level_dims, num_levels
+from ..tiff import (
+    COMPRESSION_DEFLATE,
+    TILE,
+    _compress_tile,
+    _pixel_format_for,
+    container_prefix,
+    plan_levels,
+)
+
+TILE_SCHEMA = "image_id string, level int, tile_idx long, nbytes long, data binary"
+_RAW_SCHEMA = "image_id string, row int, col int, data binary"
+
+_DTYPES = {"uint8": np.uint8, "uint16": np.uint16, "float32": np.float32}
+
+
+def _collect_meta(images_meta: DataFrame, predictor: int, palette) -> dict:
+    """images_meta (image_id, w, h, c, dtype, epsg, origin_x, origin_y,
+    scale_px[, compression]) -> {image_id: dict} with formats validated UP
+    FRONT (same typed rejects as encode_cog) so a bad dtype fails before
+    any cluster work. Metadata-sized: one row per image being written this
+    call. An optional per-image ``compression`` column overrides the
+    call-level codec (the write_cogs rule: LZW-sourced images keep LZW)."""
+    meta = {}
+    cols = ["image_id", "w", "h", "c", "dtype", "epsg", "origin_x", "origin_y", "scale_px"]
+    has_comp = "compression" in images_meta.columns
+    if has_comp:
+        cols.append("compression")
+    for r in images_meta.select(*cols).collect():
+        if r["dtype"] not in _DTYPES:
+            from ..errors import UnsupportedPixelFormat
+
+            raise UnsupportedPixelFormat(f"unsupported dtype {r['dtype']}")
+        dt = np.dtype(_DTYPES[r["dtype"]])
+        bits, sample_format, photometric = _pixel_format_for(
+            dt, int(r["c"]), predictor, palette
+        )
+        meta[r["image_id"]] = {
+            "w": int(r["w"]),
+            "h": int(r["h"]),
+            "c": int(r["c"]),
+            "dtype": dt,
+            "epsg": int(r["epsg"]),
+            "origin_x": float(r["origin_x"]),
+            "origin_y": float(r["origin_y"]),
+            "scale_px": float(r["scale_px"]),
+            "bits": bits,
+            "sample_format": sample_format,
+            "photometric": photometric,
+        }
+        if has_comp:
+            meta[r["image_id"]]["comp"] = int(r["compression"])
+    return meta
+
+
+def _valid_dims(w: int, h: int, tile: int, row: int, col: int) -> tuple[int, int]:
+    """Valid (unpadded) pixel extent of grid tile (row, col) of a w x h
+    level."""
+    vw = min(tile, w - col * tile)
+    vh = min(tile, h - row * tile)
+    return vw, vh
+
+
+def blocks_from_images(images: DataFrame, tile: int = TILE) -> DataFrame:
+    """Test/fixture fan-out: whole-image raster rows (image_id, raster,
+    w, h[, c, dtype]) -> (image_id, row, col, data) raw block rows at the
+    tile grain, data = the block's VALID region bytes (edge blocks are
+    short — the sink pads). At scale blocks come from
+    region_render_blocked(emit_blocks=True); this helper exists so the
+    sink is testable against fixture images without a render."""
+    has_c = "c" in images.columns
+    has_dt = "dtype" in images.columns
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            arrs = {c: pdf[c].to_numpy() for c in pdf.columns}
+            for i in range(len(pdf)):
+                w, h = int(arrs["w"][i]), int(arrs["h"][i])
+                c = int(arrs["c"][i]) if has_c else 3
+                dt = np.dtype(_DTYPES[arrs["dtype"][i]]) if has_dt else np.dtype(np.uint8)
+                arr = np.frombuffer(arrs["raster"][i], dt).reshape(h, w, c)
+                for row in range((h + tile - 1) // tile):
+                    for col in range((w + tile - 1) // tile):
+                        blk = arr[row * tile : (row + 1) * tile, col * tile : (col + 1) * tile]
+                        rows.append(
+                            (arrs["image_id"][i], row, col, np.ascontiguousarray(blk).tobytes())
+                        )
+            yield pd.DataFrame(rows, columns=["image_id", "row", "col", "data"])
+
+    return images.mapInPandas(gen, schema=_RAW_SCHEMA)
+
+
+def encode_cog_blocked(
+    blocks: DataFrame,
+    images_meta: DataFrame,
+    tile: int = TILE,
+    compression: int = COMPRESSION_DEFLATE,
+    predictor: int = 1,
+    palette: np.ndarray | None = None,
+) -> DataFrame:
+    """Blocks -> compressed COG tile rows for EVERY pyramid level.
+
+    blocks: (image_id, row, col, data) — raw level-0 pixel blocks at the
+    ``tile`` grain, data = the valid-region bytes (vh x vw x c,
+    row-major; edge blocks short). images_meta: one row per image
+    (image_id, w, h, c, dtype, epsg, origin_x, origin_y, scale_px).
+    Returns (image_id, level, tile_idx, nbytes, data) with data =
+    _compress_tile payloads — feed to assemble_cogs / write_cog_ranged.
+
+    Overviews are nearest-only (the reference render default,
+    ops.rs:70-88); the catmullrom Encoder filter needs cross-tile
+    4-tap windows with globally-derived weights and stays on the
+    single-pass writer."""
+    spark = blocks.sparkSession
+    meta = _collect_meta(images_meta, predictor, palette)
+    if not meta:  # empty image group: empty tile relation, same schema
+        return spark.createDataFrame([], TILE_SCHEMA)
+    bmeta = spark.sparkContext.broadcast(
+        {
+            k: {kk: (str(vv) if kk == "dtype" else vv) for kk, vv in v.items()}
+            for k, v in meta.items()
+        }
+    )
+
+    def pad_tile(arr: np.ndarray, c: int, dt) -> np.ndarray:
+        t = np.zeros((tile, tile, c), dtype=dt)
+        t[: arr.shape[0], : arr.shape[1]] = arr
+        return t
+
+    def compress_level(lv: int):
+        """mapInPandas: raw padded-or-valid tiles of level ``lv`` ->
+        compressed tile rows (the same _compress_tile call the
+        single-pass writer makes per tile)."""
+
+        def gen(batches):
+            m = bmeta.value
+            for pdf in batches:
+                rows = []
+                ids = pdf["image_id"].to_numpy()
+                rws = pdf["row"].to_numpy()
+                cls = pdf["col"].to_numpy()
+                dat = pdf["data"].to_numpy()
+                for i in range(len(pdf)):
+                    mm = m[ids[i]]
+                    c, dt = mm["c"], np.dtype(mm["dtype"])
+                    lw, lh = level_dims(mm["w"], mm["h"], lv)
+                    vw, vh = _valid_dims(lw, lh, tile, int(rws[i]), int(cls[i]))
+                    raw = np.frombuffer(dat[i], dt)
+                    if len(raw) == tile * tile * c:  # already padded
+                        arr = raw.reshape(tile, tile, c)
+                    else:
+                        arr = pad_tile(raw.reshape(vh, vw, c), c, dt)
+                    payload = _compress_tile(arr, mm.get("comp", compression), predictor)
+                    cols_g, _ = grid_shape(lw, lh, tile, tile)
+                    rows.append(
+                        (ids[i], lv, int(rws[i]) * cols_g + int(cls[i]), len(payload), payload)
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "level", "tile_idx", "nbytes", "data"]
+                )
+
+        return gen
+
+    max_lv = max(num_levels(m["w"], m["h"], tile, tile) for m in meta.values())
+    cur = blocks.select("image_id", "row", "col", "data")
+    # each level's raw tiles feed BOTH its compress stage and the next
+    # level's resample — persist so one action computes each level once
+    cur = cur.persist()
+    out = cur.mapInPandas(compress_level(0), schema=TILE_SCHEMA)
+
+    for lv in range(1, max_lv):
+        # images that still have a level ``lv``
+        lv_ids = [
+            k for k, m in meta.items() if num_levels(m["w"], m["h"], tile, tile) > lv
+        ]
+        # dest tile keys: ONE fan-out operator over the (tiny) image-id
+        # relation — a per-image union of spark.range plans is quadratic
+        # planning cost at hundreds of images (measured: it dominated the
+        # fixture run), while a gigapixel level still fans out its
+        # millions of 16-byte keys cheaply before the repartition spreads
+        # them (the fanout_blocks pattern, render.py)
+        ids_df = spark.createDataFrame([(i,) for i in lv_ids], "image_id string")
+
+        def make_fanout(lv: int):
+            def fanout(batches):
+                m = bmeta.value
+                for pdf in batches:
+                    rows = []
+                    for img in pdf["image_id"].to_numpy():
+                        mm = m[img]
+                        dw, dh = level_dims(mm["w"], mm["h"], lv)
+                        cols_d, rows_d = grid_shape(dw, dh, tile, tile)
+                        for k in range(rows_d * cols_d):
+                            rows.append((img, k // cols_d, k % cols_d))
+                    yield pd.DataFrame(rows, columns=["image_id", "rd", "cd"])
+
+            return fanout
+
+        dest = ids_df.repartition(min(len(lv_ids), 64)).mapInPandas(
+            make_fanout(lv), schema="image_id string, rd int, cd int"
+        )
+
+        def make_src_ranges(lv: int):
+            def src_ranges(batches):
+                """Dest tile -> the src-tile bbox its resample footprint
+                touches, via the SAME index formula the gather uses (so
+                the shipped set is exactly the set read). Only the first/
+                last indices matter (the index map is monotone), so this
+                is scalar float64 math per dest tile — identical ops to
+                the gather's arange product, element for element."""
+                m = bmeta.value
+                for pdf in batches:
+                    ids = pdf["image_id"].to_numpy()
+                    rds = pdf["rd"].to_numpy()
+                    cds = pdf["cd"].to_numpy()
+                    rows = []
+                    for i in range(len(pdf)):
+                        mm = m[ids[i]]
+                        sw, sh = level_dims(mm["w"], mm["h"], lv - 1)
+                        dw, dh = level_dims(mm["w"], mm["h"], lv)
+                        rd, cd = int(rds[i]), int(cds[i])
+                        x0, x1 = cd * tile, min((cd + 1) * tile, dw)
+                        y0, y1 = rd * tile, min((rd + 1) * tile, dh)
+                        xf = int(np.float64(x0) * (sw / dw))
+                        xl = min(int(np.float64(x1 - 1) * (sw / dw)), sw - 1)
+                        yf = int(np.float64(y0) * (sh / dh))
+                        yl = min(int(np.float64(y1 - 1) * (sh / dh)), sh - 1)
+                        rows.append(
+                            (ids[i], rd, cd, yf // tile, yl // tile, xf // tile, xl // tile)
+                        )
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["image_id", "rd", "cd", "sr0", "sr1", "sc0", "sc1"],
+                    )
+
+            return src_ranges
+
+        need = dest.mapInPandas(
+            make_src_ranges(lv),
+            schema="image_id string, rd int, cd int, sr0 int, sr1 int, sc0 int, sc1 int",
+        )
+        pairs = (
+            need.withColumn("row", F.explode(F.sequence("sr0", "sr1")))
+            .withColumn("col", F.explode(F.sequence("sc0", "sc1")))
+            .select("image_id", "rd", "cd", "row", "col")
+        )
+        fed = pairs.join(cur, ["image_id", "row", "col"])
+
+        def make_resample(lv: int):
+            # closure, NOT a default arg: applyInPandas dispatches on
+            # parameter COUNT (2 params = the (key, pdf) form), so a
+            # bound default would silently shift arguments
+
+            def resample_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                """applyInPandas per dest tile: mosaic the shipped src
+                tiles, sample with the global-index formula, emit the raw
+                padded dest tile."""
+                m = bmeta.value
+                img = pdf["image_id"].iloc[0]
+                mm = m[img]
+                c, dt = mm["c"], np.dtype(mm["dtype"])
+                sw, sh = level_dims(mm["w"], mm["h"], lv - 1)
+                dw, dh = level_dims(mm["w"], mm["h"], lv)
+                rd, cd = int(pdf["rd"].iloc[0]), int(pdf["cd"].iloc[0])
+                x0, x1 = cd * tile, min((cd + 1) * tile, dw)
+                y0, y1 = rd * tile, min((rd + 1) * tile, dh)
+                xs = np.minimum((np.arange(x0, x1) * (sw / dw)).astype(np.int64), sw - 1)
+                ys = np.minimum((np.arange(y0, y1) * (sh / dh)).astype(np.int64), sh - 1)
+                sr0, sc0 = int(ys[0]) // tile, int(xs[0]) // tile
+                nr = int(ys[-1]) // tile - sr0 + 1
+                nc = int(xs[-1]) // tile - sc0 + 1
+                mosaic = np.zeros((nr * tile, nc * tile, c), dtype=dt)
+                srows = pdf["row"].to_numpy()
+                scols = pdf["col"].to_numpy()
+                sdata = pdf["data"].to_numpy()
+                for i in range(len(pdf)):
+                    r, cc = int(srows[i]) - sr0, int(scols[i]) - sc0
+                    raw = np.frombuffer(sdata[i], dt)
+                    if len(raw) == tile * tile * c:
+                        arr = raw.reshape(tile, tile, c)
+                    else:
+                        vw_s, vh_s = _valid_dims(sw, sh, tile, int(srows[i]), int(scols[i]))
+                        arr = pad_tile(raw.reshape(vh_s, vw_s, c), c, dt)
+                    mosaic[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile] = arr
+                dst = mosaic[ys - sr0 * tile][:, xs - sc0 * tile]
+                return pd.DataFrame(
+                    [(img, rd, cd, pad_tile(dst, c, dt).tobytes())],
+                    columns=["image_id", "row", "col", "data"],
+                )
+
+            return resample_group
+
+        nxt = fed.groupBy("image_id", "rd", "cd").applyInPandas(
+            make_resample(lv), schema=_RAW_SCHEMA
+        )
+        nxt = nxt.persist()
+        out = out.unionByName(nxt.mapInPandas(compress_level(lv), schema=TILE_SCHEMA))
+        cur = nxt
+    return out
+
+
+def assemble_cogs(
+    tiles: DataFrame,
+    images_meta: DataFrame,
+    tile: int = TILE,
+    compression: int = COMPRESSION_DEFLATE,
+    predictor: int = 1,
+    big: bool = False,
+    palette: np.ndarray | None = None,
+) -> DataFrame:
+    """Compressed tile rows -> (image_id, cog binary, cog_bytes) — one
+    contiguous COG per image, byte-identical to encode_cog.
+
+    Two passes over the (persisted) tiles: (1) collect tile SIZES only —
+    ~12 bytes/tile of metadata — and build each image's header/IFD prefix
+    on the driver (container_prefix); (2) one bounded fan-in task per
+    image concatenates payloads in (level, tile_idx) order behind the
+    broadcast prefix. The per-image fan-in is inherent to producing one
+    contiguous byte string per row (the write_cogs output contract); a
+    raster too big for any single task goes to write_cog_ranged
+    instead."""
+    spark = tiles.sparkSession
+    meta = _collect_meta(images_meta, predictor, palette)
+    if not meta:
+        return spark.createDataFrame([], "image_id string, cog binary, cog_bytes long")
+    tiles = tiles.persist()
+    counts: dict[str, dict[int, dict[int, int]]] = {}
+    for r in tiles.select("image_id", "level", "tile_idx", "nbytes").collect():
+        counts.setdefault(r["image_id"], {}).setdefault(r["level"], {})[
+            r["tile_idx"]
+        ] = r["nbytes"]
+    prefixes = {}
+    for img, m in meta.items():
+        levels = plan_levels(m["w"], m["h"], tile, m.get("comp", compression))
+        byte_counts = []
+        for lv, lev in enumerate(levels):
+            cols_g, rows_g = lev.grid
+            per = counts.get(img, {}).get(lv, {})
+            if len(per) != cols_g * rows_g:
+                raise ValueError(
+                    f"{img} level {lv}: {len(per)} tiles != {cols_g * rows_g} expected"
+                )
+            byte_counts.append([per[i] for i in range(cols_g * rows_g)])
+        prefixes[img] = container_prefix(
+            levels,
+            byte_counts,
+            m["c"],
+            m["bits"],
+            m["sample_format"],
+            m["photometric"],
+            m["epsg"],
+            m["origin_x"],
+            m["origin_y"],
+            m["scale_px"],
+            predictor=predictor,
+            big=big,
+            palette=palette,
+        )
+    bpre = spark.sparkContext.broadcast(prefixes)
+
+    def concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = pdf["image_id"].iloc[0]
+        pdf = pdf.sort_values(["level", "tile_idx"])
+        cog = bpre.value[img] + b"".join(pdf["data"].to_numpy())
+        return pd.DataFrame(
+            [(img, cog, len(cog))], columns=["image_id", "cog", "cog_bytes"]
+        )
+
+    return tiles.groupBy("image_id").applyInPandas(
+        concat, schema="image_id string, cog binary, cog_bytes long"
+    )
+
+
+def write_cog_ranged(
+    tiles: DataFrame,
+    images_meta: DataFrame,
+    path: str,
+    tile: int = TILE,
+    compression: int = COMPRESSION_DEFLATE,
+    predictor: int = 1,
+    big: bool = False,
+    palette: np.ndarray | None = None,
+) -> int:
+    """Stream ONE image's compressed tiles to ``path`` in offset order
+    with O(1) driver memory — the single-gigapixel-raster sink (no task
+    and no driver array ever holds the raster or the file).
+
+    The prefix is built from collected tile sizes (metadata), then
+    payloads are appended via toLocalIterator over the (level, tile_idx)-
+    sorted tiles — Spark computes partitions on demand, so peak driver
+    memory is one partition of compressed tiles. On object storage the
+    same collected offsets admit fully-parallel multipart ranged PUTs
+    (every tile's byte range is known before any payload moves); the
+    sandbox has a local filesystem, so the streaming form is the honest
+    measurable variant. Returns total bytes written."""
+    metas = images_meta.limit(2).collect()
+    if len(metas) != 1:
+        raise ValueError("write_cog_ranged sinks exactly one image per path")
+    img = metas[0]["image_id"]
+    tiles = tiles.filter(F.col("image_id") == img).persist()
+    m = _collect_meta(images_meta, predictor, palette)[img]
+    levels = plan_levels(m["w"], m["h"], tile, m.get("comp", compression))
+    per: dict[int, dict[int, int]] = {}
+    for r in tiles.select("level", "tile_idx", "nbytes").collect():
+        per.setdefault(r["level"], {})[r["tile_idx"]] = r["nbytes"]
+    byte_counts = []
+    for lv, lev in enumerate(levels):
+        cols_g, rows_g = lev.grid
+        d = per.get(lv, {})
+        if len(d) != cols_g * rows_g:
+            raise ValueError(f"level {lv}: {len(d)} tiles != {cols_g * rows_g} expected")
+        byte_counts.append([d[i] for i in range(cols_g * rows_g)])
+    prefix = container_prefix(
+        levels,
+        byte_counts,
+        m["c"],
+        m["bits"],
+        m["sample_format"],
+        m["photometric"],
+        m["epsg"],
+        m["origin_x"],
+        m["origin_y"],
+        m["scale_px"],
+        predictor=predictor,
+        big=big,
+        palette=palette,
+    )
+    n = 0
+    with open(path, "wb") as f:
+        f.write(prefix)
+        n += len(prefix)
+        it = (
+            tiles.select("level", "tile_idx", "data")
+            .orderBy("level", "tile_idx")
+            .toLocalIterator()
+        )
+        for r in it:
+            f.write(r["data"])
+            n += len(r["data"])
+    tiles.unpersist()
+    return n

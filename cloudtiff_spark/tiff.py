@@ -170,51 +170,22 @@ def _geokey_directory(epsg: int) -> list[int]:
     return out
 
 
-def encode_cog(
-    pixels: np.ndarray,
-    epsg: int,
-    origin_x: float,
-    origin_y: float,
-    scale_px: float,
-    tile: int = TILE,
-    compression: int = COMPRESSION_DEFLATE,
-    predictor: int = 1,
-    big: bool = False,
-    palette: np.ndarray | None = None,
-    resample: str = "nearest",
-) -> bytes:
-    """Write a classic little-endian tiled GeoTIFF with a full overview
-    pyramid. origin = top-left corner in CRS units (ModelTiepoint with
-    raster point (0,0,0)); scale_px = CRS units/pixel.
-
-    Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
-    (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
-    (unassociated alpha, ExtraSamples=2). With ``palette`` (a (N<=256, 3)
-    u8 array), pixels must be (h,w) u8 INDICES: photometric 3 (RGBPalette,
-    photometrics.rs:26-27) with a ColorMap tag holding the 16-bit R,G,B
-    planes (value*257, the TIFF 6 8->16-bit convention).
-
-    ``big=True`` writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
-    offsets) — required once tile data passes the 4 GiB classic-TIFF
-    offset ceiling, which single-scene mosaics at the 10^12-image design
-    point do hit. The parser reads both transparently.
-
-    ``resample``: overview resampling filter — 'nearest' (the reference
-    render default, ops.rs:70-88) or 'catmullrom' (the Encoder's
-    ResizeFilter::CatmulRod option via the image crate, encode/mod.rs
-    resize path); palette indices always resample nearest (interpolating
-    LUT indices is meaningless)."""
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    h, w, c = pixels.shape
+def _pixel_format_for(
+    dtype: np.dtype, c: int, predictor: int, palette: np.ndarray | None
+) -> tuple[int, int, int]:
+    """Validate a (dtype, samples/pixel) combination and derive the
+    container's (bits, sample_format, photometric) — the typed-reject rules
+    of the single-pass writer, shared with the distributed sink
+    (operators/cogsink.py) so both reject identically before any pixel
+    work (raster/image.rs:26-95 parity)."""
     sample_format = 1  # unsigned integer (TIFF 6 default)
-    if pixels.dtype == np.uint8:
+    if dtype == np.uint8:
         bits = 8
-    elif pixels.dtype == np.uint16:
+    elif dtype == np.uint16:
         bits = 16
         if c != 1:
             raise UnsupportedPixelFormat("16-bit is gray-only (raster/image.rs:40-47)")
-    elif pixels.dtype == np.float32:
+    elif dtype == np.float32:
         # SampleFormat=3 (IEEE float) gray — elevation / NDVI rasters
         # (the reference's Raster carries sample_format generally,
         # raster/mod.rs:31-48)
@@ -227,7 +198,7 @@ def encode_cog(
                 "horizontal predictor 2 is integer-only (TIFF 6 §14); floats need predictor 3"
             )
     else:
-        raise UnsupportedPixelFormat(f"unsupported dtype {pixels.dtype}")
+        raise UnsupportedPixelFormat(f"unsupported dtype {dtype}")
     if predictor == 3 and sample_format != 3:
         raise UnsupportedPixelFormat("predictor 3 is float-only (TIFF TechNote 3)")
     if c not in (1, 3, 4):
@@ -240,40 +211,60 @@ def encode_cog(
         photometric = 3  # RGBPalette
     else:
         photometric = 1 if c == 1 else 2  # min-is-black / RGB
+    return bits, sample_format, photometric
+
+
+def plan_levels(w: int, h: int, tile: int, compression: int) -> list[Level]:
+    """The writer's pyramid plan: level dims halve (floor, min 1) until a
+    level fits one tile (cog/mod.rs:115-129 ordering invariant)."""
     n_lv = num_levels(w, h, tile, tile)
-
-    # per-level tile payloads (level i resampled from level i-1)
-    levels: list[Level] = []
-    level_tiles: list[list[bytes]] = []
-    from .operators.tiling import resample_catmullrom
-
-    if resample not in ("nearest", "catmullrom"):
-        raise ValueError(f"unknown resample filter {resample!r}")
-    resampler = (
-        resample_nearest if resample == "nearest" or palette is not None else resample_catmullrom
-    )
-    cur = pixels
+    out = []
     for lv in range(n_lv):
-        if lv > 0:
-            lw, lh = level_dims(w, h, lv)
-            cur = resampler(cur, lw, lh)
-        lh_, lw_ = cur.shape[:2]
-        lev = Level(lw_, lh_, tile, tile, compression, None if lv == 0 else lv)
+        lw, lh = level_dims(w, h, lv)
+        out.append(Level(lw, lh, tile, tile, compression, None if lv == 0 else lv))
+    return out
+
+
+def container_prefix(
+    levels: list[Level],
+    byte_counts: list[list[int]],
+    c: int,
+    bits: int,
+    sample_format: int,
+    photometric: int,
+    epsg: int,
+    origin_x: float,
+    origin_y: float,
+    scale_px: float,
+    predictor: int = 1,
+    big: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Everything BEFORE the tile-data region — header, IFD chain, external
+    tag payloads — with tile offsets computed from ``byte_counts`` alone
+    (no tile payloads needed). Fills ``levels[i].tile_offsets`` /
+    ``tile_byte_counts`` as a side effect. The container contract is: the
+    returned prefix followed by every level's tile payloads concatenated in
+    (level, tile_idx) order is a valid COG.
+
+    Split out of encode_cog so the distributed sink
+    (operators/cogsink.py) can compress tiles across the cluster, collect
+    only their SIZES (metadata: ~12 bytes/tile), build this prefix on the
+    driver, and stream/range-write payloads without any task ever holding
+    the whole raster."""
+    n_lv = len(levels)
+    for lev, counts in zip(levels, byte_counts):
         cols, rows = lev.grid
-        tiles = []
-        for r in range(rows):
-            for cc in range(cols):
-                t = np.zeros((tile, tile, c), dtype=pixels.dtype)
-                src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
-                t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
-                tiles.append(_compress_tile(t, compression, predictor))
-        levels.append(lev)
-        level_tiles.append(tiles)
+        if len(counts) != cols * rows:
+            raise ValueError(
+                f"level {lev.overview or 0}: {len(counts)} byte counts != {cols * rows} grid tiles"
+            )
+        lev.tile_byte_counts = list(counts)
 
     # tag lists per IFD (values with placeholder offsets)
     def ifd_tags(lv: int) -> list[Tag]:
         lev = levels[lv]
-        n_tiles = len(level_tiles[lv])
+        n_tiles = len(byte_counts[lv])
         tags = [
             Tag(T_NEWSUBFILETYPE, _LONG, [0 if lv == 0 else 1]),
             Tag(T_WIDTH, _LONG, [lev.width]),
@@ -286,7 +277,7 @@ def encode_cog(
             Tag(T_TILEWIDTH, _LONG, [lev.tile_w]),
             Tag(T_TILELENGTH, _LONG, [lev.tile_h]),
             Tag(T_TILEOFFSETS, _LONG8 if big else _LONG, [0] * n_tiles),
-            Tag(T_TILEBYTECOUNTS, _LONG, [len(t) for t in level_tiles[lv]]),
+            Tag(T_TILEBYTECOUNTS, _LONG, list(byte_counts[lv])),
             Tag(T_SAMPLEFORMAT, _SHORT, [sample_format] * c),
         ]
         if c == 4:  # unassociated alpha (raster/image.rs RGBA path)
@@ -329,10 +320,11 @@ def encode_cog(
                 pos += size + (size & 1)
         ext_positions.append(ext)
     # tile data
-    for lv, tiles in enumerate(level_tiles):
-        for t in tiles:
+    for lv, counts in enumerate(byte_counts):
+        levels[lv].tile_offsets = []
+        for n in counts:
             levels[lv].tile_offsets.append(pos)
-            pos += len(t)
+            pos += n
 
     # fill tile offsets into the tag values
     for lv, tags in enumerate(all_tags):
@@ -365,6 +357,98 @@ def encode_cog(
                 assert len(out) == ext_positions[lv][t.code]
                 p = t.payload()
                 out += p + (b"\x00" if len(p) & 1 else b"")
+    return bytes(out)
+
+
+def encode_cog(
+    pixels: np.ndarray,
+    epsg: int,
+    origin_x: float,
+    origin_y: float,
+    scale_px: float,
+    tile: int = TILE,
+    compression: int = COMPRESSION_DEFLATE,
+    predictor: int = 1,
+    big: bool = False,
+    palette: np.ndarray | None = None,
+    resample: str = "nearest",
+) -> bytes:
+    """Write a classic little-endian tiled GeoTIFF with a full overview
+    pyramid. origin = top-left corner in CRS units (ModelTiepoint with
+    raster point (0,0,0)); scale_px = CRS units/pixel.
+
+    Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
+    (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
+    (unassociated alpha, ExtraSamples=2). With ``palette`` (a (N<=256, 3)
+    u8 array), pixels must be (h,w) u8 INDICES: photometric 3 (RGBPalette,
+    photometrics.rs:26-27) with a ColorMap tag holding the 16-bit R,G,B
+    planes (value*257, the TIFF 6 8->16-bit convention).
+
+    ``big=True`` writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
+    offsets) — required once tile data passes the 4 GiB classic-TIFF
+    offset ceiling, which single-scene mosaics at the 10^12-image design
+    point do hit. The parser reads both transparently.
+
+    ``resample``: overview resampling filter — 'nearest' (the reference
+    render default, ops.rs:70-88) or 'catmullrom' (the Encoder's
+    ResizeFilter::CatmulRod option via the image crate, encode/mod.rs
+    resize path); palette indices always resample nearest (interpolating
+    LUT indices is meaningless).
+
+    This single-pass writer holds the whole raster; the distributed
+    equivalent for rasters no task can hold is
+    operators/cogsink.py:encode_cog_blocked (byte-identical output,
+    test-pinned)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    bits, sample_format, photometric = _pixel_format_for(
+        pixels.dtype, c, predictor, palette
+    )
+    levels = plan_levels(w, h, tile, compression)
+    n_lv = len(levels)
+
+    # per-level tile payloads (level i resampled from level i-1)
+    level_tiles: list[list[bytes]] = []
+    from .operators.tiling import resample_catmullrom
+
+    if resample not in ("nearest", "catmullrom"):
+        raise ValueError(f"unknown resample filter {resample!r}")
+    resampler = (
+        resample_nearest if resample == "nearest" or palette is not None else resample_catmullrom
+    )
+    cur = pixels
+    for lv in range(n_lv):
+        if lv > 0:
+            lw, lh = level_dims(w, h, lv)
+            cur = resampler(cur, lw, lh)
+        lev = levels[lv]
+        cols, rows = lev.grid
+        tiles = []
+        for r in range(rows):
+            for cc in range(cols):
+                t = np.zeros((tile, tile, c), dtype=pixels.dtype)
+                src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
+                t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
+                tiles.append(_compress_tile(t, compression, predictor))
+        level_tiles.append(tiles)
+
+    prefix = container_prefix(
+        levels,
+        [[len(t) for t in tiles] for tiles in level_tiles],
+        c,
+        bits,
+        sample_format,
+        photometric,
+        epsg,
+        origin_x,
+        origin_y,
+        scale_px,
+        predictor=predictor,
+        big=big,
+        palette=palette,
+    )
+    out = bytearray(prefix)
     for tiles in level_tiles:
         out += b"".join(tiles)
     return bytes(out)

@@ -1,0 +1,171 @@
+"""Distributed COG sink (operators/cogsink.py): byte identity with the
+single-pass writer across pixel formats, multi-level pyramids, odd
+dimensions (non-exact halving ratios), compressions, and the ranged
+streaming writer."""
+
+import numpy as np
+import pytest
+
+from cloudtiff_spark.errors import UnsupportedPixelFormat
+from cloudtiff_spark.tiff import (
+    COMPRESSION_DEFLATE,
+    COMPRESSION_LZW,
+    cog_info,
+    decode_tile,
+    encode_cog,
+)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _meta_df(spark, image_id, w, h, c, dtype, epsg=32633, ox=500000.0, oy=5200000.0, sp=10.0):
+    return spark.createDataFrame(
+        [(image_id, w, h, c, dtype, epsg, ox, oy, sp)],
+        "image_id string, w int, h int, c int, dtype string, epsg int, "
+        "origin_x double, origin_y double, scale_px double",
+    )
+
+
+def _blocked_bytes(spark, arr, image_id="img", tile=64, **kw):
+    """Run the full distributed path for one array, return the COG bytes."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    meta = _meta_df(spark, image_id, w, h, c, str(arr.dtype))
+    images = spark.createDataFrame(
+        [(image_id, bytearray(arr.tobytes()), w, h, c, str(arr.dtype))],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=tile)
+    tiles = encode_cog_blocked(blocks, meta, tile=tile, **kw)
+    rows = assemble_cogs(tiles, meta, tile=tile, **kw).collect()
+    assert len(rows) == 1
+    return bytes(rows[0]["cog"])
+
+
+CASES = [
+    # (shape, dtype, kwargs) — odd dims force sw/dw ratios != 2 at deeper
+    # levels, the exactness-critical case for the per-tile resample
+    ((200, 300, 3), "uint8", {}),
+    ((333, 217), "uint8", {}),
+    ((129, 65), "uint16", {}),
+    ((100, 101), "float32", {"predictor": 3}),
+    ((150, 220, 3), "uint8", {"compression": COMPRESSION_LZW, "predictor": 2}),
+    ((70, 90, 4), "uint8", {}),
+]
+
+
+@pytest.mark.parametrize("shape,dtype,kw", CASES)
+def test_blocked_matches_single_pass(spark, shape, dtype, kw):
+    r = _rng(hash((shape, dtype)) % 2**32)
+    if dtype == "float32":
+        arr = r.normal(size=shape).astype(np.float32)
+    else:
+        arr = r.integers(0, np.iinfo(dtype).max, size=shape, dtype=dtype)
+    single = encode_cog(arr, 32633, 500000.0, 5200000.0, 10.0, tile=64, **kw)
+    blocked = _blocked_bytes(spark, arr, tile=64, **kw)
+    assert blocked == single  # every container byte, all levels
+
+
+def test_blocked_multi_image(spark):
+    """Several images of different shapes through ONE call — per-image
+    grids must not cross-contaminate."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    specs = [("a", 200, 150), ("b", 65, 64), ("c", 40, 30)]
+    imgs, metas, singles = [], [], {}
+    for iid, w, h in specs:
+        arr = _rng(ord(iid)).integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        imgs.append((iid, bytearray(arr.tobytes()), w, h, 3, "uint8"))
+        metas.append((iid, w, h, 3, "uint8", 32633, 0.0, 0.0, 1.0))
+        singles[iid] = encode_cog(arr, 32633, 0.0, 0.0, 1.0, tile=64)
+    images = spark.createDataFrame(
+        imgs, "image_id string, raster binary, w int, h int, c int, dtype string"
+    )
+    meta = spark.createDataFrame(
+        metas,
+        "image_id string, w int, h int, c int, dtype string, epsg int, "
+        "origin_x double, origin_y double, scale_px double",
+    )
+    tiles = encode_cog_blocked(blocks_from_images(images, tile=64), meta, tile=64)
+    for row in assemble_cogs(tiles, meta, tile=64).collect():
+        assert bytes(row["cog"]) == singles[row["image_id"]], row["image_id"]
+
+
+def test_ranged_writer_streams_identical_file(spark, tmp_path):
+    from cloudtiff_spark.operators.cogsink import (
+        blocks_from_images,
+        encode_cog_blocked,
+        write_cog_ranged,
+    )
+
+    arr = _rng(7).integers(0, 255, size=(300, 280, 3), dtype=np.uint8)
+    single = encode_cog(arr, 3857, 1.0, 2.0, 0.5, tile=64)
+    meta = _meta_df(spark, "big", 280, 300, 3, "uint8", epsg=3857, ox=1.0, oy=2.0, sp=0.5)
+    images = spark.createDataFrame(
+        [("big", bytearray(arr.tobytes()), 280, 300, 3, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    tiles = encode_cog_blocked(blocks_from_images(images, tile=64), meta, tile=64)
+    p = str(tmp_path / "big.tif")
+    n = write_cog_ranged(tiles, meta, p, tile=64)
+    data = open(p, "rb").read()
+    assert n == len(data) == len(single)
+    assert data == single
+
+
+def test_blocked_output_decodes(spark):
+    """Sanity beyond byte equality: the blocked COG decodes to the input
+    pixels at level 0 and a plausible overview at level 1."""
+    arr = _rng(11).integers(0, 255, size=(130, 140, 3), dtype=np.uint8)
+    cog = _blocked_bytes(spark, arr, tile=64)
+    info = cog_info(cog)
+    assert len(info["levels"]) >= 2
+    lv0 = info["levels"][0]
+    cols = -(-lv0["width"] // 64)
+    t0 = decode_tile(cog, info, 0, 0)
+    assert np.array_equal(t0[:64, :64], arr[:64, :64])
+    t_last = decode_tile(cog, info, 0, cols * (-(-lv0["height"] // 64)) - 1)
+    assert np.array_equal(t_last[: 130 - 2 * 64, : 140 - 2 * 64], arr[128:, 128:])
+
+
+def test_blocked_rejects_bad_format_before_cluster_work(spark):
+    from cloudtiff_spark.operators.cogsink import encode_cog_blocked
+
+    meta = _meta_df(spark, "x", 10, 10, 3, "uint16")  # 16-bit is gray-only
+    blocks = spark.createDataFrame([], "image_id string, row int, col int, data binary")
+    with pytest.raises(UnsupportedPixelFormat):
+        encode_cog_blocked(blocks, meta)
+
+
+def test_assemble_rejects_missing_tiles(spark):
+    """A lost tile must fail the assembly loudly, never write a corrupt
+    container."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    arr = _rng(3).integers(0, 255, size=(100, 200, 3), dtype=np.uint8)
+    meta = _meta_df(spark, "m", 200, 100, 3, "uint8")
+    images = spark.createDataFrame(
+        [("m", bytearray(arr.tobytes()), 200, 100, 3, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    tiles = encode_cog_blocked(blocks_from_images(images, tile=64), meta, tile=64)
+    broken = tiles.filter("NOT (level = 0 AND tile_idx = 1)")
+    with pytest.raises(Exception, match="tiles"):
+        assemble_cogs(broken, meta, tile=64).collect()
