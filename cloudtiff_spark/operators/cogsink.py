@@ -73,6 +73,9 @@ def _collect_meta(images_meta: DataFrame, predictor: int, palette) -> dict:
     has_comp = "compression" in images_meta.columns
     if has_comp:
         cols.append("compression")
+    has_spy = "scale_py" in images_meta.columns
+    if has_spy:
+        cols.append("scale_py")
     for r in images_meta.select(*cols).collect():
         if r["dtype"] not in _DTYPES:
             from ..errors import UnsupportedPixelFormat
@@ -97,6 +100,8 @@ def _collect_meta(images_meta: DataFrame, predictor: int, palette) -> dict:
         }
         if has_comp:
             meta[r["image_id"]]["comp"] = int(r["compression"])
+        if has_spy:
+            meta[r["image_id"]]["scale_py"] = float(r["scale_py"])
     return meta
 
 
@@ -403,6 +408,7 @@ def assemble_cogs(
             predictor=predictor,
             big=big,
             palette=palette,
+            scale_py=m.get("scale_py"),
         )
     bpre = spark.sparkContext.broadcast(prefixes)
 
@@ -472,6 +478,7 @@ def write_cog_ranged(
         predictor=predictor,
         big=big,
         palette=palette,
+        scale_py=m.get("scale_py"),
     )
     n = 0
     with open(path, "wb") as f:
@@ -487,3 +494,56 @@ def write_cog_ranged(
             n += len(r["data"])
     tiles.unpersist()
     return n
+
+
+def render_blocks_to_cogs(
+    blocks: DataFrame,
+    queries: DataFrame,
+    tile: int = TILE,
+    compression: int = COMPRESSION_DEFLATE,
+) -> DataFrame:
+    """The gigapixel loop closed: sink ``region_render_blocked(...,
+    emit_blocks=True, block=tile)`` output as one GEOREFERENCED COG per
+    (query_id, image_id) render — distributed end to end, no task ever
+    holding a whole render.
+
+    The render's block grain IS the COG tile grid, so rendered blocks
+    flow straight into the distributed sink with no repixeling. The
+    output CRS is the render's target grid (EPSG:4326, render.py:
+    _out_lonlat): origin at the region's NW corner (rxmin, rymax),
+    anisotropic degrees-per-pixel scale (the lon/lat grid is only
+    square-ish — ModelPixelScale carries x and y independently).
+    Returns (render_id, query_id, image_id, cog, cog_bytes)."""
+    SEP = "\x1f"
+    keyed = blocks.select(
+        F.concat_ws(SEP, "query_id", "image_id").alias("image_id"),
+        F.col("by").alias("row"),
+        F.col("bx").alias("col"),
+        F.col("raster").alias("data"),
+    )
+    meta = (
+        blocks.groupBy("query_id", "image_id")
+        .agg(F.first("out_w").alias("w"), F.first("out_h").alias("h"))
+        .join(queries.select("query_id", "rxmin", "rymin", "rxmax", "rymax"), "query_id")
+        .select(
+            F.concat_ws(SEP, "query_id", "image_id").alias("image_id"),
+            "w",
+            "h",
+            F.lit(3).alias("c"),
+            F.lit("uint8").alias("dtype"),
+            F.lit(4326).alias("epsg"),
+            F.col("rxmin").alias("origin_x"),
+            F.col("rymax").alias("origin_y"),
+            ((F.col("rxmax") - F.col("rxmin")) / F.col("w")).alias("scale_px"),
+            ((F.col("rymax") - F.col("rymin")) / F.col("h")).alias("scale_py"),
+        )
+    )
+    tiles = encode_cog_blocked(keyed, meta, tile=tile, compression=compression)
+    out = assemble_cogs(tiles, meta, tile=tile, compression=compression)
+    return out.select(
+        F.col("image_id").alias("render_id"),
+        F.split("image_id", SEP).getItem(0).alias("query_id"),
+        F.split("image_id", SEP).getItem(1).alias("image_id"),
+        "cog",
+        "cog_bytes",
+    )

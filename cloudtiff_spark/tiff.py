@@ -239,6 +239,7 @@ def container_prefix(
     predictor: int = 1,
     big: bool = False,
     palette: np.ndarray | None = None,
+    scale_py: float | None = None,
 ) -> bytes:
     """Everything BEFORE the tile-data region — header, IFD chain, external
     tag payloads — with tile offsets computed from ``byte_counts`` alone
@@ -291,7 +292,14 @@ def container_prefix(
             tags.append(Tag(T_PREDICTOR, _SHORT, [predictor]))
         if lv == 0:  # geo tags on the full-resolution IFD
             tags += [
-                Tag(T_MODELPIXELSCALE, _DOUBLE, [scale_px, scale_px, 0.0]),
+                Tag(
+                    T_MODELPIXELSCALE,
+                    _DOUBLE,
+                    # anisotropic y scale for rendered-region sinks whose
+                    # lon/lat grid is not square (ModelPixelScale carries
+                    # independent x/y; square remains the default)
+                    [scale_px, scale_px if scale_py is None else scale_py, 0.0],
+                ),
                 Tag(T_MODELTIEPOINT, _DOUBLE, [0.0, 0.0, 0.0, origin_x, origin_y, 0.0]),
                 Tag(T_GEOKEYDIRECTORY, _SHORT, _geokey_directory(epsg)),
             ]

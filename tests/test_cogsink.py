@@ -169,3 +169,62 @@ def test_assemble_rejects_missing_tiles(spark):
     broken = tiles.filter("NOT (level = 0 AND tile_idx = 1)")
     with pytest.raises(Exception, match="tiles"):
         assemble_cogs(broken, meta, tile=64).collect()
+
+
+def test_render_blocks_to_cogs_end_to_end(spark, sf_small):
+    """The gigapixel loop: blocked render (emit_blocks=True, block=tile)
+    -> distributed COG sink. The resulting containers must decode back to
+    the EXACT whole-path region_render rasters and carry the render
+    grid's georeferencing (NW-corner origin, anisotropic scale)."""
+    import os
+
+    from cloudtiff_spark.operators.cogsink import render_blocks_to_cogs
+    from cloudtiff_spark.operators.meta import levels_df
+    from cloudtiff_spark.operators.render import region_render, region_render_blocked
+    from cloudtiff_spark.operators.tiling import build_tiles
+    from cloudtiff_spark.tiff import cog_info, decode_tile, parse_tiff
+
+    images = spark.read.parquet(os.path.join(sf_small, "images.parquet"))
+    meta = spark.read.parquet(os.path.join(sf_small, "images_meta.parquet"))
+    queries = spark.read.parquet(os.path.join(sf_small, "queries.parquet"))
+    tiles = build_tiles(images)
+    lv = levels_df(meta)
+
+    expected = {
+        (r.query_id, r.image_id): (r.out_w, r.out_h, bytes(r.raster))
+        for r in region_render(lv, tiles, queries).collect()
+    }
+    blocks = region_render_blocked(lv, tiles, queries, block=64, emit_blocks=True)
+    cogs = render_blocks_to_cogs(blocks, queries, tile=64).collect()
+    assert len(cogs) == len(expected) > 0
+
+    qbounds = {
+        r.query_id: (r.rxmin, r.rymin, r.rxmax, r.rymax)
+        for r in queries.filter("kind = 'region'").collect()
+    }
+    checked_geo = 0
+    for row in cogs:
+        out_w, out_h, want = expected[(row.query_id, row.image_id)]
+        cog = bytes(row.cog)
+        info = cog_info(cog)
+        lv0 = info["levels"][0]
+        assert (lv0["width"], lv0["height"]) == (out_w, out_h)
+        # reassemble level 0 from its tiles and compare to the whole path
+        cols = -(-out_w // 64)
+        rows_ = -(-out_h // 64)
+        canvas = np.zeros((rows_ * 64, cols * 64, 3), np.uint8)
+        for ti in range(cols * rows_):
+            t = decode_tile(cog, info, 0, ti)
+            rr, cc = ti // cols, ti % cols
+            canvas[rr * 64 : (rr + 1) * 64, cc * 64 : (cc + 1) * 64] = t
+        assert canvas[:out_h, :out_w].tobytes() == want
+        # georeferencing: NW corner + anisotropic per-axis scale
+        rxmin, rymin, rxmax, rymax = qbounds[row.query_id]
+        ifd0 = parse_tiff(cog)["ifds"][0]
+        tp = ifd0[33922]  # ModelTiepoint
+        sc = ifd0[33550]  # ModelPixelScale
+        assert tp[3] == rxmin and tp[4] == rymax
+        assert abs(sc[0] - (rxmax - rxmin) / out_w) < 1e-12
+        assert abs(sc[1] - (rymax - rymin) / out_h) < 1e-12
+        checked_geo += 1
+    assert checked_geo == len(cogs)
