@@ -113,6 +113,22 @@ def _valid_dims(w: int, h: int, tile: int, row: int, col: int) -> tuple[int, int
     return vw, vh
 
 
+def _tile_array(
+    raw: bytes, c: int, dt: np.dtype, tile: int, lw: int, lh: int, row: int, col: int
+) -> np.ndarray:
+    """Rehydrate a raw tile payload to a (tile, tile, c) zero-padded array
+    — accepts both already-padded and valid-region (short edge) payloads.
+    The ONE definition of the raw-bytes layout contract, shared by the
+    level-0 compress and the pyramid resample."""
+    arr = np.frombuffer(raw, dt)
+    if len(arr) == tile * tile * c:  # already padded
+        return arr.reshape(tile, tile, c)
+    vw, vh = _valid_dims(lw, lh, tile, row, col)
+    t = np.zeros((tile, tile, c), dtype=dt)
+    t[:vh, :vw] = arr.reshape(vh, vw, c)
+    return t
+
+
 def blocks_from_images(images: DataFrame, tile: int = TILE) -> DataFrame:
     """Test/fixture fan-out: whole-image raster rows (image_id, raster,
     w, h[, c, dtype]) -> (image_id, row, col, data) raw block rows at the
@@ -194,15 +210,17 @@ def encode_cog_blocked(
                 cls = pdf["col"].to_numpy()
                 dat = pdf["data"].to_numpy()
                 for i in range(len(pdf)):
-                    mm = m[ids[i]]
+                    mm = m.get(ids[i])
+                    if mm is None:
+                        raise ValueError(
+                            f"block references image_id {ids[i]!r} absent from "
+                            "images_meta — the two inputs were filtered differently"
+                        )
                     c, dt = mm["c"], np.dtype(mm["dtype"])
                     lw, lh = level_dims(mm["w"], mm["h"], lv)
-                    vw, vh = _valid_dims(lw, lh, tile, int(rws[i]), int(cls[i]))
-                    raw = np.frombuffer(dat[i], dt)
-                    if len(raw) == tile * tile * c:  # already padded
-                        arr = raw.reshape(tile, tile, c)
-                    else:
-                        arr = pad_tile(raw.reshape(vh, vw, c), c, dt)
+                    arr = _tile_array(
+                        dat[i], c, dt, tile, lw, lh, int(rws[i]), int(cls[i])
+                    )
                     payload = _compress_tile(arr, mm.get("comp", compression), predictor)
                     cols_g, _ = grid_shape(lw, lh, tile, tile)
                     rows.append(
@@ -217,8 +235,12 @@ def encode_cog_blocked(
     max_lv = max(num_levels(m["w"], m["h"], tile, tile) for m in meta.values())
     cur = blocks.select("image_id", "row", "col", "data")
     # each level's raw tiles feed BOTH its compress stage and the next
-    # level's resample — persist so one action computes each level once
+    # level's resample — persist so one action computes each level once;
+    # handles are attached to the returned DataFrame so the consumers
+    # (assemble_cogs / write_cog_ranged) can release the raw-tile caches
+    # once the compressed tiles are materialized
     cur = cur.persist()
+    persisted = [cur]
     out = cur.mapInPandas(compress_level(0), schema=TILE_SCHEMA)
 
     for lv in range(1, max_lv):
@@ -328,12 +350,9 @@ def encode_cog_blocked(
                 sdata = pdf["data"].to_numpy()
                 for i in range(len(pdf)):
                     r, cc = int(srows[i]) - sr0, int(scols[i]) - sc0
-                    raw = np.frombuffer(sdata[i], dt)
-                    if len(raw) == tile * tile * c:
-                        arr = raw.reshape(tile, tile, c)
-                    else:
-                        vw_s, vh_s = _valid_dims(sw, sh, tile, int(srows[i]), int(scols[i]))
-                        arr = pad_tile(raw.reshape(vh_s, vw_s, c), c, dt)
+                    arr = _tile_array(
+                        sdata[i], c, dt, tile, sw, sh, int(srows[i]), int(scols[i])
+                    )
                     mosaic[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile] = arr
                 dst = mosaic[ys - sr0 * tile][:, xs - sc0 * tile]
                 return pd.DataFrame(
@@ -347,8 +366,10 @@ def encode_cog_blocked(
             make_resample(lv), schema=_RAW_SCHEMA
         )
         nxt = nxt.persist()
+        persisted.append(nxt)
         out = out.unionByName(nxt.mapInPandas(compress_level(lv), schema=TILE_SCHEMA))
         cur = nxt
+    out._cogsink_persisted = persisted
     return out
 
 
@@ -376,12 +397,25 @@ def assemble_cogs(
     meta = _collect_meta(images_meta, predictor, palette)
     if not meta:
         return spark.createDataFrame([], "image_id string, cog binary, cog_bytes long")
+    upstream = getattr(tiles, "_cogsink_persisted", [])
     tiles = tiles.persist()
     counts: dict[str, dict[int, dict[int, int]]] = {}
     for r in tiles.select("image_id", "level", "tile_idx", "nbytes").collect():
-        counts.setdefault(r["image_id"], {}).setdefault(r["level"], {})[
-            r["tile_idx"]
-        ] = r["nbytes"]
+        per = counts.setdefault(r["image_id"], {}).setdefault(r["level"], {})
+        if r["tile_idx"] in per:
+            # a duplicate (or a colliding out-of-grid) tile_idx would pass
+            # the per-level count check below yet concatenate BOTH
+            # payloads, shifting every later offset — a silently corrupt
+            # container; fail here instead
+            raise ValueError(
+                f"{r['image_id']} level {r['level']}: duplicate tile_idx "
+                f"{r['tile_idx']} in the tile relation"
+            )
+        per[r["tile_idx"]] = r["nbytes"]
+    # the compressed tiles are materialized in cache now — the raw-tile
+    # level caches encode_cog_blocked persisted are dead weight
+    for df in upstream:
+        df.unpersist()
     prefixes = {}
     for img, m in meta.items():
         levels = plan_levels(m["w"], m["h"], tile, m.get("comp", compression))
@@ -451,49 +485,62 @@ def write_cog_ranged(
     if len(metas) != 1:
         raise ValueError("write_cog_ranged sinks exactly one image per path")
     img = metas[0]["image_id"]
+    upstream = getattr(tiles, "_cogsink_persisted", [])
     tiles = tiles.filter(F.col("image_id") == img).persist()
-    m = _collect_meta(images_meta, predictor, palette)[img]
-    levels = plan_levels(m["w"], m["h"], tile, m.get("comp", compression))
-    per: dict[int, dict[int, int]] = {}
-    for r in tiles.select("level", "tile_idx", "nbytes").collect():
-        per.setdefault(r["level"], {})[r["tile_idx"]] = r["nbytes"]
-    byte_counts = []
-    for lv, lev in enumerate(levels):
-        cols_g, rows_g = lev.grid
-        d = per.get(lv, {})
-        if len(d) != cols_g * rows_g:
-            raise ValueError(f"level {lv}: {len(d)} tiles != {cols_g * rows_g} expected")
-        byte_counts.append([d[i] for i in range(cols_g * rows_g)])
-    prefix = container_prefix(
-        levels,
-        byte_counts,
-        m["c"],
-        m["bits"],
-        m["sample_format"],
-        m["photometric"],
-        m["epsg"],
-        m["origin_x"],
-        m["origin_y"],
-        m["scale_px"],
-        predictor=predictor,
-        big=big,
-        palette=palette,
-        scale_py=m.get("scale_py"),
-    )
-    n = 0
-    with open(path, "wb") as f:
-        f.write(prefix)
-        n += len(prefix)
-        it = (
-            tiles.select("level", "tile_idx", "data")
-            .orderBy("level", "tile_idx")
-            .toLocalIterator()
+    try:
+        m = _collect_meta(images_meta, predictor, palette)[img]
+        levels = plan_levels(m["w"], m["h"], tile, m.get("comp", compression))
+        per: dict[int, dict[int, int]] = {}
+        for r in tiles.select("level", "tile_idx", "nbytes").collect():
+            d = per.setdefault(r["level"], {})
+            if r["tile_idx"] in d:
+                raise ValueError(
+                    f"level {r['level']}: duplicate tile_idx {r['tile_idx']} "
+                    "in the tile relation"
+                )
+            d[r["tile_idx"]] = r["nbytes"]
+        for df in upstream:  # raw-tile caches: dead once tiles materialized
+            df.unpersist()
+        byte_counts = []
+        for lv, lev in enumerate(levels):
+            cols_g, rows_g = lev.grid
+            d = per.get(lv, {})
+            if len(d) != cols_g * rows_g:
+                raise ValueError(
+                    f"level {lv}: {len(d)} tiles != {cols_g * rows_g} expected"
+                )
+            byte_counts.append([d[i] for i in range(cols_g * rows_g)])
+        prefix = container_prefix(
+            levels,
+            byte_counts,
+            m["c"],
+            m["bits"],
+            m["sample_format"],
+            m["photometric"],
+            m["epsg"],
+            m["origin_x"],
+            m["origin_y"],
+            m["scale_px"],
+            predictor=predictor,
+            big=big,
+            palette=palette,
+            scale_py=m.get("scale_py"),
         )
-        for r in it:
-            f.write(r["data"])
-            n += len(r["data"])
-    tiles.unpersist()
-    return n
+        n = 0
+        with open(path, "wb") as f:
+            f.write(prefix)
+            n += len(prefix)
+            it = (
+                tiles.select("level", "tile_idx", "data")
+                .orderBy("level", "tile_idx")
+                .toLocalIterator()
+            )
+            for r in it:
+                f.write(r["data"])
+                n += len(r["data"])
+        return n
+    finally:
+        tiles.unpersist()
 
 
 def render_blocks_to_cogs(
@@ -515,6 +562,11 @@ def render_blocks_to_cogs(
     square-ish — ModelPixelScale carries x and y independently).
     Returns (render_id, query_id, image_id, cog, cog_bytes)."""
     SEP = "\x1f"
+    # the render is the expensive stage and THREE driver-side actions read
+    # it (the meta collect in encode, the meta collect in assemble, the
+    # tile-size collect) — persist so it runs once, released below once
+    # the compressed tiles are materialized
+    blocks = blocks.persist()
     keyed = blocks.select(
         F.concat_ws(SEP, "query_id", "image_id").alias("image_id"),
         F.col("by").alias("row"),
@@ -540,6 +592,9 @@ def render_blocks_to_cogs(
     )
     tiles = encode_cog_blocked(keyed, meta, tile=tile, compression=compression)
     out = assemble_cogs(tiles, meta, tile=tile, compression=compression)
+    # assemble_cogs returned => compressed tiles are cached; the raw
+    # render blocks are no longer needed
+    blocks.unpersist()
     return out.select(
         F.col("image_id").alias("render_id"),
         F.split("image_id", SEP).getItem(0).alias("query_id"),

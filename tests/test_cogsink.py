@@ -52,20 +52,22 @@ def _blocked_bytes(spark, arr, image_id="img", tile=64, **kw):
 
 
 CASES = [
-    # (shape, dtype, kwargs) — odd dims force sw/dw ratios != 2 at deeper
-    # levels, the exactness-critical case for the per-tile resample
-    ((200, 300, 3), "uint8", {}),
-    ((333, 217), "uint8", {}),
-    ((129, 65), "uint16", {}),
-    ((100, 101), "float32", {"predictor": 3}),
-    ((150, 220, 3), "uint8", {"compression": COMPRESSION_LZW, "predictor": 2}),
-    ((70, 90, 4), "uint8", {}),
+    # (seed, shape, dtype, kwargs) — odd dims force sw/dw ratios != 2 at
+    # deeper levels, the exactness-critical case for the per-tile
+    # resample; seeds are literal so a failing pixel array is replayable
+    # (hash() is salted per process)
+    (101, (200, 300, 3), "uint8", {}),
+    (102, (333, 217), "uint8", {}),
+    (103, (129, 65), "uint16", {}),
+    (104, (100, 101), "float32", {"predictor": 3}),
+    (105, (150, 220, 3), "uint8", {"compression": COMPRESSION_LZW, "predictor": 2}),
+    (106, (70, 90, 4), "uint8", {}),
 ]
 
 
-@pytest.mark.parametrize("shape,dtype,kw", CASES)
-def test_blocked_matches_single_pass(spark, shape, dtype, kw):
-    r = _rng(hash((shape, dtype)) % 2**32)
+@pytest.mark.parametrize("seed,shape,dtype,kw", CASES)
+def test_blocked_matches_single_pass(spark, seed, shape, dtype, kw):
+    r = _rng(seed)
     if dtype == "float32":
         arr = r.normal(size=shape).astype(np.float32)
     else:
@@ -168,6 +170,29 @@ def test_assemble_rejects_missing_tiles(spark):
     tiles = encode_cog_blocked(blocks_from_images(images, tile=64), meta, tile=64)
     broken = tiles.filter("NOT (level = 0 AND tile_idx = 1)")
     with pytest.raises(Exception, match="tiles"):
+        assemble_cogs(broken, meta, tile=64).collect()
+
+
+def test_assemble_rejects_duplicate_tiles(spark):
+    """A duplicated tile_idx passes the per-level COUNT check but would
+    concatenate both payloads and shift every later offset — it must fail
+    loudly, not write a corrupt container."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    arr = _rng(5).integers(0, 255, size=(100, 200, 3), dtype=np.uint8)
+    meta = _meta_df(spark, "d", 200, 100, 3, "uint8")
+    images = spark.createDataFrame(
+        [("d", bytearray(arr.tobytes()), 200, 100, 3, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    tiles = encode_cog_blocked(blocks_from_images(images, tile=64), meta, tile=64)
+    dup = tiles.filter("level = 0 AND tile_idx = 2")
+    broken = tiles.filter("NOT (level = 0 AND tile_idx = 1)").unionByName(dup)
+    with pytest.raises(Exception, match="duplicate tile_idx"):
         assemble_cogs(broken, meta, tile=64).collect()
 
 
