@@ -643,6 +643,7 @@ def cog_info(data: bytes) -> dict:
                 compression=tags[T_COMPRESSION][0],
                 predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
                 fill_order=tags.get(T_FILLORDER, [1])[0],
+                planar=tags.get(T_PLANARCONFIG, [1])[0],
                 bits_per_sample=tags.get(T_BITSPERSAMPLE, [8]),
                 samples_per_pixel=tags.get(
                     T_SAMPLESPERPIXEL, [len(tags.get(T_BITSPERSAMPLE, [8]))]
@@ -711,6 +712,14 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # too — reject loudly rather than reverse bits per byte
         raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
     spp = lev.get("samples_per_pixel", 3)
+    if lev.get("planar", 1) != 1 and spp > 1:
+        # tag 284=2 stores each sample as a separate plane (RRR..GGG..BBB);
+        # the chunky de-interleave below would shred it. The reference only
+        # writes chunky (encode/mod.rs:264) and its reader never consults
+        # the tag (level.rs:301-373 assumes chunky) — reject loudly rather
+        # than decode planar data silently wrong. spp==1 is exempt: with a
+        # single sample the two layouts are byte-identical.
+        raise UnsupportedPixelFormat("PlanarConfiguration 2 (planar) unsupported")
     bits = lev.get("bits_per_sample", [8])[0]
     if set(lev.get("bits_per_sample", [8])) - {bits}:
         raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")

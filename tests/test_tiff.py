@@ -623,6 +623,39 @@ class TestBitPackedGray:
         with _pytest.raises(UnsupportedPixelFormat, match="FillOrder"):
             tiff.decode_tile(data, info, 0, 0)
 
+    def test_planar_2_rejected_for_multiband(self):
+        """Tag 284=2 (separate sample planes) would be shredded by the
+        chunky de-interleave — must reject loudly, like FillOrder=2. The
+        writer emits chunky (tag 284=1), matching encode/mod.rs:264, and
+        cog_info must actually parse the tag from bytes."""
+        import numpy as np
+        import pytest as _pytest
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        img = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3) % 255
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4)
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["planar"] == 1  # parsed from tag 284
+        info["levels"][0]["planar"] = 2
+        with _pytest.raises(UnsupportedPixelFormat, match="Planar"):
+            tiff.decode_tile(data, info, 0, 0)
+
+    def test_planar_2_single_band_still_decodes(self):
+        """With one sample per pixel, chunky and planar layouts are
+        byte-identical, so planar=2 gray tiles must keep decoding."""
+        import numpy as np
+
+        from cloudtiff_spark import tiff
+
+        img = (np.arange(64 * 64, dtype=np.uint8) % 251).reshape(64, 64)
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4)
+        info = tiff.cog_info(data)
+        info["levels"][0]["planar"] = 2
+        t = tiff.decode_tile(data, info, 0, 0)
+        assert t[:, :, 0].tolist() == img.tolist()
+
     def test_is_truncation_excludes_typed_rejects(self):
         """is_truncation encodes the TRUNCATION_ERRORS ordering invariant
         (ADVICE r5): CloudTiffError subclasses ValueError, so a naive
