@@ -633,3 +633,123 @@ def ensure_progressive_dir(sf_name: str = "sf0.01") -> str:
         f.write(want)
     os.replace(tmpm, marker)
     return prog_dir
+
+
+#: JPEG-in-TIFF correctness family (TechNote 2, compression 7): expected
+#: hashes come from the CODEC-ONLY path (encode_jpeg/decode_jpeg of an
+#: independently rebuilt pyramid tile) — the container layer (tag 347
+#: split/merge, offsets, abbreviated streams) is what the graded query
+#: adds on top, so any container bug diverges from the expected hash.
+_JPEGCOG_COUNT = 14
+
+
+def _jpeg_pyramid_tiles(img: np.ndarray, tile: int):
+    """Yield (level, tile_idx, padded_tile) for the writer's pyramid plan
+    (level i resampled nearest from level i-1, zero-padded edge tiles) —
+    the same deterministic plan encode_cog executes, rebuilt here without
+    the container so the fixture's expected side stays codec-only."""
+    from .grid import grid_shape, level_dims, num_levels
+    from .operators.tiling import resample_nearest
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    cur = img
+    for lv in range(num_levels(w, h, tile, tile)):
+        if lv > 0:
+            lw, lh = level_dims(w, h, lv)
+            cur = resample_nearest(cur, lw, lh)
+        cols, rows = grid_shape(cur.shape[1], cur.shape[0], tile, tile)
+        for r in range(rows):
+            for cc in range(cols):
+                t = np.zeros((tile, tile, c), dtype=img.dtype)
+                src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
+                t[: src.shape[0], : src.shape[1]] = src
+                yield lv, r * cols + cc, t
+
+
+def ensure_jpeg_cog_dir(sf_name: str = "sf0.01") -> str:
+    """Materialize <fixture>/cogs_jpeg/: cogs.parquet (image_id, cog,
+    layout) + expected_jpeg.parquet (image_id, level, tile_idx, pix_hash).
+
+    Two container layouts, both spec-legal (TIFF TechNote 2):
+    - 'shared': encode_cog output — abbreviated tile streams + one
+      JPEGTables tag 347 per IFD (the GDAL-style COG layout);
+    - 'standalone': self-contained interchange streams per tile, NO tag
+      347 (foreign writers) — container built from container_prefix + the
+      codec payloads directly.
+    pix_hash is the xxh64 of decode_jpeg(encode_jpeg(tile)) bytes (gray
+    reduced to 1 sample, matching decode_tile's output)."""
+    from . import TILE
+    from .jpeg import decode_jpeg, encode_jpeg
+    from .oracle_expected import xxh64
+    from .tiff import COMPRESSION_JPEG, container_prefix, encode_cog, plan_levels
+
+    out_dir = ensure_fixtures(sf_name)
+    jdir = os.path.join(out_dir, "cogs_jpeg")
+    marker = os.path.join(jdir, "_COMPLETE")
+    want = f"jpegcog={_JPEGCOG_COUNT} v1\n"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return jdir
+        import shutil
+
+        shutil.rmtree(jdir, ignore_errors=True)
+    os.makedirs(jdir, exist_ok=True)
+    cog_rows, exp_rows = [], []
+    for i in range(_JPEGCOG_COUNT):
+        image_id = f"jpegcog_{i:03d}"
+        rng = _rng_for(f"jpegcog:{image_id}")
+        w, h = 70 + 41 * i, 60 + 37 * i
+        quality = [95, 90, 75, 50][i % 4]
+        gray = i % 3 == 2
+        shape = (h // 8 + 1, w // 8 + 1) + (() if gray else (3,))
+        base = rng.integers(0, 256, shape).astype(np.float64)
+        ones = np.ones((8, 8) + (() if gray else (1,)))
+        img = np.clip(np.kron(base, ones)[:h, :w], 0, 255).astype(np.uint8)
+        layout = "standalone" if i % 5 == 4 else "shared"
+        payloads: dict[int, list[bytes]] = {}
+        for lv, ti, t in _jpeg_pyramid_tiles(img, TILE):
+            full = encode_jpeg(t if t.shape[2] == 3 else t[:, :, 0], quality)
+            payloads.setdefault(lv, []).append(full)
+            px = decode_jpeg(full)
+            if t.shape[2] == 1:
+                px = px[:, :, :1]
+            exp_rows.append(
+                {
+                    "image_id": image_id,
+                    "level": lv,
+                    "tile_idx": ti,
+                    "pix_hash": np.int64(np.uint64(xxh64(px.tobytes()))).item(),
+                }
+            )
+        if layout == "shared":
+            cog = encode_cog(
+                img, 4326, 0.0, 50.0, 1e-4,
+                compression=COMPRESSION_JPEG, quality=quality,
+            )
+        else:
+            levels = plan_levels(w, h, TILE, COMPRESSION_JPEG)
+            counts = [[len(p) for p in payloads[lv]] for lv in range(len(levels))]
+            prefix = container_prefix(
+                levels, counts, 1 if gray else 3, 8, 1, 1 if gray else 6,
+                4326, 0.0, 50.0, 1e-4,
+            )
+            cog = prefix + b"".join(
+                p for lv in range(len(levels)) for p in payloads[lv]
+            )
+        cog_rows.append({"image_id": image_id, "cog": cog, "layout": layout})
+    for name, rows in (
+        ("cogs.parquet", cog_rows),
+        ("expected_jpeg.parquet", exp_rows),
+    ):
+        tbl = pa.Table.from_pylist(rows)
+        tmp = os.path.join(jdir, f".{name}.{os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(jdir, name))
+    tmpm = marker + f".{os.getpid()}.tmp"
+    with open(tmpm, "w") as f:
+        f.write(want)
+    os.replace(tmpm, marker)
+    return jdir

@@ -510,6 +510,50 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """TIFF TechNote 2 split of a full interchange stream: returns
+    ``(tables, abbreviated)`` where ``tables`` is an abbreviated
+    table-specification stream (SOI + every DQT/DHT segment + EOI — the
+    JPEGTables tag 347 payload, shared by all tiles of an IFD) and
+    ``abbreviated`` is the per-tile stream with those segments removed
+    (SOI + SOF/DRI/SOS + entropy data + EOI). ``merge_jpeg_tables``
+    inverts the split. From SOS onward bytes are copied verbatim (entropy
+    data carries no table segments)."""
+    if len(stream) < 4 or stream[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise JpegError(f"marker expected at {pos}")
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        if marker == 0xDA:  # SOS: remainder is entropy data + EOI, verbatim
+            rest += stream[pos:]
+            tables += b"\xff\xd9"
+            return bytes(tables), bytes(rest)
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    raise JpegError("no SOS found")
+
+
+def merge_jpeg_tables(tables: bytes, abbreviated: bytes) -> bytes:
+    """Inverse of ``split_jpeg_tables``: prepend the JPEGTables stream
+    (minus its EOI) to the abbreviated tile stream (minus its SOI). Safe
+    even if the tile stream carries its own tables — later definitions
+    override earlier ones in the decoder."""
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise JpegError("JPEGTables is not an SOI..EOI stream")
+    if len(abbreviated) < 2 or abbreviated[:2] != b"\xff\xd8":
+        raise JpegError("tile stream has no SOI")
+    return tables[:-2] + abbreviated[2:]
+
+
 def _destuff(data: bytes, start: int) -> tuple[bytes, int]:
     """Strip 0xFF00 stuffing from the entropy-coded segment starting at
     `start`; stop at the first real marker. Returns (clean bytes, marker

@@ -58,6 +58,7 @@ T_PREDICTOR = 317
 T_FILLORDER = 266
 T_EXTRASAMPLES = 338
 T_SAMPLEFORMAT = 339
+T_JPEGTABLES = 347  # TIFF TechNote 2: shared DQT/DHT stream for tag-7 tiles
 T_MODELPIXELSCALE = 33550
 T_MODELTIEPOINT = 33922
 T_MODELTRANSFORMATION = 34264
@@ -73,9 +74,10 @@ GK_ANGULAR_UNITS = 2054
 GK_PROJECTED_CS_TYPE = 3072
 
 COMPRESSION_LZW = 5
+COMPRESSION_JPEG = 7  # TechNote 2 "new-style" JPEG-in-TIFF (abbreviated streams)
 COMPRESSION_DEFLATE = 8  # "Adobe deflate" (zlib), compression.rs:217-221
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 12: 8, 16: 8}
 _SHORT, _LONG, _DOUBLE, _LONG8 = 3, 4, 12, 16
 
 
@@ -86,7 +88,7 @@ class Tag:
     values: list
 
     def payload(self, endian: str = "<") -> bytes:
-        fmt = {1: "B", 3: "H", 4: "I", 12: "d", 16: "Q"}[self.dtype]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B", 12: "d", 16: "Q"}[self.dtype]
         return struct.pack(f"{endian}{len(self.values)}{fmt}", *self.values)
 
 
@@ -240,6 +242,7 @@ def container_prefix(
     big: bool = False,
     palette: np.ndarray | None = None,
     scale_py: float | None = None,
+    jpeg_tables: bytes | None = None,
 ) -> bytes:
     """Everything BEFORE the tile-data region — header, IFD chain, external
     tag payloads — with tile offsets computed from ``byte_counts`` alone
@@ -290,6 +293,10 @@ def container_prefix(
             tags.append(Tag(T_COLORMAP, _SHORT, pal.T.reshape(-1).tolist()))
         if predictor != 1:
             tags.append(Tag(T_PREDICTOR, _SHORT, [predictor]))
+        if jpeg_tables is not None:
+            # TechNote 2: shared DQT/DHT stream, one copy per IFD that
+            # uses it (tile payloads are abbreviated SOI+SOF+SOS streams)
+            tags.append(Tag(T_JPEGTABLES, 7, list(jpeg_tables)))
         if lv == 0:  # geo tags on the full-resolution IFD
             tags += [
                 Tag(
@@ -380,6 +387,7 @@ def encode_cog(
     big: bool = False,
     palette: np.ndarray | None = None,
     resample: str = "nearest",
+    quality: int = 90,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
@@ -413,6 +421,19 @@ def encode_cog(
     bits, sample_format, photometric = _pixel_format_for(
         pixels.dtype, c, predictor, palette
     )
+    jpeg = compression == COMPRESSION_JPEG
+    if jpeg:
+        # TechNote 2 lossy tiles: 8-bit gray or RGB only; the entropy
+        # stream has no use for a TIFF predictor and palette indices must
+        # never pass through a lossy codec
+        if pixels.dtype != np.uint8 or c not in (1, 3):
+            raise UnsupportedPixelFormat("JPEG tiles are 8-bit gray or RGB only")
+        if predictor != 1:
+            raise UnsupportedPixelFormat("JPEG tiles take no TIFF predictor")
+        if palette is not None:
+            raise UnsupportedPixelFormat("palette indices cannot be JPEG-compressed")
+        if c == 3:
+            photometric = 6  # YCbCr: what the entropy stream stores (TechNote 2)
     levels = plan_levels(w, h, tile, compression)
     n_lv = len(levels)
 
@@ -425,6 +446,10 @@ def encode_cog(
     resampler = (
         resample_nearest if resample == "nearest" or palette is not None else resample_catmullrom
     )
+    jpeg_tables: bytes | None = None
+    if jpeg:
+        from .jpeg import encode_jpeg, split_jpeg_tables
+
     cur = pixels
     for lv in range(n_lv):
         if lv > 0:
@@ -438,7 +463,16 @@ def encode_cog(
                 t = np.zeros((tile, tile, c), dtype=pixels.dtype)
                 src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
                 t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
-                tiles.append(_compress_tile(t, compression, predictor))
+                if jpeg:
+                    # DQT/DHT are fixed by `quality` (standard Annex K
+                    # Huffman tables), so every tile splits to the SAME
+                    # tables stream — shared once via tag 347 and the
+                    # payloads stay abbreviated (SOI+SOF+SOS)
+                    full = encode_jpeg(t if c == 3 else t[:, :, 0], quality)
+                    jpeg_tables, abbrev = split_jpeg_tables(full)
+                    tiles.append(abbrev)
+                else:
+                    tiles.append(_compress_tile(t, compression, predictor))
         level_tiles.append(tiles)
 
     prefix = container_prefix(
@@ -455,6 +489,7 @@ def encode_cog(
         predictor=predictor,
         big=big,
         palette=palette,
+        jpeg_tables=jpeg_tables,
     )
     out = bytearray(prefix)
     for tiles in level_tiles:
@@ -493,7 +528,7 @@ def parse_tiff(data: bytes) -> dict:
     else:
         raise NotATiff(f"bad TIFF magic {magic}")
 
-    fmt_by_type = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+    fmt_by_type = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
     ifds = []
     pos = first
     while pos:
@@ -551,6 +586,7 @@ _TAG_NAMES = {
     277: "SamplesPerPixel", 284: "PlanarConfiguration", 317: "Predictor",
     322: "TileWidth", 323: "TileLength", 324: "TileOffsets",
     325: "TileByteCounts", 338: "ExtraSamples", 339: "SampleFormat",
+    347: "JPEGTables",
     33550: "ModelPixelScale", 33922: "ModelTiepoint",
     34264: "ModelTransformation", 34735: "GeoKeyDirectory",
     34736: "GeoDoubleParams", 34737: "GeoAsciiParams",
@@ -644,6 +680,9 @@ def cog_info(data: bytes) -> dict:
                 predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
                 fill_order=tags.get(T_FILLORDER, [1])[0],
                 planar=tags.get(T_PLANARCONFIG, [1])[0],
+                jpeg_tables=(
+                    bytes(tags[T_JPEGTABLES]) if T_JPEGTABLES in tags else None
+                ),
                 bits_per_sample=tags.get(T_BITSPERSAMPLE, [8]),
                 samples_per_pixel=tags.get(
                     T_SAMPLESPERPIXEL, [len(tags.get(T_BITSPERSAMPLE, [8]))]
@@ -697,6 +736,27 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     off = lev["offsets"][tile_idx]
     cnt = lev["byte_counts"][tile_idx]
     raw = data[off : off + cnt]
+    spp = lev.get("samples_per_pixel", 3)
+    if lev.get("planar", 1) != 1 and spp > 1:
+        # tag 284=2 stores each sample as a separate plane (RRR..GGG..BBB);
+        # the chunky de-interleave below would shred it. The reference only
+        # writes chunky (encode/mod.rs:264) and its reader never consults
+        # the tag (level.rs:301-373 assumes chunky) — reject loudly rather
+        # than decode planar data silently wrong. spp==1 is exempt: with a
+        # single sample the two layouts are byte-identical.
+        raise UnsupportedPixelFormat("PlanarConfiguration 2 (planar) unsupported")
+    if lev["compression"] == COMPRESSION_JPEG:
+        # TechNote 2 "new-style" JPEG tiles: the payload is an (often
+        # abbreviated) interchange stream; tag 347 carries the shared
+        # DQT/DHT. Merging is safe even when a tile carries its own
+        # tables (later definitions win). decode_jpeg converts the
+        # stored YCbCr (photometric 6) to RGB; gray tiles keep 1 sample.
+        from .jpeg import decode_jpeg, merge_jpeg_tables
+
+        tbl = lev.get("jpeg_tables")
+        stream = merge_jpeg_tables(tbl, raw) if tbl else raw
+        rgb = decode_jpeg(stream)
+        return rgb[:, :, :1] if spp == 1 else rgb
     if lev["compression"] == COMPRESSION_DEFLATE:
         buf = zlib.decompress(raw)
     elif lev["compression"] == COMPRESSION_LZW:
@@ -711,15 +771,6 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # LSB-first bytes would decode 8/16/32-bit samples silently wrong
         # too — reject loudly rather than reverse bits per byte
         raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
-    spp = lev.get("samples_per_pixel", 3)
-    if lev.get("planar", 1) != 1 and spp > 1:
-        # tag 284=2 stores each sample as a separate plane (RRR..GGG..BBB);
-        # the chunky de-interleave below would shred it. The reference only
-        # writes chunky (encode/mod.rs:264) and its reader never consults
-        # the tag (level.rs:301-373 assumes chunky) — reject loudly rather
-        # than decode planar data silently wrong. spp==1 is exempt: with a
-        # single sample the two layouts are byte-identical.
-        raise UnsupportedPixelFormat("PlanarConfiguration 2 (planar) unsupported")
     bits = lev.get("bits_per_sample", [8])[0]
     if set(lev.get("bits_per_sample", [8])) - {bits}:
         raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")

@@ -445,7 +445,7 @@ class TestTypedErrors:
         with pytest.raises(CompressionNotSupported):
             tiff.encode_cog(
                 rng.integers(0, 256, (16, 16, 3), np.uint8), 4326, 0.0, 0.0, 1.0,
-                compression=7,  # JPEG-in-TIFF: not emitted by the reference
+                compression=34712,  # JPEG 2000: unsupported (7 graduated round 6)
             )
 
 
@@ -709,3 +709,147 @@ class TestBitPackedGray:
             except Exception as exc:  # noqa: BLE001 - the assertion target
                 raise AssertionError(f"prefix {k}: unexpected {type(exc).__name__}: {exc}")
             assert len(got["levels"]) == len(full["levels"]), k
+
+
+class TestJpegCog:
+    """TIFF TechNote 2 'new-style' JPEG tiles (compression 7): shared
+    DQT/DHT via tag 347 + abbreviated per-tile streams. The reference
+    supports Deflate/LZW only (cog/compression.rs); JPEG COGs are the
+    dominant aerial-imagery layout, decoded here with the repo's
+    from-spec T.81 codec (jpeg.py)."""
+
+    @staticmethod
+    def _smooth_rgb(seed=7, h=300, w=380):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (h // 8 + 1, w // 8 + 1, 3)).astype(np.float64)
+        return np.clip(np.kron(base, np.ones((8, 8, 1)))[:h, :w], 0, 255).astype(
+            np.uint8
+        )
+
+    def test_roundtrip_bitexact_vs_codec(self):
+        """Container plumbing adds nothing: a tile decoded out of the COG
+        (ranged fetch + tag-347 merge) is byte-identical to
+        decode_jpeg(encode_jpeg(same padded tile))."""
+        import numpy as np
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth_rgb()
+        data = tiff.encode_cog(
+            img, 4326, 0.0, 50.0, 1e-4, compression=tiff.COMPRESSION_JPEG, quality=90
+        )
+        info = tiff.cog_info(data)
+        lev0 = info["levels"][0]
+        assert lev0["compression"] == 7
+        assert lev0["photometric"] == 6  # YCbCr stored in the entropy stream
+        assert lev0["jpeg_tables"][:2] == b"\xff\xd8"
+        t = tiff.decode_tile(data, info, 0, 0)
+        pad = np.zeros((TILE, TILE, 3), np.uint8)
+        pad[:] = img[:TILE, :TILE]
+        assert np.array_equal(t, decode_jpeg(encode_jpeg(pad, 90)))
+        # every level/tile decodes; tag 347 present on every IFD
+        for lv, lev in enumerate(info["levels"]):
+            assert lev["jpeg_tables"] == lev0["jpeg_tables"]
+            for ti in range(len(lev["offsets"])):
+                out = tiff.decode_tile(data, info, lv, ti)
+                assert out.shape == (TILE, TILE, 3)
+
+    def test_gray_single_sample(self):
+        import numpy as np
+
+        from cloudtiff_spark import TILE, tiff
+
+        rng = np.random.default_rng(3)
+        g = np.clip(
+            np.kron(rng.integers(0, 256, (40, 50)).astype(np.float64), np.ones((8, 8)))[
+                :300, :380
+            ],
+            0,
+            255,
+        ).astype(np.uint8)
+        data = tiff.encode_cog(g, 4326, 0.0, 50.0, 1e-4, compression=tiff.COMPRESSION_JPEG)
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["photometric"] == 1
+        t = tiff.decode_tile(data, info, 0, 0)
+        assert t.shape == (TILE, TILE, 1)
+        # quality 90 on a blocky gray image: near-lossless
+        assert np.abs(t[:, :, 0].astype(int) - g[:TILE, :TILE].astype(int)).max() <= 2
+
+    def test_split_merge_inverts(self):
+        """split_jpeg_tables -> merge_jpeg_tables reproduces a stream whose
+        decode is byte-identical to the original; the tables stream holds
+        ONLY DQT/DHT segments."""
+        import numpy as np
+
+        from cloudtiff_spark.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            merge_jpeg_tables,
+            split_jpeg_tables,
+        )
+
+        img = self._smooth_rgb(seed=11, h=64, w=64)
+        full = encode_jpeg(img, 75)
+        tables, abbrev = split_jpeg_tables(full)
+        assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+        # walk tables: only DQT (0xDB) / DHT (0xC4) segments inside
+        import struct as _s
+
+        pos = 2
+        while pos < len(tables) - 2:
+            assert tables[pos] == 0xFF and tables[pos + 1] in (0xDB, 0xC4)
+            (seglen,) = _s.unpack_from(">H", tables, pos + 2)
+            pos += 2 + seglen
+        merged = merge_jpeg_tables(tables, abbrev)
+        assert np.array_equal(decode_jpeg(merged), decode_jpeg(full))
+
+    def test_full_stream_tiles_without_tables_tag(self):
+        """Foreign-writer layout: compression 7 with self-contained
+        interchange streams per tile and NO tag 347 must decode too."""
+        import numpy as np
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth_rgb(seed=5, h=TILE, w=TILE)
+        payload = encode_jpeg(img, 85)
+        levels = tiff.plan_levels(TILE, TILE, TILE, tiff.COMPRESSION_JPEG)
+        prefix = tiff.container_prefix(
+            levels, [[len(payload)]], 3, 8, 1, 6, 4326, 0.0, 50.0, 1e-4
+        )
+        data = prefix + payload
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["jpeg_tables"] is None
+        t = tiff.decode_tile(data, info, 0, 0)
+        assert np.array_equal(t, decode_jpeg(payload))
+
+    def test_typed_rejects(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        rgb = self._smooth_rgb(seed=2, h=70, w=70)
+        for kwargs, msg in [
+            (dict(pixels=rgb.astype(np.uint16)[:, :, 0]), "8-bit"),
+            (dict(pixels=rgb, predictor=2), "predictor"),
+            (
+                dict(pixels=rgb[:, :, 0], palette=np.zeros((4, 3), np.uint8)),
+                "palette",
+            ),
+            (dict(pixels=np.dstack([rgb, rgb[:, :, :1]])), "gray or RGB"),
+        ]:
+            with _pytest.raises(UnsupportedPixelFormat, match=msg):
+                tiff.encode_cog(
+                    kwargs.pop("pixels"),
+                    4326,
+                    0.0,
+                    50.0,
+                    1e-4,
+                    compression=tiff.COMPRESSION_JPEG,
+                    **kwargs,
+                )
