@@ -54,7 +54,7 @@ PARSED_SCHEMA = StructType(
     ]
 )
 
-_COMP_NAME = {COMPRESSION_DEFLATE: "deflate", COMPRESSION_LZW: "lzw", 1: "none"}
+_COMP_NAME = {COMPRESSION_DEFLATE: "deflate", COMPRESSION_LZW: "lzw", 7: "jpeg", 1: "none"}
 
 
 def write_cogs(images_with_geo: DataFrame) -> DataFrame:

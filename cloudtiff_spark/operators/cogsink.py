@@ -48,10 +48,13 @@ from pyspark.sql import functions as F
 from ..grid import grid_shape, level_dims, num_levels
 from ..tiff import (
     COMPRESSION_DEFLATE,
+    COMPRESSION_JPEG,
     TILE,
     _compress_tile,
     _pixel_format_for,
     container_prefix,
+    jpeg_photometric_for,
+    jpeg_tables_for,
     plan_levels,
 )
 
@@ -61,7 +64,9 @@ _RAW_SCHEMA = "image_id string, row int, col int, data binary"
 _DTYPES = {"uint8": np.uint8, "uint16": np.uint16, "float32": np.float32}
 
 
-def _collect_meta(images_meta: DataFrame, predictor: int, palette) -> dict:
+def _collect_meta(
+    images_meta: DataFrame, predictor: int, palette, compression: int
+) -> dict:
     """images_meta (image_id, w, h, c, dtype, epsg, origin_x, origin_y,
     scale_px[, compression]) -> {image_id: dict} with formats validated UP
     FRONT (same typed rejects as encode_cog) so a bad dtype fails before
@@ -85,6 +90,11 @@ def _collect_meta(images_meta: DataFrame, predictor: int, palette) -> dict:
         bits, sample_format, photometric = _pixel_format_for(
             dt, int(r["c"]), predictor, palette
         )
+        eff_comp = int(r["compression"]) if has_comp else compression
+        if eff_comp == COMPRESSION_JPEG:
+            # same typed rejects + photometric override (6 YCbCr / 1 gray)
+            # as encode_cog's JPEG path — fail before any cluster work
+            photometric = jpeg_photometric_for(dt, int(r["c"]), predictor, palette)
         meta[r["image_id"]] = {
             "w": int(r["w"]),
             "h": int(r["h"]),
@@ -166,6 +176,7 @@ def encode_cog_blocked(
     compression: int = COMPRESSION_DEFLATE,
     predictor: int = 1,
     palette: np.ndarray | None = None,
+    quality: int = 90,
 ) -> DataFrame:
     """Blocks -> compressed COG tile rows for EVERY pyramid level.
 
@@ -174,14 +185,17 @@ def encode_cog_blocked(
     row-major; edge blocks short). images_meta: one row per image
     (image_id, w, h, c, dtype, epsg, origin_x, origin_y, scale_px).
     Returns (image_id, level, tile_idx, nbytes, data) with data =
-    _compress_tile payloads — feed to assemble_cogs / write_cog_ranged.
+    _compress_tile payloads (or abbreviated TechNote-2 JPEG streams for
+    compression 7 — pass the SAME ``quality`` to assemble_cogs /
+    write_cog_ranged, which rebuild the shared tag-347 tables from it) —
+    feed to assemble_cogs / write_cog_ranged.
 
     Overviews are nearest-only (the reference render default,
     ops.rs:70-88); the catmullrom Encoder filter needs cross-tile
     4-tap windows with globally-derived weights and stays on the
     single-pass writer."""
     spark = blocks.sparkSession
-    meta = _collect_meta(images_meta, predictor, palette)
+    meta = _collect_meta(images_meta, predictor, palette, compression)
     if not meta:  # empty image group: empty tile relation, same schema
         return spark.createDataFrame([], TILE_SCHEMA)
     bmeta = spark.sparkContext.broadcast(
@@ -221,7 +235,20 @@ def encode_cog_blocked(
                     arr = _tile_array(
                         dat[i], c, dt, tile, lw, lh, int(rws[i]), int(cls[i])
                     )
-                    payload = _compress_tile(arr, mm.get("comp", compression), predictor)
+                    comp = mm.get("comp", compression)
+                    if comp == COMPRESSION_JPEG:
+                        # abbreviated stream (tables discarded: fixed by
+                        # `quality`, rebuilt driver-side by assemble /
+                        # write via jpeg_tables_for — same bytes,
+                        # test-pinned)
+                        from ..jpeg import encode_jpeg, split_jpeg_tables
+
+                        full = encode_jpeg(
+                            arr if c == 3 else arr[:, :, 0], quality
+                        )
+                        payload = split_jpeg_tables(full)[1]
+                    else:
+                        payload = _compress_tile(arr, comp, predictor)
                     cols_g, _ = grid_shape(lw, lh, tile, tile)
                     rows.append(
                         (ids[i], lv, int(rws[i]) * cols_g + int(cls[i]), len(payload), payload)
@@ -381,6 +408,7 @@ def assemble_cogs(
     predictor: int = 1,
     big: bool = False,
     palette: np.ndarray | None = None,
+    quality: int = 90,
 ) -> DataFrame:
     """Compressed tile rows -> (image_id, cog binary, cog_bytes) — one
     contiguous COG per image, byte-identical to encode_cog.
@@ -394,7 +422,7 @@ def assemble_cogs(
     raster too big for any single task goes to write_cog_ranged
     instead."""
     spark = tiles.sparkSession
-    meta = _collect_meta(images_meta, predictor, palette)
+    meta = _collect_meta(images_meta, predictor, palette, compression)
     if not meta:
         return spark.createDataFrame([], "image_id string, cog binary, cog_bytes long")
     upstream = getattr(tiles, "_cogsink_persisted", [])
@@ -428,6 +456,7 @@ def assemble_cogs(
                     f"{img} level {lv}: {len(per)} tiles != {cols_g * rows_g} expected"
                 )
             byte_counts.append([per[i] for i in range(cols_g * rows_g)])
+        comp_img = m.get("comp", compression)
         prefixes[img] = container_prefix(
             levels,
             byte_counts,
@@ -443,6 +472,11 @@ def assemble_cogs(
             big=big,
             palette=palette,
             scale_py=m.get("scale_py"),
+            jpeg_tables=(
+                jpeg_tables_for(quality, m["c"] == 1)
+                if comp_img == COMPRESSION_JPEG
+                else None
+            ),
         )
     bpre = spark.sparkContext.broadcast(prefixes)
 
@@ -468,6 +502,7 @@ def write_cog_ranged(
     predictor: int = 1,
     big: bool = False,
     palette: np.ndarray | None = None,
+    quality: int = 90,
 ) -> int:
     """Stream ONE image's compressed tiles to ``path`` in offset order
     with O(1) driver memory — the single-gigapixel-raster sink (no task
@@ -488,7 +523,7 @@ def write_cog_ranged(
     upstream = getattr(tiles, "_cogsink_persisted", [])
     tiles = tiles.filter(F.col("image_id") == img).persist()
     try:
-        m = _collect_meta(images_meta, predictor, palette)[img]
+        m = _collect_meta(images_meta, predictor, palette, compression)[img]
         levels = plan_levels(m["w"], m["h"], tile, m.get("comp", compression))
         per: dict[int, dict[int, int]] = {}
         for r in tiles.select("level", "tile_idx", "nbytes").collect():
@@ -525,6 +560,11 @@ def write_cog_ranged(
             big=big,
             palette=palette,
             scale_py=m.get("scale_py"),
+            jpeg_tables=(
+                jpeg_tables_for(quality, m["c"] == 1)
+                if m.get("comp", compression) == COMPRESSION_JPEG
+                else None
+            ),
         )
         n = 0
         with open(path, "wb") as f:
@@ -548,6 +588,7 @@ def render_blocks_to_cogs(
     queries: DataFrame,
     tile: int = TILE,
     compression: int = COMPRESSION_DEFLATE,
+    quality: int = 90,
 ) -> DataFrame:
     """The gigapixel loop closed: sink ``region_render_blocked(...,
     emit_blocks=True, block=tile)`` output as one GEOREFERENCED COG per
@@ -590,8 +631,12 @@ def render_blocks_to_cogs(
             ((F.col("rymax") - F.col("rymin")) / F.col("h")).alias("scale_py"),
         )
     )
-    tiles = encode_cog_blocked(keyed, meta, tile=tile, compression=compression)
-    out = assemble_cogs(tiles, meta, tile=tile, compression=compression)
+    tiles = encode_cog_blocked(
+        keyed, meta, tile=tile, compression=compression, quality=quality
+    )
+    out = assemble_cogs(
+        tiles, meta, tile=tile, compression=compression, quality=quality
+    )
     # assemble_cogs returned => compressed tiles are cached; the raw
     # render blocks are no longer needed
     blocks.unpersist()

@@ -216,6 +216,38 @@ def _pixel_format_for(
     return bits, sample_format, photometric
 
 
+def jpeg_photometric_for(
+    dtype: np.dtype, c: int, predictor: int, palette: np.ndarray | None
+) -> int:
+    """Typed-reject rules for TechNote-2 JPEG tiles (compression 7),
+    shared by the single-pass writer and the distributed sink
+    (operators/cogsink.py): 8-bit gray or RGB only, no TIFF predictor
+    (the entropy stream has no use for one), never palette indices
+    (lossy-coding LUT addresses corrupts them). Returns the container
+    photometric — 6 (YCbCr, what the entropy stream stores) for RGB,
+    1 for gray."""
+    if np.dtype(dtype) != np.uint8 or c not in (1, 3):
+        raise UnsupportedPixelFormat("JPEG tiles are 8-bit gray or RGB only")
+    if predictor != 1:
+        raise UnsupportedPixelFormat("JPEG tiles take no TIFF predictor")
+    if palette is not None:
+        raise UnsupportedPixelFormat("palette indices cannot be JPEG-compressed")
+    return 6 if c == 3 else 1
+
+
+def jpeg_tables_for(quality: int, gray: bool) -> bytes:
+    """The shared DQT/DHT stream (JPEGTables tag 347 payload) for a
+    (quality, gray-or-color) combination. Deterministic — the codec uses
+    the standard Annex K Huffman tables and quality-scaled base
+    quantization tables — so the container driver can rebuild it without
+    seeing any tile payload (the distributed sink compresses tiles across
+    the cluster and only ships SIZES back)."""
+    from .jpeg import encode_jpeg, split_jpeg_tables
+
+    dummy = np.zeros((8, 8) if gray else (8, 8, 3), np.uint8)
+    return split_jpeg_tables(encode_jpeg(dummy, quality))[0]
+
+
 def plan_levels(w: int, h: int, tile: int, compression: int) -> list[Level]:
     """The writer's pyramid plan: level dims halve (floor, min 1) until a
     level fits one tile (cog/mod.rs:115-129 ordering invariant)."""
@@ -423,17 +455,7 @@ def encode_cog(
     )
     jpeg = compression == COMPRESSION_JPEG
     if jpeg:
-        # TechNote 2 lossy tiles: 8-bit gray or RGB only; the entropy
-        # stream has no use for a TIFF predictor and palette indices must
-        # never pass through a lossy codec
-        if pixels.dtype != np.uint8 or c not in (1, 3):
-            raise UnsupportedPixelFormat("JPEG tiles are 8-bit gray or RGB only")
-        if predictor != 1:
-            raise UnsupportedPixelFormat("JPEG tiles take no TIFF predictor")
-        if palette is not None:
-            raise UnsupportedPixelFormat("palette indices cannot be JPEG-compressed")
-        if c == 3:
-            photometric = 6  # YCbCr: what the entropy stream stores (TechNote 2)
+        photometric = jpeg_photometric_for(pixels.dtype, c, predictor, palette)
     levels = plan_levels(w, h, tile, compression)
     n_lv = len(levels)
 
@@ -449,6 +471,8 @@ def encode_cog(
     jpeg_tables: bytes | None = None
     if jpeg:
         from .jpeg import encode_jpeg, split_jpeg_tables
+
+        jpeg_tables = jpeg_tables_for(quality, gray=c == 1)
 
     cur = pixels
     for lv in range(n_lv):
@@ -466,11 +490,11 @@ def encode_cog(
                 if jpeg:
                     # DQT/DHT are fixed by `quality` (standard Annex K
                     # Huffman tables), so every tile splits to the SAME
-                    # tables stream — shared once via tag 347 and the
-                    # payloads stay abbreviated (SOI+SOF+SOS)
+                    # tables stream — shared once via tag 347
+                    # (jpeg_tables_for above) and the payloads stay
+                    # abbreviated (SOI+SOF+SOS)
                     full = encode_jpeg(t if c == 3 else t[:, :, 0], quality)
-                    jpeg_tables, abbrev = split_jpeg_tables(full)
-                    tiles.append(abbrev)
+                    tiles.append(split_jpeg_tables(full)[1])
                 else:
                     tiles.append(_compress_tile(t, compression, predictor))
         level_tiles.append(tiles)

@@ -9,6 +9,7 @@ import pytest
 from cloudtiff_spark.errors import UnsupportedPixelFormat
 from cloudtiff_spark.tiff import (
     COMPRESSION_DEFLATE,
+    COMPRESSION_JPEG,
     COMPRESSION_LZW,
     cog_info,
     decode_tile,
@@ -62,6 +63,12 @@ CASES = [
     (104, (100, 101), "float32", {"predictor": 3}),
     (105, (150, 220, 3), "uint8", {"compression": COMPRESSION_LZW, "predictor": 2}),
     (106, (70, 90, 4), "uint8", {}),
+    # TechNote-2 JPEG tiles: abbreviated streams compressed on the
+    # cluster, shared tag-347 tables rebuilt driver-side from `quality`
+    # (jpeg_tables_for) — byte identity proves the rebuilt tables equal
+    # the per-tile ones
+    (107, (200, 300, 3), "uint8", {"compression": COMPRESSION_JPEG}),
+    (108, (150, 130), "uint8", {"compression": COMPRESSION_JPEG, "quality": 75}),
 ]
 
 
