@@ -412,7 +412,10 @@ def raster_to_rgb8(arr: np.ndarray) -> np.ndarray:
 
 
 def photometric_to_rgb8(
-    arr: np.ndarray, photometric: int, colormap: np.ndarray | None = None
+    arr: np.ndarray,
+    photometric: int,
+    colormap: np.ndarray | None = None,
+    compression: int = 1,
 ) -> np.ndarray:
     """Photometric-aware RGB8 conversion (photometrics.rs:16-55 +
     raster/image.rs:26-95 coverage):
@@ -432,8 +435,17 @@ def photometric_to_rgb8(
       JFIF codec), chunky non-subsampled only
     - everything else (CIELab, ICCLab, separated, ...) raises the typed
       UnsupportedPhotometric carrying the spec name, mirroring the
-      reference's enumeration."""
+      reference's enumeration.
+
+    Pass the level's ``compression`` when converting decode_tile output:
+    for TechNote-2 JPEG tiles (compression 7) the decode chain already
+    applied the YCbCr matrix (the container photometric stays 6 because
+    that is what the entropy STREAM stores), so the photometric-6 arm
+    must pass through instead of transforming a second time."""
     from .errors import UnsupportedPhotometric
+
+    if photometric == 6 and compression == 7:
+        return raster_to_rgb8(arr)  # decode_tile output is already RGB
 
     if photometric == 3:
         if colormap is None:

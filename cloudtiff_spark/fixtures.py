@@ -688,7 +688,7 @@ def ensure_jpeg_cog_dir(sf_name: str = "sf0.01") -> str:
     out_dir = ensure_fixtures(sf_name)
     jdir = os.path.join(out_dir, "cogs_jpeg")
     marker = os.path.join(jdir, "_COMPLETE")
-    want = f"jpegcog={_JPEGCOG_COUNT} v1\n"
+    want = f"jpegcog={_JPEGCOG_COUNT} v2\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:
@@ -708,7 +708,11 @@ def ensure_jpeg_cog_dir(sf_name: str = "sf0.01") -> str:
         base = rng.integers(0, 256, shape).astype(np.float64)
         ones = np.ones((8, 8) + (() if gray else (1,)))
         img = np.clip(np.kron(base, ones)[:h, :w], 0, 255).astype(np.uint8)
-        layout = "standalone" if i % 5 == 4 else "shared"
+        # i % 5 in (2, 4) intersects the gray rule (i % 3 == 2) at i=2 —
+        # the gray+standalone combination must be graded too (review
+        # finding r6: the two moduli were disjoint, leaving the
+        # photometric-1 no-tag-347 path ungraded)
+        layout = "standalone" if i % 5 in (2, 4) else "shared"
         payloads: dict[int, list[bytes]] = {}
         for lv, ti, t in _jpeg_pyramid_tiles(img, TILE):
             full = encode_jpeg(t if t.shape[2] == 3 else t[:, :, 0], quality)

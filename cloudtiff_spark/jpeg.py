@@ -582,10 +582,13 @@ def _destuff(data: bytes, start: int) -> tuple[bytes, int]:
     return tail[:end][keep].tobytes(), start + end
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, color_transform: bool = True) -> np.ndarray:
     """Decode a baseline JFIF stream to (h, w, 3) uint8 RGB (gray images
     are replicated to 3 channels). Raises JpegError on non-baseline or
-    corrupt input."""
+    corrupt input. ``color_transform=False`` skips the YCbCr->RGB step
+    for 3-component streams whose samples are already RGB-coded (TIFF
+    compression 7 with PhotometricInterpretation=2 — the container tag,
+    not an in-stream marker, declares the color model)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG (no SOI)")
     pos = 2
@@ -689,10 +692,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise JpegError(f"SOS component id {cs} not in SOF")
                 scomp.append((comp, tdta >> 4, tdta & 0xF))
             scan, _ = _destuff(data, pos + seglen)
-            return _decode_scan(frame, scomp, qtables, hluts, restart_interval, scan)
+            return _decode_scan(
+                frame, scomp, qtables, hluts, restart_interval, scan,
+                color_transform=color_transform,
+            )
         pos += seglen
     if prog_state is not None:
-        return _prog_reconstruct(prog_state, frame, qtables)
+        return _prog_reconstruct(prog_state, frame, qtables, color_transform=color_transform)
     raise JpegError("no SOS found")
 
 
@@ -703,6 +709,7 @@ def _decode_scan(
     hluts: dict[tuple[int, int], tuple[list[int], list[int]]],
     restart_interval: int,
     scan: bytes,
+    color_transform: bool = True,
 ) -> np.ndarray:
     fh, fw = frame["h"], frame["w"]
     hmax = max(c["h"] for c, _, _ in scomp)
@@ -851,6 +858,8 @@ def _decode_scan(
         return np.repeat(g[:, :, None], 3, axis=2)
     if len(planes) != 3:
         raise JpegError(f"{len(planes)}-component scan unsupported")
+    if not color_transform:  # RGB-coded samples: no color matrix
+        return np.clip(np.dstack(planes).round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
@@ -1121,7 +1130,9 @@ def _prog_scan(
             eobrun -= 1
 
 
-def _prog_reconstruct(state: dict, frame: dict, qtables: dict) -> np.ndarray:
+def _prog_reconstruct(
+    state: dict, frame: dict, qtables: dict, color_transform: bool = True
+) -> np.ndarray:
     """Dequant + IDCT + upsample + color for the accumulated coefficients
     (same numeric path as the baseline tail of _decode_scan, minus the
     MCU-major reorder — progressive grids are already row-major)."""
@@ -1150,6 +1161,8 @@ def _prog_reconstruct(state: dict, frame: dict, qtables: dict) -> np.ndarray:
         return np.repeat(g[:, :, None], 3, axis=2)
     if len(planes) != 3:
         raise JpegError(f"{len(planes)}-component frame unsupported")
+    if not color_transform:  # RGB-coded samples: no color matrix
+        return np.clip(np.dstack(planes).round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 

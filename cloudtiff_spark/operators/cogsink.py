@@ -397,6 +397,12 @@ def encode_cog_blocked(
         out = out.unionByName(nxt.mapInPandas(compress_level(lv), schema=TILE_SCHEMA))
         cur = nxt
     out._cogsink_persisted = persisted
+    # the quality these tiles were ACTUALLY compressed at rides the tile
+    # relation: assemble_cogs / write_cog_ranged rebuild the shared
+    # tag-347 tables from quality, and a mismatched value would pair
+    # wrong DQT tables with the coefficients — decodes without error,
+    # silently wrong pixels (review finding r6)
+    out._cogsink_jpeg_quality = quality
     return out
 
 
@@ -422,6 +428,10 @@ def assemble_cogs(
     raster too big for any single task goes to write_cog_ranged
     instead."""
     spark = tiles.sparkSession
+    # prefer the quality the tiles were actually compressed at (attached
+    # by encode_cog_blocked) — the param is only the fallback for tile
+    # relations reconstructed from storage
+    quality = getattr(tiles, "_cogsink_jpeg_quality", quality)
     meta = _collect_meta(images_meta, predictor, palette, compression)
     if not meta:
         return spark.createDataFrame([], "image_id string, cog binary, cog_bytes long")
@@ -520,6 +530,7 @@ def write_cog_ranged(
     if len(metas) != 1:
         raise ValueError("write_cog_ranged sinks exactly one image per path")
     img = metas[0]["image_id"]
+    quality = getattr(tiles, "_cogsink_jpeg_quality", quality)
     upstream = getattr(tiles, "_cogsink_persisted", [])
     tiles = tiles.filter(F.col("image_id") == img).persist()
     try:

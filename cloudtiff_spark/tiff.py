@@ -769,18 +769,42 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # than decode planar data silently wrong. spp==1 is exempt: with a
         # single sample the two layouts are byte-identical.
         raise UnsupportedPixelFormat("PlanarConfiguration 2 (planar) unsupported")
+    if lev.get("fill_order", 1) != 1:
+        # tag 266 applies to EVERY compression and bit depth: LSB-first
+        # bytes would decode samples (or entropy streams) silently wrong
+        # — reject loudly rather than reverse bits per byte. Checked
+        # before the compression dispatch so no codec path can bypass it.
+        raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
     if lev["compression"] == COMPRESSION_JPEG:
         # TechNote 2 "new-style" JPEG tiles: the payload is an (often
         # abbreviated) interchange stream; tag 347 carries the shared
         # DQT/DHT. Merging is safe even when a tile carries its own
-        # tables (later definitions win). decode_jpeg converts the
-        # stored YCbCr (photometric 6) to RGB; gray tiles keep 1 sample.
+        # tables (later definitions win). The CONTAINER photometric
+        # declares the stream's color model: 6 = YCbCr (convert to RGB),
+        # 2 = RGB-coded samples (no color matrix — libtiff without
+        # JPEGCOLORMODE writes these), 1 = gray. Anything else (CMYK,
+        # palette) rejects loudly rather than decode with the wrong
+        # transform.
         from .jpeg import decode_jpeg, merge_jpeg_tables
 
+        phot = lev.get("photometric", 6 if spp == 3 else 1)
+        if phot not in (1, 2, 6):
+            raise UnsupportedPixelFormat(
+                f"photometric {phot} unsupported for JPEG tiles"
+            )
         tbl = lev.get("jpeg_tables")
         stream = merge_jpeg_tables(tbl, raw) if tbl else raw
-        rgb = decode_jpeg(stream)
-        return rgb[:, :, :1] if spp == 1 else rgb
+        rgb = decode_jpeg(stream, color_transform=phot != 2)
+        out = rgb[:, :, :1] if spp == 1 else rgb
+        if out.shape[:2] != (lev["tile_h"], lev["tile_w"]):
+            # same malformation guard as the buffer-size check on the
+            # lossless paths: a stream declaring valid-region SOF dims
+            # instead of the padded tile size must not ship short tiles
+            raise ValueError(
+                f"JPEG frame {out.shape[1]}x{out.shape[0]} != tile "
+                f"{lev['tile_w']}x{lev['tile_h']}"
+            )
+        return out
     if lev["compression"] == COMPRESSION_DEFLATE:
         buf = zlib.decompress(raw)
     elif lev["compression"] == COMPRESSION_LZW:
@@ -790,11 +814,6 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     else:
         raise CompressionNotSupported(lev["compression"])
     tw, th = lev["tile_w"], lev["tile_h"]
-    if lev.get("fill_order", 1) != 1:
-        # tag 266 applies to EVERY bit depth, not just sub-byte packing:
-        # LSB-first bytes would decode 8/16/32-bit samples silently wrong
-        # too — reject loudly rather than reverse bits per byte
-        raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
     bits = lev.get("bits_per_sample", [8])[0]
     if set(lev.get("bits_per_sample", [8])) - {bits}:
         raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")

@@ -260,3 +260,36 @@ def test_render_blocks_to_cogs_end_to_end(spark, sf_small):
         assert abs(sc[1] - (rymax - rymin) / out_h) < 1e-12
         checked_geo += 1
     assert checked_geo == len(cogs)
+
+
+def test_jpeg_quality_rides_tile_relation(spark):
+    """Review finding r6: assemble rebuilt the tag-347 tables from its own
+    quality default — a mismatch with the encode-time quality pairs wrong
+    DQT tables with the coefficients (decodes without error, wrong
+    pixels). The encode-time quality now rides the tile relation, so the
+    natural pipe (encode -> assemble with default quality) stays
+    byte-identical to encode_cog at the true quality."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    arr = _rng(109).integers(0, 256, (150, 200, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    meta = _meta_df(spark, "img", w, h, c, "uint8")
+    images = spark.createDataFrame(
+        [("img", bytearray(arr.tobytes()), w, h, c, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=64)
+    tiles = encode_cog_blocked(
+        blocks, meta, tile=64, compression=COMPRESSION_JPEG, quality=70
+    )
+    # note: NO quality passed here — it must come from the tile relation
+    rows = assemble_cogs(tiles, meta, tile=64, compression=COMPRESSION_JPEG).collect()
+    single = encode_cog(
+        arr, 32633, 500000.0, 5200000.0, 10.0, tile=64,
+        compression=COMPRESSION_JPEG, quality=70,
+    )
+    assert bytes(rows[0]["cog"]) == single

@@ -806,25 +806,53 @@ class TestJpegCog:
         merged = merge_jpeg_tables(tables, abbrev)
         assert np.array_equal(decode_jpeg(merged), decode_jpeg(full))
 
+    @staticmethod
+    def _standalone_container(img, quality=85):
+        """Foreign-writer layout: one full interchange stream per tile,
+        NO tag 347."""
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.jpeg import encode_jpeg
+
+        gray = img.ndim == 2
+        payload = encode_jpeg(img, quality)
+        levels = tiff.plan_levels(TILE, TILE, TILE, tiff.COMPRESSION_JPEG)
+        prefix = tiff.container_prefix(
+            levels, [[len(payload)]], 1 if gray else 3, 8, 1,
+            1 if gray else 6, 4326, 0.0, 50.0, 1e-4,
+        )
+        return prefix + payload, payload
+
     def test_full_stream_tiles_without_tables_tag(self):
-        """Foreign-writer layout: compression 7 with self-contained
-        interchange streams per tile and NO tag 347 must decode too."""
+        """Self-contained compression-7 streams without tag 347 must
+        decode too."""
         import numpy as np
 
         from cloudtiff_spark import TILE, tiff
-        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
+        from cloudtiff_spark.jpeg import decode_jpeg
 
         img = self._smooth_rgb(seed=5, h=TILE, w=TILE)
-        payload = encode_jpeg(img, 85)
-        levels = tiff.plan_levels(TILE, TILE, TILE, tiff.COMPRESSION_JPEG)
-        prefix = tiff.container_prefix(
-            levels, [[len(payload)]], 3, 8, 1, 6, 4326, 0.0, 50.0, 1e-4
-        )
-        data = prefix + payload
+        data, payload = self._standalone_container(img)
         info = tiff.cog_info(data)
         assert info["levels"][0]["jpeg_tables"] is None
         t = tiff.decode_tile(data, info, 0, 0)
         assert np.array_equal(t, decode_jpeg(payload))
+
+    def test_full_stream_gray_without_tables_tag(self):
+        """The gray (photometric 1, spp==1) slice of the standalone
+        layout — review finding r6: it was covered by neither the graded
+        fixture nor tests."""
+        import numpy as np
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.jpeg import decode_jpeg
+
+        img = self._smooth_rgb(seed=9, h=TILE, w=TILE)[:, :, 0]
+        data, payload = self._standalone_container(img)
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["photometric"] == 1
+        t = tiff.decode_tile(data, info, 0, 0)
+        assert t.shape == (TILE, TILE, 1)
+        assert np.array_equal(t, decode_jpeg(payload)[:, :, :1])
 
     def test_typed_rejects(self):
         import numpy as np
@@ -853,3 +881,100 @@ class TestJpegCog:
                     compression=tiff.COMPRESSION_JPEG,
                     **kwargs,
                 )
+
+    def test_photometric_2_skips_color_matrix(self):
+        """Compression 7 + PhotometricInterpretation=2 declares RGB-coded
+        samples (libtiff without JPEGCOLORMODE): the YCbCr matrix must NOT
+        run (review finding r6 — it ran unconditionally, garbling colors
+        with no error)."""
+        import numpy as np
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth_rgb(seed=4, h=TILE, w=TILE)
+        payload = encode_jpeg(img, 85)
+        levels = tiff.plan_levels(TILE, TILE, TILE, tiff.COMPRESSION_JPEG)
+        prefix = tiff.container_prefix(
+            levels, [[len(payload)]], 3, 8, 1, 2, 4326, 0.0, 50.0, 1e-4
+        )
+        data = prefix + payload
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["photometric"] == 2
+        t = tiff.decode_tile(data, info, 0, 0)
+        assert np.array_equal(t, decode_jpeg(payload, color_transform=False))
+        assert not np.array_equal(t, decode_jpeg(payload))  # matrix differs
+
+    def test_unsupported_photometric_rejected_for_jpeg(self):
+        import pytest as _pytest
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        img = self._smooth_rgb(seed=6, h=TILE, w=TILE)
+        data = tiff.encode_cog(
+            img, 4326, 0.0, 50.0, 1e-4, compression=tiff.COMPRESSION_JPEG
+        )
+        info = tiff.cog_info(data)
+        info["levels"][0]["photometric"] = 5  # CMYK-in-JPEG: wrong transform
+        with _pytest.raises(UnsupportedPixelFormat, match="photometric 5"):
+            tiff.decode_tile(data, info, 0, 0)
+
+    def test_fillorder_2_rejected_for_jpeg_tiles(self):
+        """Review finding r6: the JPEG branch returned before the
+        FillOrder guard — tag 266 applies to every compression."""
+        import pytest as _pytest
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        img = self._smooth_rgb(seed=8, h=TILE, w=TILE)
+        data = tiff.encode_cog(
+            img, 4326, 0.0, 50.0, 1e-4, compression=tiff.COMPRESSION_JPEG
+        )
+        info = tiff.cog_info(data)
+        info["levels"][0]["fill_order"] = 2
+        with _pytest.raises(UnsupportedPixelFormat, match="FillOrder"):
+            tiff.decode_tile(data, info, 0, 0)
+
+    def test_short_frame_dims_rejected(self):
+        """A stream declaring valid-region SOF dims instead of the padded
+        tile size must raise, like the lossless buffer-size guard
+        (review finding r6)."""
+        import pytest as _pytest
+
+        from cloudtiff_spark import TILE, tiff
+        from cloudtiff_spark.jpeg import encode_jpeg
+
+        short = self._smooth_rgb(seed=10, h=32, w=48)
+        payload = encode_jpeg(short, 85)  # SOF says 48x32, tile grid says 64x64
+        levels = tiff.plan_levels(TILE, TILE, TILE, tiff.COMPRESSION_JPEG)
+        prefix = tiff.container_prefix(
+            levels, [[len(payload)]], 3, 8, 1, 6, 4326, 0.0, 50.0, 1e-4
+        )
+        info = tiff.cog_info(prefix + payload)
+        with _pytest.raises(ValueError, match="JPEG frame"):
+            tiff.decode_tile(prefix + payload, info, 0, 0)
+
+    def test_photometric_to_rgb8_no_double_transform(self):
+        """The F8 pipeline photometric_to_rgb8(decode_tile(...), phot,
+        compression=...) on a compression-7 COG: photometric is 6 but the
+        decode chain already applied the YCbCr matrix — the conversion
+        must pass through, not transform a second time (review finding
+        r6)."""
+        import numpy as np
+
+        from cloudtiff_spark import tiff
+        from cloudtiff_spark.codecs import photometric_to_rgb8
+
+        img = self._smooth_rgb(seed=12, h=70, w=90)
+        data = tiff.encode_cog(
+            img, 4326, 0.0, 50.0, 1e-4, compression=tiff.COMPRESSION_JPEG
+        )
+        info = tiff.cog_info(data)
+        lev = info["levels"][0]
+        t = tiff.decode_tile(data, info, 0, 0)
+        out = photometric_to_rgb8(t, lev["photometric"], compression=lev["compression"])
+        assert np.array_equal(out, t)  # already RGB: pass-through
+        # without the compression hint the photometric-6 arm transforms
+        assert not np.array_equal(photometric_to_rgb8(t, 6), t)
