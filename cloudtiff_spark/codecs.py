@@ -156,6 +156,39 @@ def lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits decompression (TIFF 6 §9, compression code 32773).
+
+    Read-side robustness beyond the reference: its Compression enum has
+    no PackBits variant at all (cog/compression.rs:90-146), yet scanned
+    aerial archives commonly carry it. Per spec: control byte n in
+    0..127 copies the next n+1 bytes literally; n in -127..-1 (two's
+    complement) repeats the next byte 1-n times; -128 is a no-op.
+    The loop runs per control byte (≤ len/2 iterations); worst case on a
+    196 KiB incompressible tile is ~10⁵ iterations ≈ ms-scale — a cold
+    compatibility path, never the write path (the writer keeps its typed
+    CompressionNotSupported for PackBits by design).
+    """
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            j = i + c + 1
+            if j > n:
+                raise ValueError("PackBits literal run past end of data")
+            out += data[i:j]
+            i = j
+        elif c > 128:  # replicate next byte 257-c times (1 - (c-256))
+            if i >= n:
+                raise ValueError("PackBits replicate run past end of data")
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128 (-128): no-op per spec
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # TIFF horizontal predictor (predictor=2), 8-bit only — compression.rs:298-330.
 # Wrapping (mod-256) add/sub, stride = samples per pixel, per row.

@@ -76,6 +76,14 @@ GK_PROJECTED_CS_TYPE = 3072
 COMPRESSION_LZW = 5
 COMPRESSION_JPEG = 7  # TechNote 2 "new-style" JPEG-in-TIFF (abbreviated streams)
 COMPRESSION_DEFLATE = 8  # "Adobe deflate" (zlib), compression.rs:217-221
+# Read-only compatibility codes beyond the reference's decoder (its enum
+# lists Deflate=32946 but decompress() rejects it, compression.rs:213-224,
+# and PackBits has no variant at all). Both are common in scanned/legacy
+# COG corpora; the identical zlib stream rides 8 and 32946, and PackBits
+# is TIFF 6 §9. Decode accepts them; the WRITER keeps typed rejects —
+# new containers always use the modern codes.
+COMPRESSION_DEFLATE_LEGACY = 32946
+COMPRESSION_PACKBITS = 32773
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 12: 8, 16: 8}
 _SHORT, _LONG, _DOUBLE, _LONG8 = 3, 4, 12, 16
@@ -805,10 +813,16 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
                 f"{lev['tile_w']}x{lev['tile_h']}"
             )
         return out
-    if lev["compression"] == COMPRESSION_DEFLATE:
+    if lev["compression"] in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_LEGACY):
+        # 8 and 32946 carry the identical zlib stream (libtiff reads both;
+        # the reference rejects 32946, compression.rs:213-224)
         buf = zlib.decompress(raw)
     elif lev["compression"] == COMPRESSION_LZW:
         buf = lzw_decode(raw)
+    elif lev["compression"] == COMPRESSION_PACKBITS:
+        from .codecs import packbits_decode
+
+        buf = packbits_decode(raw)
     elif lev["compression"] == 1:
         buf = raw
     else:

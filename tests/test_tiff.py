@@ -978,3 +978,131 @@ class TestJpegCog:
         assert np.array_equal(out, t)  # already RGB: pass-through
         # without the compression hint the photometric-6 arm transforms
         assert not np.array_equal(photometric_to_rgb8(t, 6), t)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal spec-correct PackBits encoder (test oracle only — the
+    engine deliberately never WRITES PackBits; see tiff.py compat notes).
+    Replicate runs for >=3 equal bytes, literal runs otherwise, both
+    capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            if lit_start < i:  # flush pending literals (<=128 by cap below)
+                out += bytes([i - lit_start - 1]) + data[lit_start:i]
+            out += bytes([(1 - run) & 0xFF, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += 1
+            if i - lit_start == 128:
+                out += bytes([127]) + data[lit_start:i]
+                lit_start = i
+    if lit_start < n:
+        out += bytes([n - lit_start - 1]) + data[lit_start:n]
+    return bytes(out)
+
+
+class TestLegacyCompressionRead:
+    """Read-side compat codes 32773 (PackBits) and 32946 (legacy Deflate).
+
+    The reference's decoder rejects both (compression.rs:213-224 handles
+    only 1/5/8; PackBits isn't even an enum variant) — these are
+    beyond-reference robustness for real scanned/legacy corpora. The
+    writer keeps typed rejects: new containers never emit legacy codes.
+    """
+
+    def test_packbits_spec_vector(self):
+        # the worked example from TIFF 6.0 §9 (Apple PackBits)
+        from cloudtiff_spark.codecs import packbits_decode
+
+        enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+        expect = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
+        assert packbits_decode(enc) == expect
+
+    def test_packbits_roundtrip_random(self):
+        from cloudtiff_spark.codecs import packbits_decode
+
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            # mix of runs and noise so both branches execute
+            parts = []
+            for _ in range(rng.integers(1, 30)):
+                if rng.random() < 0.5:
+                    parts.append(bytes([rng.integers(0, 256)]) * rng.integers(1, 300))
+                else:
+                    parts.append(rng.integers(0, 256, rng.integers(0, 200), dtype=np.uint8).tobytes())
+            raw = b"".join(parts)
+            assert packbits_decode(_packbits_encode(raw)) == raw
+
+    def test_packbits_noop_and_truncation(self):
+        from cloudtiff_spark.codecs import packbits_decode
+
+        assert packbits_decode(b"\x80" * 4 + b"\x00Z") == b"Z"  # -128 no-ops
+        with pytest.raises(ValueError, match="literal run past end"):
+            packbits_decode(b"\x05AB")
+        with pytest.raises(ValueError, match="replicate run past end"):
+            packbits_decode(b"\xfe")
+
+    @pytest.mark.parametrize(
+        "code,predictor",
+        [(tiff.COMPRESSION_PACKBITS, 1), (tiff.COMPRESSION_PACKBITS, 2),
+         (tiff.COMPRESSION_DEFLATE_LEGACY, 1)],
+    )
+    def test_container_end_to_end(self, code, predictor):
+        # a REAL container carrying the legacy code: tiles compressed by
+        # the test-local encoder, prefix by container_prefix, then parse +
+        # decode through the production path (incl. predictor compose)
+        import zlib
+
+        from cloudtiff_spark.codecs import predictor2_encode
+
+        img = _img(300, 280)
+        levels = tiff.plan_levels(280, 300, TILE, code)
+        level_tiles = []
+        cur = img
+        for lv in range(len(levels)):
+            if lv > 0:
+                lw, lh = grid.level_dims(280, 300, lv)
+                cur = resample_nearest(cur, lw, lh)
+            cols, rows = levels[lv].grid
+            tiles = []
+            for r in range(rows):
+                for cc in range(cols):
+                    t = np.zeros((TILE, TILE, 3), np.uint8)
+                    src = cur[r * TILE : (r + 1) * TILE, cc * TILE : (cc + 1) * TILE]
+                    t[: src.shape[0], : src.shape[1]] = src
+                    if predictor == 2:
+                        t = predictor2_encode(t)
+                    raw = t.tobytes()
+                    tiles.append(
+                        _packbits_encode(raw)
+                        if code == tiff.COMPRESSION_PACKBITS
+                        else zlib.compress(raw, 6)
+                    )
+            level_tiles.append(tiles)
+        prefix = tiff.container_prefix(
+            levels,
+            [[len(t) for t in tiles] for tiles in level_tiles],
+            3, 8, 1, 2, 4326, 10.0, 50.0, 1e-4, predictor=predictor,
+        )
+        data = prefix + b"".join(t for tiles in level_tiles for t in tiles)
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["compression"] == code
+        expect = {i: a for i, _, _, a in cut_tiles(img)}
+        for idx in range(len(info["levels"][0]["offsets"])):
+            assert np.array_equal(tiff.decode_tile(data, info, 0, idx), expect[idx])
+
+    @pytest.mark.parametrize(
+        "code", [tiff.COMPRESSION_PACKBITS, tiff.COMPRESSION_DEFLATE_LEGACY]
+    )
+    def test_writer_rejects_legacy_codes(self, code):
+        from cloudtiff_spark.errors import CompressionNotSupported
+
+        with pytest.raises(CompressionNotSupported):
+            tiff.encode_cog(_img(64, 64), 4326, 0.0, 0.0, 1e-4, compression=code)
