@@ -47,6 +47,9 @@ T_LENGTH = 257
 T_BITSPERSAMPLE = 258
 T_COMPRESSION = 259
 T_PHOTOMETRIC = 262
+T_STRIPOFFSETS = 273
+T_ROWSPERSTRIP = 278
+T_STRIPBYTECOUNTS = 279
 T_SAMPLESPERPIXEL = 277
 T_COLORMAP = 320
 T_PLANARCONFIG = 284
@@ -615,6 +618,8 @@ def parse_tiff(data: bytes) -> dict:
 _TAG_NAMES = {
     254: "NewSubfileType", 256: "ImageWidth", 257: "ImageLength",
     258: "BitsPerSample", 259: "Compression", 262: "PhotometricInterpretation",
+    266: "FillOrder", 273: "StripOffsets", 278: "RowsPerStrip",
+    279: "StripByteCounts",
     277: "SamplesPerPixel", 284: "PlanarConfiguration", 317: "Predictor",
     322: "TileWidth", 323: "TileLength", 324: "TileOffsets",
     325: "TileByteCounts", 338: "ExtraSamples", 339: "SampleFormat",
@@ -700,14 +705,38 @@ def cog_info(data: bytes) -> dict:
     t = parse_tiff(data)
     levels = []
     for tags in t["ifds"]:
-        if T_TILEWIDTH not in tags or T_WIDTH not in tags:
-            continue  # strip-based or malformed IFD: skipped (cog/mod.rs:115)
+        if T_WIDTH not in tags:
+            continue  # malformed IFD: skipped (cog/mod.rs:115)
+        strip = False
+        if T_TILEWIDTH in tags:
+            tile_w, tile_h = tags[T_TILEWIDTH][0], tags[T_TILELENGTH][0]
+            offsets, counts = tags[T_TILEOFFSETS], tags[T_TILEBYTECOUNTS]
+        elif T_STRIPOFFSETS in tags and T_STRIPBYTECOUNTS in tags:
+            # strip-organized IFD: the classic (non-COG) GeoTIFF layout.
+            # Beyond the reference (cog/mod.rs:115 skips non-tiled IFDs):
+            # a strip is modeled as a full-width tile of RowsPerStrip
+            # rows — cols=1, rows=ceil(h/rps) under the existing grid
+            # math — and the LAST strip's short payload zero-pads to the
+            # grid row height in decode_tile, making strips behave
+            # exactly like padded edge tiles downstream. RowsPerStrip
+            # defaults to "whole image" when absent (TIFF 6 default
+            # 2^32-1, clamped).
+            ih = tags[T_LENGTH][0]
+            tile_w = tags[T_WIDTH][0]
+            tile_h = min(tags.get(T_ROWSPERSTRIP, [ih])[0], ih)
+            offsets, counts = tags[T_STRIPOFFSETS], tags[T_STRIPBYTECOUNTS]
+            if len(offsets) != (ih + tile_h - 1) // tile_h or len(offsets) != len(counts):
+                continue  # inconsistent strip accounting: skip like malformed
+            strip = True
+        else:
+            continue  # neither tiled nor stripped: skipped (cog/mod.rs:115)
         levels.append(
             dict(
                 width=tags[T_WIDTH][0],
                 height=tags[T_LENGTH][0],
-                tile_w=tags[T_TILEWIDTH][0],
-                tile_h=tags[T_TILELENGTH][0],
+                tile_w=tile_w,
+                tile_h=tile_h,
+                strip=strip,
                 compression=tags[T_COMPRESSION][0],
                 predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
                 fill_order=tags.get(T_FILLORDER, [1])[0],
@@ -722,8 +751,8 @@ def cog_info(data: bytes) -> dict:
                 photometric=tags.get(T_PHOTOMETRIC, [1])[0],
                 sample_format=tags.get(T_SAMPLEFORMAT, [1])[0],
                 endian=None,  # filled below (file-level)
-                offsets=tags[T_TILEOFFSETS],
-                byte_counts=tags[T_TILEBYTECOUNTS],
+                offsets=offsets,
+                byte_counts=counts,
             )
         )
     if not levels:
@@ -758,6 +787,17 @@ def cog_info(data: bytes) -> dict:
     return {"levels": levels, "projection": proj, "big": t["big"], "colormap": colormap}
 
 
+def _pad_rows(arr: np.ndarray, th: int) -> np.ndarray:
+    """Zero-pad a decoded (rows, w, spp) array to (th, w, spp) — no-op for
+    full tiles; used by the strip path so short last strips present as
+    padded edge tiles."""
+    if arr.shape[0] == th:
+        return arr
+    out = np.zeros((th,) + arr.shape[1:], dtype=arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
 def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarray:
     """Fetch + decode one tile by byte range (S4/S8 + decode chain
     level.rs:301-373). Returns (tile_h, tile_w, spp) in the level's native
@@ -769,6 +809,16 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     cnt = lev["byte_counts"][tile_idx]
     raw = data[off : off + cnt]
     spp = lev.get("samples_per_pixel", 3)
+    # strip-organized IFDs (cog_info strip=True): payloads carry only the
+    # strip's ACTUAL rows — the last strip is short, never padded on disk
+    # (TIFF 6 §3, unlike tiles) — so size checks below use `rows` and the
+    # decoded array zero-pads back to the grid row height via _pad_rows,
+    # making strips indistinguishable from padded edge tiles downstream.
+    rows = lev["tile_h"]
+    if lev.get("strip"):
+        rows = min(rows, lev["height"] - tile_idx * rows)
+        if rows <= 0:
+            raise ValueError(f"strip index {tile_idx} beyond image height")
     if lev.get("planar", 1) != 1 and spp > 1:
         # tag 284=2 stores each sample as a separate plane (RRR..GGG..BBB);
         # the chunky de-interleave below would shred it. The reference only
@@ -804,15 +854,15 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         stream = merge_jpeg_tables(tbl, raw) if tbl else raw
         rgb = decode_jpeg(stream, color_transform=phot != 2)
         out = rgb[:, :, :1] if spp == 1 else rgb
-        if out.shape[:2] != (lev["tile_h"], lev["tile_w"]):
+        if out.shape[:2] != (rows, lev["tile_w"]):
             # same malformation guard as the buffer-size check on the
             # lossless paths: a stream declaring valid-region SOF dims
             # instead of the padded tile size must not ship short tiles
             raise ValueError(
                 f"JPEG frame {out.shape[1]}x{out.shape[0]} != tile "
-                f"{lev['tile_w']}x{lev['tile_h']}"
+                f"{lev['tile_w']}x{rows}"
             )
-        return out
+        return _pad_rows(out, lev["tile_h"])
     if lev["compression"] in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_LEGACY):
         # 8 and 32946 carry the identical zlib stream (libtiff reads both;
         # the reference rejects 32946, compression.rs:213-224)
@@ -842,20 +892,22 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         if spp != 1:
             raise UnsupportedPixelFormat(f"{bits}-bit is gray-only")
         row_bytes = (tw * bits + 7) // 8
-        if len(buf) != row_bytes * th:
-            raise ValueError(f"buffer size {len(buf)} != {th}x{row_bytes}B")
+        if len(buf) != row_bytes * rows:
+            raise ValueError(f"buffer size {len(buf)} != {rows}x{row_bytes}B")
         if lev.get("predictor", 1) != 1:
             raise UnsupportedPixelFormat("predictors undefined for sub-byte samples")
         bits_arr = np.unpackbits(
-            np.frombuffer(buf, dtype=np.uint8).reshape(th, row_bytes), axis=1
+            np.frombuffer(buf, dtype=np.uint8).reshape(rows, row_bytes), axis=1
         )
-        samples = bits_arr[:, : tw * bits].reshape(th, tw, bits)
+        samples = bits_arr[:, : tw * bits].reshape(rows, tw, bits)
         weights = 1 << np.arange(bits - 1, -1, -1, dtype=np.uint16)
         vals = (samples.astype(np.uint16) * weights).sum(axis=2)
         if lev.get("photometric", 1) == 3:
-            return vals.astype(np.uint8)[:, :, None]
+            return _pad_rows(vals.astype(np.uint8)[:, :, None], th)
         maxv = (1 << bits) - 1
-        return ((vals * 255 + maxv // 2) // maxv).astype(np.uint8)[:, :, None]
+        return _pad_rows(
+            ((vals * 255 + maxv // 2) // maxv).astype(np.uint8)[:, :, None], th
+        )
     if bits == 8 and sf == 1:
         dtype = np.uint8
     elif bits == 16 and sf == 1:
@@ -867,16 +919,16 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         raise UnsupportedPixelFormat(
             f"bits_per_sample {bits} with sample_format {sf} unsupported"
         )
-    if len(buf) != tw * th * spp * (bits // 8):  # raster/mod.rs:73-86
-        raise ValueError(f"buffer size {len(buf)} != {tw}x{th}x{spp}x{bits // 8}B")
+    if len(buf) != tw * rows * spp * (bits // 8):  # raster/mod.rs:73-86
+        raise ValueError(f"buffer size {len(buf)} != {tw}x{rows}x{spp}x{bits // 8}B")
     if lev.get("predictor", 1) == 3:
         # floating-point byte-shuffle predictor (TIFF TechNote 3)
         if sf != 3 or spp != 1:
             raise UnsupportedPixelFormat("predictor 3 is gray-float-only")
         from .codecs import predictor3_decode
 
-        return predictor3_decode(buf, tw, th)
-    arr = np.frombuffer(buf, dtype=dtype).reshape(th, tw, spp)
+        return _pad_rows(predictor3_decode(buf, tw, rows), th)
+    arr = np.frombuffer(buf, dtype=dtype).reshape(rows, tw, spp)
     if dtype == np.dtype(">u2") or dtype == np.dtype("<u2"):
         arr = arr.astype(np.uint16)  # native byte order for downstream math
     elif sf == 3:
@@ -889,4 +941,4 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         from .codecs import predictor2_decode
 
         arr = predictor2_decode(arr)
-    return arr
+    return _pad_rows(arr, th)

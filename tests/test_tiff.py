@@ -1106,3 +1106,149 @@ class TestLegacyCompressionRead:
 
         with pytest.raises(CompressionNotSupported):
             tiff.encode_cog(_img(64, 64), 4326, 0.0, 0.0, 1e-4, compression=code)
+
+
+def _write_stripped_tiff(
+    img: np.ndarray,
+    rows_per_strip: int | None,
+    compression: int = 1,
+    predictor: int = 1,
+    epsg: int = 4326,
+) -> bytes:
+    """Minimal classic-LE STRIP-organized GeoTIFF writer (test oracle only
+    — the engine writes tiled COGs exclusively; strips exist in the wild,
+    so the READER must ingest them)."""
+    import struct
+    import zlib
+
+    from cloudtiff_spark.codecs import predictor2_encode
+
+    h, w, c = img.shape
+    rps = h if rows_per_strip is None else rows_per_strip
+    strips = []
+    for y0 in range(0, h, rps):
+        part = img[y0 : y0 + rps]
+        if predictor == 2:
+            part = predictor2_encode(part)
+        raw = part.tobytes()
+        if compression == tiff.COMPRESSION_DEFLATE:
+            strips.append(zlib.compress(raw, 6))
+        elif compression == tiff.COMPRESSION_PACKBITS:
+            strips.append(_packbits_encode(raw))
+        elif compression == 1:
+            strips.append(raw)
+        else:
+            raise ValueError(compression)
+
+    SHORT, LONG, DOUBLE = 3, 4, 12
+    tags: list[tuple[int, int, list]] = [
+        (256, LONG, [w]),
+        (257, LONG, [h]),
+        (258, SHORT, [8] * c),
+        (259, SHORT, [compression]),
+        (262, SHORT, [2 if c == 3 else 1]),
+        (273, LONG, [0] * len(strips)),  # patched below
+        (277, SHORT, [c]),
+        (279, LONG, [len(s) for s in strips]),
+        (33550, DOUBLE, [1e-4, 1e-4, 0.0]),
+        (33922, DOUBLE, [0.0, 0.0, 0.0, 10.0, 50.0, 0.0]),
+        (34735, SHORT, tiff._geokey_directory(epsg)),
+    ]
+    if rows_per_strip is not None:
+        tags.append((278, LONG, [rps]))
+    if predictor != 1:
+        tags.append((317, SHORT, [predictor]))
+    tags.sort(key=lambda t: t[0])
+
+    sizes = {3: 2, 4: 4, 12: 8}
+    pos = 8 + 2 + 12 * len(tags) + 4  # header + count + entries + next ptr
+    ext: dict[int, int] = {}
+    for code, dt, vals in tags:
+        size = sizes[dt] * len(vals)
+        if size > 4:
+            ext[code] = pos
+            pos += size
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    tags = [(273, LONG, strip_offsets) if code == 273 else (code, dt, vals)
+            for code, dt, vals in tags]
+
+    fmt = {3: "<H", 4: "<I", 12: "<d"}
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(tags))
+    for code, dt, vals in tags:
+        payload = b"".join(struct.pack(fmt[dt], v) for v in vals)
+        out += struct.pack("<HHI", code, dt, len(vals))
+        if len(payload) <= 4:
+            out += payload.ljust(4, b"\x00")
+        else:
+            out += struct.pack("<I", ext[code])
+    out += struct.pack("<I", 0)  # next IFD
+    for code, dt, vals in tags:
+        if code in ext:
+            assert len(out) == ext[code]
+            out += b"".join(struct.pack(fmt[dt], v) for v in vals)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+class TestStrippedTiffRead:
+    """Strip-organized (classic non-COG) GeoTIFF READ support — beyond the
+    reference, whose analyzer skips non-tiled IFDs (cog/mod.rs:115). A
+    strip presents as a full-width tile row; the short last strip
+    zero-pads to the grid height, so downstream sees padded edge tiles."""
+
+    @pytest.mark.parametrize(
+        "comp,predictor",
+        [(1, 1), (tiff.COMPRESSION_DEFLATE, 1), (tiff.COMPRESSION_DEFLATE, 2),
+         (tiff.COMPRESSION_PACKBITS, 1)],
+    )
+    def test_stripped_rgb_roundtrip(self, comp, predictor):
+        img = _img(150, 90)
+        data = _write_stripped_tiff(img, rows_per_strip=37, compression=comp,
+                                    predictor=predictor)
+        info = tiff.cog_info(data)
+        (lev,) = info["levels"]
+        assert lev["strip"] is True
+        assert (lev["tile_w"], lev["tile_h"]) == (90, 37)
+        assert len(lev["offsets"]) == 5  # ceil(150/37)
+        assert info["projection"]["epsg"] == 4326
+        got = np.concatenate(
+            [tiff.decode_tile(data, info, 0, i) for i in range(5)], axis=0
+        )
+        assert got.shape == (5 * 37, 90, 3)
+        assert np.array_equal(got[:150], img)
+        assert not got[150:].any()  # short last strip zero-padded
+
+    def test_default_rows_per_strip_is_whole_image(self):
+        img = _img(40, 25)
+        data = _write_stripped_tiff(img, rows_per_strip=None)
+        info = tiff.cog_info(data)
+        (lev,) = info["levels"]
+        assert lev["tile_h"] == 40 and len(lev["offsets"]) == 1
+        assert np.array_equal(tiff.decode_tile(data, info, 0, 0), img)
+
+    def test_gray_strips(self):
+        img = RNG.integers(0, 256, size=(70, 33, 1), dtype=np.uint8)
+        data = _write_stripped_tiff(img, rows_per_strip=32,
+                                    compression=tiff.COMPRESSION_DEFLATE)
+        info = tiff.cog_info(data)
+        got = np.concatenate(
+            [tiff.decode_tile(data, info, 0, i) for i in range(3)], axis=0
+        )
+        assert np.array_equal(got[:70], img)
+
+    def test_inconsistent_strip_accounting_skipped(self):
+        from cloudtiff_spark.errors import NoLevels
+
+        img = _img(64, 32)
+        data = bytearray(_write_stripped_tiff(img, rows_per_strip=16))
+        # corrupt RowsPerStrip to 8: implies 8 strips, file carries 4
+        import struct
+        i = data.index(struct.pack("<HHI", 278, 4, 1))
+        data[i + 8 : i + 12] = struct.pack("<I", 8)
+        with pytest.raises(NoLevels):
+            tiff.cog_info(bytes(data))
