@@ -54,7 +54,16 @@ PARSED_SCHEMA = StructType(
     ]
 )
 
-_COMP_NAME = {COMPRESSION_DEFLATE: "deflate", COMPRESSION_LZW: "lzw", 7: "jpeg", 1: "none"}
+_COMP_NAME = {
+    COMPRESSION_DEFLATE: "deflate",
+    COMPRESSION_LZW: "lzw",
+    7: "jpeg",
+    1: "none",
+    # read-only legacy codes (tiff.py compat notes): analyze output must
+    # name what decode_tile can actually decode, not show '?'
+    32946: "deflate-legacy",
+    32773: "packbits",
+}
 
 
 def write_cogs(images_with_geo: DataFrame) -> DataFrame:

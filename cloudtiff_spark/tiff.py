@@ -721,11 +721,32 @@ def cog_info(data: bytes) -> dict:
             # exactly like padded edge tiles downstream. RowsPerStrip
             # defaults to "whole image" when absent (TIFF 6 default
             # 2^32-1, clamped).
+            if tags.get(T_NEWSUBFILETYPE, [0])[0] & 0x6:
+                # bit 0x4 = transparency mask, 0x2 = multi-page document
+                # page: these strip IFDs are NOT pyramid imagery — before
+                # strip support they were skipped incidentally (non-tiled);
+                # admitting them would number a bilevel mask or another
+                # scanned page as an overview level. (Tiled IFDs keep the
+                # pre-existing admission: COG overviews carry bit 0x1.)
+                continue
             ih = tags[T_LENGTH][0]
             tile_w = tags[T_WIDTH][0]
             tile_h = min(tags.get(T_ROWSPERSTRIP, [ih])[0], ih)
+            if tile_h <= 0 or ih <= 0:
+                continue  # RowsPerStrip/ImageLength 0: malformed, skip
             offsets, counts = tags[T_STRIPOFFSETS], tags[T_STRIPBYTECOUNTS]
-            if len(offsets) != (ih + tile_h - 1) // tile_h or len(offsets) != len(counts):
+            n_strips = (ih + tile_h - 1) // tile_h
+            spp_ = tags.get(
+                T_SAMPLESPERPIXEL, [len(tags.get(T_BITSPERSAMPLE, [8]))]
+            )[0]
+            if tags.get(T_PLANARCONFIG, [1])[0] == 2 and spp_ > 1:
+                # planar strip layout carries spp planes of strips
+                # (TIFF 6 §3) — admit with the correct count so decode_tile
+                # raises its loud UnsupportedPixelFormat (same
+                # diagnose-ability contract as the tiled planar reject)
+                # instead of this IFD vanishing into NoLevels
+                n_strips *= spp_
+            if len(offsets) != n_strips or len(offsets) != len(counts):
                 continue  # inconsistent strip accounting: skip like malformed
             strip = True
         else:
@@ -737,7 +758,9 @@ def cog_info(data: bytes) -> dict:
                 tile_w=tile_w,
                 tile_h=tile_h,
                 strip=strip,
-                compression=tags[T_COMPRESSION][0],
+                # tag 259 is a DEFAULTED tag (TIFF 6: default 1 = none);
+                # baseline uncompressed classic files may legally omit it
+                compression=tags.get(T_COMPRESSION, [1])[0],
                 predictor=tags.get(T_PREDICTOR, [1])[0],  # default level.rs:119-150
                 fill_order=tags.get(T_FILLORDER, [1])[0],
                 planar=tags.get(T_PLANARCONFIG, [1])[0],

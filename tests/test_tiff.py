@@ -1114,6 +1114,9 @@ def _write_stripped_tiff(
     compression: int = 1,
     predictor: int = 1,
     epsg: int = 4326,
+    subfiletype: int | None = None,
+    planar: bool = False,
+    omit_compression: bool = False,
 ) -> bytes:
     """Minimal classic-LE STRIP-organized GeoTIFF writer (test oracle only
     — the engine writes tiled COGs exclusively; strips exist in the wild,
@@ -1125,20 +1128,27 @@ def _write_stripped_tiff(
 
     h, w, c = img.shape
     rps = h if rows_per_strip is None else rows_per_strip
-    strips = []
-    for y0 in range(0, h, rps):
-        part = img[y0 : y0 + rps]
+
+    def _pack(part: np.ndarray) -> bytes:
         if predictor == 2:
             part = predictor2_encode(part)
         raw = part.tobytes()
         if compression == tiff.COMPRESSION_DEFLATE:
-            strips.append(zlib.compress(raw, 6))
-        elif compression == tiff.COMPRESSION_PACKBITS:
-            strips.append(_packbits_encode(raw))
-        elif compression == 1:
-            strips.append(raw)
-        else:
-            raise ValueError(compression)
+            return zlib.compress(raw, 6)
+        if compression == tiff.COMPRESSION_PACKBITS:
+            return _packbits_encode(raw)
+        if compression == 1:
+            return raw
+        raise ValueError(compression)
+
+    strips = []
+    if planar:  # TIFF 6 planar strips: all plane-0 strips, then plane 1, ...
+        for p in range(c):
+            for y0 in range(0, h, rps):
+                strips.append(_pack(img[y0 : y0 + rps, :, p : p + 1]))
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(_pack(img[y0 : y0 + rps]))
 
     SHORT, LONG, DOUBLE = 3, 4, 12
     tags: list[tuple[int, int, list]] = [
@@ -1158,6 +1168,13 @@ def _write_stripped_tiff(
         tags.append((278, LONG, [rps]))
     if predictor != 1:
         tags.append((317, SHORT, [predictor]))
+    if subfiletype is not None:
+        tags.append((254, LONG, [subfiletype]))
+    if planar:
+        tags.append((284, SHORT, [2]))
+    if omit_compression:
+        assert compression == 1
+        tags = [t for t in tags if t[0] != 259]
     tags.sort(key=lambda t: t[0])
 
     sizes = {3: 2, 4: 4, 12: 8}
@@ -1252,3 +1269,64 @@ class TestStrippedTiffRead:
         data[i + 8 : i + 12] = struct.pack("<I", 8)
         with pytest.raises(NoLevels):
             tiff.cog_info(bytes(data))
+
+
+class TestStrippedTiffReviewFindings:
+    """Regression pins for the round-6 review pass over the strip/legacy
+    compression commits (5 findings, all fixed)."""
+
+    def test_rows_per_strip_zero_skipped_not_crash(self):
+        # finding 1: RowsPerStrip=0 divided by zero in the strip count
+        import struct
+
+        from cloudtiff_spark.errors import NoLevels
+
+        data = bytearray(_write_stripped_tiff(_img(64, 32), rows_per_strip=16))
+        i = data.index(struct.pack("<HHI", 278, 4, 1))
+        data[i + 8 : i + 12] = struct.pack("<I", 0)
+        with pytest.raises(NoLevels):  # skipped as malformed, no ZeroDivisionError
+            tiff.cog_info(bytes(data))
+
+    def test_missing_compression_tag_defaults_to_none(self):
+        # finding 2: tag 259 is defaulted (TIFF 6: 1 = uncompressed)
+        img = _img(50, 20)
+        data = _write_stripped_tiff(img, rows_per_strip=17, omit_compression=True)
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["compression"] == 1
+        got = np.concatenate(
+            [tiff.decode_tile(data, info, 0, i) for i in range(3)], axis=0
+        )
+        assert np.array_equal(got[:50], img)
+
+    @pytest.mark.parametrize("sft", [0x4, 0x2, 0x6])
+    def test_mask_and_page_strip_ifds_skipped(self, sft):
+        # finding 3: transparency-mask / document-page strip IFDs are not
+        # pyramid imagery and must not be numbered as overviews
+        from cloudtiff_spark.errors import NoLevels
+
+        data = _write_stripped_tiff(_img(40, 30), rows_per_strip=16, subfiletype=sft)
+        with pytest.raises(NoLevels):
+            tiff.cog_info(data)
+        # bit 0x1 (reduced-resolution overview) alone stays admitted
+        ok = _write_stripped_tiff(_img(40, 30), rows_per_strip=16, subfiletype=0x1)
+        assert len(tiff.cog_info(ok)["levels"]) == 1
+
+    def test_planar_strips_admitted_and_reject_loudly(self):
+        # finding 4: planar strip files must hit decode_tile's typed
+        # UnsupportedPixelFormat, not vanish into NoLevels
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+
+        img = _img(48, 20)
+        data = _write_stripped_tiff(img, rows_per_strip=16, planar=True)
+        info = tiff.cog_info(data)
+        (lev,) = info["levels"]
+        assert lev["planar"] == 2 and len(lev["offsets"]) == 9  # 3 planes x 3 bands
+        with pytest.raises(UnsupportedPixelFormat, match="Planar"):
+            tiff.decode_tile(data, info, 0, 0)
+
+    def test_comp_name_covers_legacy_codes(self):
+        # finding 5: analyze output names what decode_tile can decode
+        from cloudtiff_spark.operators.cog import _COMP_NAME
+
+        assert _COMP_NAME[32773] == "packbits"
+        assert _COMP_NAME[32946] == "deflate-legacy"
