@@ -757,3 +757,221 @@ def ensure_jpeg_cog_dir(sf_name: str = "sf0.01") -> str:
         f.write(want)
     os.replace(tmpm, marker)
     return jdir
+
+
+#: stripped-GeoTIFF ingest family: N classic strip-organized files across
+#: {uncompressed, deflate, packbits} x {predictor 1, 2} x {gray, RGB} x
+#: varied RowsPerStrip (incl. whole-image default and an omitted
+#: Compression tag). The expected side hashes ZERO-PADDED strip slices of
+#: the ORIGINAL pixel array — computed without the reader — so any
+#: admission/decode/pad bug in the strip path diverges.
+_STRIPTIFF_COUNT = 12
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Spec-correct PackBits encoder (TIFF 6 §9) — FIXTURE/TEST tooling
+    only: the engine's COG writer deliberately never emits PackBits (it is
+    a read-side compat code, tiff.py); this exists to synthesize wild-style
+    legacy files. Replicate runs for >=3 equal bytes, literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            if lit_start < i:
+                out += bytes([i - lit_start - 1]) + data[lit_start:i]
+            out += bytes([(1 - run) & 0xFF, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += 1
+            if i - lit_start == 128:
+                out += bytes([127]) + data[lit_start:i]
+                lit_start = i
+    if lit_start < n:
+        out += bytes([n - lit_start - 1]) + data[lit_start:n]
+    return bytes(out)
+
+
+def write_stripped_tiff(
+    img: np.ndarray,
+    rows_per_strip: int | None,
+    compression: int = 1,
+    predictor: int = 1,
+    epsg: int = 4326,
+    subfiletype: int | None = None,
+    planar: bool = False,
+    omit_compression: bool = False,
+) -> bytes:
+    """Minimal classic-LE STRIP-organized GeoTIFF writer — FIXTURE/TEST
+    tooling only (the engine writes tiled COGs exclusively; strip files
+    exist in the wild, so the READER ingests them — tiff.py cog_info
+    strip branch). rows_per_strip=None omits tag 278 (TIFF 6 default =
+    whole image); omit_compression drops tag 259 (defaulted to 1);
+    subfiletype/planar exist for reader reject/skip tests."""
+    import struct
+    import zlib
+
+    from .codecs import predictor2_encode
+    from .tiff import (
+        COMPRESSION_DEFLATE,
+        COMPRESSION_PACKBITS,
+        _geokey_directory,
+    )
+
+    h, w, c = img.shape
+    rps = h if rows_per_strip is None else rows_per_strip
+
+    def _pack(part: np.ndarray) -> bytes:
+        if predictor == 2:
+            part = predictor2_encode(part)
+        raw = part.tobytes()
+        if compression == COMPRESSION_DEFLATE:
+            return zlib.compress(raw, 6)
+        if compression == COMPRESSION_PACKBITS:
+            return _packbits_encode(raw)
+        if compression == 1:
+            return raw
+        raise ValueError(compression)
+
+    strips = []
+    if planar:  # TIFF 6 planar strips: all plane-0 strips, then plane 1, ...
+        for p in range(c):
+            for y0 in range(0, h, rps):
+                strips.append(_pack(img[y0 : y0 + rps, :, p : p + 1]))
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(_pack(img[y0 : y0 + rps]))
+
+    SHORT, LONG, DOUBLE = 3, 4, 12
+    tags: list[tuple[int, int, list]] = [
+        (256, LONG, [w]),
+        (257, LONG, [h]),
+        (258, SHORT, [8] * c),
+        (259, SHORT, [compression]),
+        (262, SHORT, [2 if c == 3 else 1]),
+        (273, LONG, [0] * len(strips)),  # patched below
+        (277, SHORT, [c]),
+        (279, LONG, [len(s) for s in strips]),
+        (33550, DOUBLE, [1e-4, 1e-4, 0.0]),
+        (33922, DOUBLE, [0.0, 0.0, 0.0, 10.0, 50.0, 0.0]),
+        (34735, SHORT, _geokey_directory(epsg)),
+    ]
+    if rows_per_strip is not None:
+        tags.append((278, LONG, [rps]))
+    if predictor != 1:
+        tags.append((317, SHORT, [predictor]))
+    if subfiletype is not None:
+        tags.append((254, LONG, [subfiletype]))
+    if planar:
+        tags.append((284, SHORT, [2]))
+    if omit_compression:
+        assert compression == 1
+        tags = [t for t in tags if t[0] != 259]
+    tags.sort(key=lambda t: t[0])
+
+    sizes = {3: 2, 4: 4, 12: 8}
+    pos = 8 + 2 + 12 * len(tags) + 4  # header + count + entries + next ptr
+    ext: dict[int, int] = {}
+    for code, dt, vals in tags:
+        size = sizes[dt] * len(vals)
+        if size > 4:
+            ext[code] = pos
+            pos += size
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    tags = [
+        (273, LONG, strip_offsets) if code == 273 else (code, dt, vals)
+        for code, dt, vals in tags
+    ]
+
+    fmt = {3: "<H", 4: "<I", 12: "<d"}
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(tags))
+    for code, dt, vals in tags:
+        payload = b"".join(struct.pack(fmt[dt], v) for v in vals)
+        out += struct.pack("<HHI", code, dt, len(vals))
+        if len(payload) <= 4:
+            out += payload.ljust(4, b"\x00")
+        else:
+            out += struct.pack("<I", ext[code])
+    out += struct.pack("<I", 0)  # next IFD
+    for code, dt, vals in tags:
+        if code in ext:
+            assert len(out) == ext[code]
+            out += b"".join(struct.pack(fmt[dt], v) for v in vals)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def ensure_strip_tiff_dir(sf_name: str = "sf0.01") -> str:
+    """Materialize <fixture>/cogs_strip/: cogs.parquet (image_id, tif,
+    comp_name) + expected_strip.parquet (image_id, strip_idx, comp,
+    pix_hash). comp names come from a literal mapping here, independent of
+    operators.cog._COMP_NAME, so the analyze naming is graded too."""
+    from .oracle_expected import xxh64
+    from .tiff import COMPRESSION_DEFLATE, COMPRESSION_PACKBITS
+
+    out_dir = ensure_fixtures(sf_name)
+    sdir = os.path.join(out_dir, "cogs_strip")
+    marker = os.path.join(sdir, "_COMPLETE")
+    want = f"striptiff={_STRIPTIFF_COUNT} v1\n"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return sdir
+        import shutil
+
+        shutil.rmtree(sdir, ignore_errors=True)
+    os.makedirs(sdir, exist_ok=True)
+    comp_name = {1: "none", COMPRESSION_DEFLATE: "deflate", COMPRESSION_PACKBITS: "packbits"}
+    cog_rows, exp_rows = [], []
+    for i in range(_STRIPTIFF_COUNT):
+        image_id = f"strip_{i:03d}"
+        rng = _rng_for(f"striptiff:{image_id}")
+        w, h = 30 + 23 * i, 25 + 31 * i
+        gray = i % 4 == 1
+        comp = (1, COMPRESSION_DEFLATE, COMPRESSION_PACKBITS)[i % 3]
+        predictor = 2 if (comp != 1 and i % 5 in (1, 3)) else 1
+        rps = (None, 7, 16, 33)[i % 4]
+        omit = comp == 1 and i == 6  # tag-259-omitted (defaulted) exemplar
+        c = 1 if gray else 3
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        img[::5] = img[::5, :1, :]  # constant rows: packbits replicate runs
+        blob = write_stripped_tiff(
+            img, rps, comp, predictor, omit_compression=omit
+        )
+        rps_eff = h if rps is None else rps
+        n = (h + rps_eff - 1) // rps_eff
+        for s in range(n):
+            padded = np.zeros((rps_eff, w, c), dtype=np.uint8)
+            part = img[s * rps_eff : (s + 1) * rps_eff]
+            padded[: part.shape[0]] = part
+            exp_rows.append(
+                {
+                    "image_id": image_id,
+                    "strip_idx": s,
+                    "comp": comp_name[comp],
+                    "pix_hash": np.int64(np.uint64(xxh64(padded.tobytes()))).item(),
+                }
+            )
+        cog_rows.append({"image_id": image_id, "tif": blob})
+    for name, rows in (
+        ("cogs.parquet", cog_rows),
+        ("expected_strip.parquet", exp_rows),
+    ):
+        tbl = pa.Table.from_pylist(rows)
+        tmp = os.path.join(sdir, f".{name}.{os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(sdir, name))
+    tmpm = marker + f".{os.getpid()}.tmp"
+    with open(tmpm, "w") as f:
+        f.write(want)
+    os.replace(tmpm, marker)
+    return sdir

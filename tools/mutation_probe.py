@@ -41,6 +41,7 @@ PROBES = {
     # the _t patch does not reach it — its cents digit is exercised by the
     # engines' own divergence, not this probe
     "lineitem_price": ["pricing_summary", "top_orders"],
+    "strip_payload": ["strip_ingest"],
 }
 
 
@@ -73,10 +74,12 @@ def main() -> int:
 
     orig_docs, orig_emb = E._docs, E._emb
     orig_tables, orig_t = E._fixture_tables, E._t
+    orig_strip = E._strip_cogs
 
     def mutate(kind: str):
         """Install a loader that perturbs exactly one row."""
         E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
+        E._strip_cogs = orig_strip
         E._RASTER_CACHE.clear()
         E._TILES_CACHE.clear()
         E._SHINGLE_CACHE.clear()
@@ -143,6 +146,25 @@ def main() -> int:
                 return images, meta, queries
 
             E._fixture_tables = tables
+        elif kind == "strip_payload":
+            # stomp 4 bytes at 3/4 of one stripped file's blob — past the
+            # header/IFD/geo tags, inside strip data. strip_000 is
+            # UNCOMPRESSED (i%3==0), so the stomp changes decoded pixels
+            # in place (hash moves) rather than breaking a codec stream
+            def strip_src(s):
+                return orig_strip(s).withColumn(
+                    "tif",
+                    F.when(
+                        F.col("image_id") == "strip_000",
+                        F.expr(
+                            "concat(substring(tif, 1, cast(length(tif)*3/4 as int)), "
+                            "X'00FF00FF', "
+                            "substring(tif, cast(length(tif)*3/4 as int) + 5))"
+                        ),
+                    ).otherwise(F.col("tif")),
+                )
+
+            E._strip_cogs = strip_src
         elif kind == "lineitem_price":
 
             # top_orders is a top-10: only a mutation INSIDE the current
