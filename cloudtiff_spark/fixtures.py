@@ -769,10 +769,12 @@ _STRIPTIFF_COUNT = 12
 
 
 def _packbits_encode(data: bytes) -> bytes:
-    """Spec-correct PackBits encoder (TIFF 6 §9) — FIXTURE/TEST tooling
-    only: the engine's COG writer deliberately never emits PackBits (it is
-    a read-side compat code, tiff.py); this exists to synthesize wild-style
-    legacy files. Replicate runs for >=3 equal bytes, literals otherwise."""
+    """PackBits-encode ONE buffer (one scanline — TIFF 6 §9 packs each
+    row separately; callers split rows before calling). FIXTURE/TEST
+    tooling only: the engine's COG writer deliberately never emits
+    PackBits (it is a read-side compat code, tiff.py); this exists to
+    synthesize wild-style legacy files. Replicate runs for >=3 equal
+    bytes, literals otherwise."""
     out = bytearray()
     i, n = 0, len(data)
     lit_start = i
@@ -832,7 +834,12 @@ def write_stripped_tiff(
         if compression == COMPRESSION_DEFLATE:
             return zlib.compress(raw, 6)
         if compression == COMPRESSION_PACKBITS:
-            return _packbits_encode(raw)
+            # TIFF 6 §9: pack each scanline separately (runs/literals
+            # must not cross row boundaries)
+            rb = part.shape[1] * part.shape[2] * part.itemsize
+            return b"".join(
+                _packbits_encode(raw[i : i + rb]) for i in range(0, len(raw), rb)
+            )
         if compression == 1:
             return raw
         raise ValueError(compression)
@@ -911,17 +918,17 @@ def write_stripped_tiff(
 
 
 def ensure_strip_tiff_dir(sf_name: str = "sf0.01") -> str:
-    """Materialize <fixture>/cogs_strip/: cogs.parquet (image_id, tif,
-    comp_name) + expected_strip.parquet (image_id, strip_idx, comp,
-    pix_hash). comp names come from a literal mapping here, independent of
-    operators.cog._COMP_NAME, so the analyze naming is graded too."""
+    """Materialize <fixture>/cogs_strip/: cogs.parquet (image_id, tif)
+    + expected_strip.parquet (image_id, strip_idx, comp, pix_hash).
+    Expected-side comp names come from a literal mapping here, independent
+    of operators.cog._COMP_NAME, so the analyze naming is graded too."""
     from .oracle_expected import xxh64
     from .tiff import COMPRESSION_DEFLATE, COMPRESSION_PACKBITS
 
     out_dir = ensure_fixtures(sf_name)
     sdir = os.path.join(out_dir, "cogs_strip")
     marker = os.path.join(sdir, "_COMPLETE")
-    want = f"striptiff={_STRIPTIFF_COUNT} v1\n"
+    want = f"striptiff={_STRIPTIFF_COUNT} v2\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:

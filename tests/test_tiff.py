@@ -1136,7 +1136,10 @@ def _write_stripped_tiff(
         if compression == tiff.COMPRESSION_DEFLATE:
             return zlib.compress(raw, 6)
         if compression == tiff.COMPRESSION_PACKBITS:
-            return _packbits_encode(raw)
+            rb = part.shape[1] * part.shape[2] * part.itemsize
+            return b"".join(
+                _packbits_encode(raw[i : i + rb]) for i in range(0, len(raw), rb)
+            )
         if compression == 1:
             return raw
         raise ValueError(compression)

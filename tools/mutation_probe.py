@@ -201,11 +201,13 @@ def main() -> int:
                 failures.append((kind, name))
     # sanity: unmutated is green again
     E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
+    E._strip_cogs = orig_strip
     E._RASTER_CACHE.clear()
     E._TILES_CACHE.clear()
     E._SHINGLE_CACHE.clear()
     E._EMB_CACHE.clear()
-    for name in ["simhash", "embed_topk", "decode_check", "pricing_summary"]:
+    for name in ["simhash", "embed_topk", "decode_check", "pricing_summary",
+                 "strip_ingest"]:
         ok = compare(spark, con, E, name)
         print(f"{'ok  ' if ok else 'FAIL'} unmutated -> {name}: {'green' if ok else 'RED'}")
         if not ok:
