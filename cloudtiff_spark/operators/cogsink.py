@@ -177,6 +177,7 @@ def encode_cog_blocked(
     predictor: int = 1,
     palette: np.ndarray | None = None,
     quality: int = 90,
+    sparse: bool = False,
 ) -> DataFrame:
     """Blocks -> compressed COG tile rows for EVERY pyramid level.
 
@@ -236,7 +237,12 @@ def encode_cog_blocked(
                         dat[i], c, dt, tile, lw, lh, int(rws[i]), int(cls[i])
                     )
                     comp = mm.get("comp", compression)
-                    if comp == COMPRESSION_JPEG:
+                    if sparse and not arr.any():
+                        # GDAL SPARSE_OK hole: no payload; container_prefix
+                        # records offset 0 / count 0 and decode_tile
+                        # zero-fills (same rule as encode_cog sparse=True)
+                        payload = b""
+                    elif comp == COMPRESSION_JPEG:
                         # abbreviated stream (tables discarded: fixed by
                         # `quality`, rebuilt driver-side by assemble /
                         # write via jpeg_tables_for — same bytes,

@@ -377,11 +377,14 @@ def container_prefix(
                 ext[t.code] = pos
                 pos += size + (size & 1)
         ext_positions.append(ext)
-    # tile data
+    # tile data. A zero byte count marks a SPARSE tile (GDAL SPARSE_OK
+    # convention: offset 0 + count 0 = "no data on disk, fill on read")
+    # — record offset 0 rather than the running position so external
+    # readers (GDAL/libtiff) recognize the hole.
     for lv, counts in enumerate(byte_counts):
         levels[lv].tile_offsets = []
         for n in counts:
-            levels[lv].tile_offsets.append(pos)
+            levels[lv].tile_offsets.append(pos if n else 0)
             pos += n
 
     # fill tile offsets into the tag values
@@ -431,10 +434,21 @@ def encode_cog(
     palette: np.ndarray | None = None,
     resample: str = "nearest",
     quality: int = 90,
+    sparse: bool = False,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
     raster point (0,0,0)); scale_px = CRS units/pixel.
+
+    ``sparse=True`` writes GDAL-SPARSE_OK-style holes: any tile whose
+    padded samples are ALL zero is stored as offset 0 / byte count 0
+    (no payload bytes) and zero-fills on read (decode_tile) — the layout
+    GDAL emits for sparse mosaics/masks and libtiff's TIFFReadEncodedTile
+    treats as fill. At the 10^12-image design point sparse coverage
+    mosaics are mostly holes, so this is a first-class size/IO lever,
+    not an edge case. The reference reader has no such branch (its range
+    is offsets[i]..offsets[i]+counts[i] unconditionally, level.rs:301-319
+    — an empty slice that fails in the codec).
 
     Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
     (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
@@ -498,7 +512,9 @@ def encode_cog(
                 t = np.zeros((tile, tile, c), dtype=pixels.dtype)
                 src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
                 t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
-                if jpeg:
+                if sparse and not t.any():
+                    tiles.append(b"")  # hole: offset 0 / count 0
+                elif jpeg:
                     # DQT/DHT are fixed by `quality` (standard Annex K
                     # Huffman tables), so every tile splits to the SAME
                     # tables stream — shared once via tag 347
@@ -856,6 +872,29 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # — reject loudly rather than reverse bits per byte. Checked
         # before the compression dispatch so no codec path can bypass it.
         raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
+    if cnt == 0:
+        # sparse tile (GDAL SPARSE_OK: offset 0 / byte count 0 = hole):
+        # zero-fill in the level's native sample type. Placed after the
+        # planar/fill-order guards so unsupported layouts still reject
+        # loudly, and resolving dtype through the same format table so a
+        # sparse tile of an unsupported format raises like a stored one.
+        bits0 = lev.get("bits_per_sample", [8])[0]
+        sf0 = lev.get("sample_format", 1)
+        if bits0 in (1, 2, 4) and spp != 1:
+            raise UnsupportedPixelFormat(f"{bits0}-bit is gray-only")
+        if lev["compression"] == COMPRESSION_JPEG or (
+            bits0 in (1, 2, 4, 8) and sf0 == 1
+        ):
+            fill_dtype = np.uint8
+        elif bits0 == 16 and sf0 == 1:
+            fill_dtype = np.uint16
+        elif bits0 == 32 and sf0 == 3:
+            fill_dtype = np.float32
+        else:
+            raise UnsupportedPixelFormat(
+                f"bits_per_sample {bits0} with sample_format {sf0} unsupported"
+            )
+        return np.zeros((lev["tile_h"], lev["tile_w"], spp), dtype=fill_dtype)
     if lev["compression"] == COMPRESSION_JPEG:
         # TechNote 2 "new-style" JPEG tiles: the payload is an (often
         # abbreviated) interchange stream; tag 347 carries the shared

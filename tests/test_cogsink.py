@@ -293,3 +293,36 @@ def test_jpeg_quality_rides_tile_relation(spark):
         compression=COMPRESSION_JPEG, quality=70,
     )
     assert bytes(rows[0]["cog"]) == single
+
+
+def test_blocked_sparse_matches_single_pass(spark):
+    """sparse=True on the distributed encoder: all-zero tiles become
+    offset-0/count-0 holes identically to encode_cog(sparse=True) — the
+    whole container, every level, byte for byte."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+    from cloudtiff_spark.tiff import cog_info
+
+    arr = np.zeros((300, 420, 3), dtype=np.uint8)
+    r = _rng(109)
+    arr[10:60, 12:70] = r.integers(1, 255, (50, 58, 3), dtype=np.uint8)
+    arr[200:240, 300:350] = r.integers(1, 255, (40, 50, 3), dtype=np.uint8)
+    single = encode_cog(
+        arr, 32633, 500000.0, 5200000.0, 10.0, tile=64, sparse=True
+    )
+    meta = _meta_df(spark, "sp", 420, 300, 3, "uint8")
+    images = spark.createDataFrame(
+        [("sp", bytearray(arr.tobytes()), 420, 300, 3, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=64)
+    tiles = encode_cog_blocked(blocks, meta, tile=64, sparse=True)
+    rows = assemble_cogs(tiles, meta, tile=64).collect()
+    assert bytes(rows[0]["cog"]) == single
+    info = cog_info(single)
+    assert any(
+        n == 0 for lev in info["levels"] for n in lev["byte_counts"]
+    )  # the case really wrote holes

@@ -1333,3 +1333,110 @@ class TestStrippedTiffReviewFindings:
 
         assert _COMP_NAME[32773] == "packbits"
         assert _COMP_NAME[32946] == "deflate-legacy"
+
+
+class TestSparseCog:
+    """GDAL-SPARSE_OK holes: offset 0 / byte count 0 tiles zero-fill on
+    read; sparse=True writers omit all-zero tile payloads. The reference
+    has no sparse branch (level.rs:301-319 slices unconditionally)."""
+
+    @staticmethod
+    def _sparse_img(h, w, c=3, dtype=np.uint8):
+        img = np.zeros((h, w, c), dtype=dtype)
+        # one nonzero patch in the NW tile and one mid-raster: everything
+        # else is holes across level 0 and (mostly) the overviews
+        img[3:40, 5:50] = RNG.integers(1, 255, (37, 45, c)).astype(dtype)
+        img[h // 2 : h // 2 + 20, w // 2 : w // 2 + 20] = (
+            RNG.integers(1, 255, (20, 20, c)).astype(dtype)
+        )
+        return img
+
+    @pytest.mark.parametrize(
+        "comp,predictor",
+        [
+            (tiff.COMPRESSION_DEFLATE, 1),
+            (tiff.COMPRESSION_DEFLATE, 2),
+            (tiff.COMPRESSION_LZW, 1),
+        ],
+    )
+    def test_sparse_roundtrip_bit_exact(self, comp, predictor):
+        img = self._sparse_img(700, 900)
+        dense = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, compression=comp, predictor=predictor
+        )
+        sparse = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, compression=comp,
+            predictor=predictor, sparse=True,
+        )
+        assert len(sparse) < len(dense)  # holes actually dropped
+        si = tiff.cog_info(sparse)
+        di = tiff.cog_info(dense)
+        holes = 0
+        for lv in range(len(si["levels"])):
+            slev, dlev = si["levels"][lv], di["levels"][lv]
+            for ti in range(len(slev["offsets"])):
+                if slev["byte_counts"][ti] == 0:
+                    holes += 1
+                    assert slev["offsets"][ti] == 0  # GDAL hole convention
+                assert np.array_equal(
+                    tiff.decode_tile(sparse, si, lv, ti),
+                    tiff.decode_tile(dense, di, lv, ti),
+                )
+        assert holes > 0  # the fixture really exercises the hole path
+
+    def test_sparse_fill_dtypes(self):
+        # gray16 and float32 holes fill in the level's native sample type
+        for dtype, kw in [
+            (np.uint16, {}),
+            (np.float32, {"predictor": 3}),
+        ]:
+            img = self._sparse_img(300, 400, c=1, dtype=dtype)[:, :, 0]
+            data = tiff.encode_cog(
+                img, 32633, 5e5, 52e5, 10.0, sparse=True, **kw
+            )
+            info = tiff.cog_info(data)
+            lev = info["levels"][0]
+            hole = next(
+                i for i, n in enumerate(lev["byte_counts"]) if n == 0
+            )
+            t = tiff.decode_tile(data, info, 0, hole)
+            assert t.dtype == dtype and not t.any()
+            assert t.shape == (lev["tile_h"], lev["tile_w"], 1)
+
+    def test_sparse_jpeg_holes_fill_uint8(self):
+        img = self._sparse_img(600, 600)
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4,
+            compression=tiff.COMPRESSION_JPEG, sparse=True,
+        )
+        info = tiff.cog_info(data)
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        t = tiff.decode_tile(data, info, 0, hole)
+        assert t.dtype == np.uint8 and not t.any()
+
+    def test_externally_authored_hole(self):
+        # a hole need not come from our writer: zero out one stored
+        # tile's count in the offsets/counts tags of a DENSE file and the
+        # reader must zero-fill it (libtiff/GDAL read-side semantics)
+        img = _img(300, 300)
+        data = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
+        info = tiff.cog_info(data)
+        assert not any(
+            n == 0 for lev in info["levels"] for n in lev["byte_counts"]
+        )
+        info["levels"][0]["byte_counts"][1] = 0
+        info["levels"][0]["offsets"][1] = 0
+        t = tiff.decode_tile(data, info, 0, 1)
+        assert t.shape == (TILE, TILE, 3) and not t.any()
+
+    def test_sparse_hole_of_unsupported_format_still_rejects(self):
+        img = self._sparse_img(300, 300)
+        data = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4, sparse=True)
+        info = tiff.cog_info(data)
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        lev["bits_per_sample"] = [64]
+        lev["sample_format"] = 3
+        with pytest.raises(tiff.UnsupportedPixelFormat):
+            tiff.decode_tile(data, info, 0, hole)
