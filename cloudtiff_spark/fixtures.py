@@ -982,3 +982,92 @@ def ensure_strip_tiff_dir(sf_name: str = "sf0.01") -> str:
         f.write(want)
     os.replace(tmpm, marker)
     return sdir
+
+
+#: sparse-COG ingest family: mostly-zero rasters written with
+#: encode_cog(sparse=True) across {RGB u8 deflate, gray u8 LZW+pred2,
+#: gray u16 deflate+pred2, gray f32 deflate+pred3}. The expected side
+#: rebuilds every pyramid tile from the ORIGINAL array (the writer's own
+#: deterministic plan, no container involved) and marks which tiles are
+#: all-zero — grading BOTH that holes were really written (is_hole) and
+#: that hole + stored tiles decode bit-exact (pix_hash).
+_SPARSECOG_COUNT = 10
+
+
+def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
+    """Materialize <fixture>/cogs_sparse/: cogs.parquet (image_id, cog) +
+    expected_sparse.parquet (image_id, level, tile_idx, is_hole,
+    pix_hash). is_hole is computed from the ARRAY (tile content all
+    zero), not from the container, so a writer that silently stores
+    dense tiles diverges on the is_hole column."""
+    from . import TILE
+    from .oracle_expected import xxh64
+    from .tiff import COMPRESSION_DEFLATE, COMPRESSION_LZW, encode_cog
+
+    out_dir = ensure_fixtures(sf_name)
+    sdir = os.path.join(out_dir, "cogs_sparse")
+    marker = os.path.join(sdir, "_COMPLETE")
+    want = f"sparsecog={_SPARSECOG_COUNT} v1\n"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return sdir
+        import shutil
+
+        shutil.rmtree(sdir, ignore_errors=True)
+    os.makedirs(sdir, exist_ok=True)
+    cog_rows, exp_rows = [], []
+    for i in range(_SPARSECOG_COUNT):
+        image_id = f"sparse_{i:03d}"
+        rng = _rng_for(f"sparsecog:{image_id}")
+        w, h = 150 + 61 * i, 140 + 47 * i
+        kind = i % 4
+        if kind == 0:
+            c, dt, comp, pred = 3, np.uint8, COMPRESSION_DEFLATE, 1
+        elif kind == 1:
+            c, dt, comp, pred = 1, np.uint8, COMPRESSION_LZW, 2
+        elif kind == 2:
+            c, dt, comp, pred = 1, np.uint16, COMPRESSION_DEFLATE, 2
+        else:
+            c, dt, comp, pred = 1, np.float32, COMPRESSION_DEFLATE, 3
+        img = np.zeros((h, w, c), dtype=dt)
+        for _ in range(2 + i % 3):  # a few nonzero patches, rest holes
+            ph, pw = int(rng.integers(16, 60)), int(rng.integers(16, 60))
+            y0 = int(rng.integers(0, h - ph))
+            x0 = int(rng.integers(0, w - pw))
+            if dt == np.float32:
+                patch = rng.normal(100.0, 25.0, (ph, pw, c)).astype(dt)
+            else:
+                patch = rng.integers(
+                    1, np.iinfo(dt).max, (ph, pw, c)
+                ).astype(dt)
+            img[y0 : y0 + ph, x0 : x0 + pw] = patch
+        blob = encode_cog(
+            img if c > 1 else img[:, :, 0],
+            4326, 0.0, 50.0, 1e-4,
+            compression=comp, predictor=pred, sparse=True,
+        )
+        for lv, ti, t in _jpeg_pyramid_tiles(img, TILE):
+            exp_rows.append(
+                {
+                    "image_id": image_id,
+                    "level": lv,
+                    "tile_idx": ti,
+                    "is_hole": not t.any(),
+                    "pix_hash": np.int64(np.uint64(xxh64(t.tobytes()))).item(),
+                }
+            )
+        cog_rows.append({"image_id": image_id, "cog": blob})
+    for name, rows in (
+        ("cogs.parquet", cog_rows),
+        ("expected_sparse.parquet", exp_rows),
+    ):
+        tbl = pa.Table.from_pylist(rows)
+        tmp = os.path.join(sdir, f".{name}.{os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(sdir, name))
+    tmpm = marker + f".{os.getpid()}.tmp"
+    with open(tmpm, "w") as f:
+        f.write(want)
+    os.replace(tmpm, marker)
+    return sdir

@@ -42,6 +42,7 @@ PROBES = {
     # engines' own divergence, not this probe
     "lineitem_price": ["pricing_summary", "top_orders"],
     "strip_payload": ["strip_ingest"],
+    "sparse_payload": ["sparse_cog"],
 }
 
 
@@ -75,11 +76,13 @@ def main() -> int:
     orig_docs, orig_emb = E._docs, E._emb
     orig_tables, orig_t = E._fixture_tables, E._t
     orig_strip = E._strip_cogs
+    orig_sparse = E._sparse_cogs
 
     def mutate(kind: str):
         """Install a loader that perturbs exactly one row."""
         E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
         E._strip_cogs = orig_strip
+        E._sparse_cogs = orig_sparse
         E._RASTER_CACHE.clear()
         E._TILES_CACHE.clear()
         E._SHINGLE_CACHE.clear()
@@ -165,6 +168,25 @@ def main() -> int:
                 )
 
             E._strip_cogs = strip_src
+        elif kind == "sparse_payload":
+            # stomp 4 bytes at 7/8 of one sparse COG's blob — inside the
+            # stored tile payloads (the prefix is small). Either the
+            # deflate stream breaks (typed sentinel row) or an
+            # uncompressed block's pixels change; the hash moves both ways
+            def sparse_src(s):
+                return orig_sparse(s).withColumn(
+                    "cog",
+                    F.when(
+                        F.col("image_id") == "sparse_000",
+                        F.expr(
+                            "concat(substring(cog, 1, cast(length(cog)*7/8 as int)), "
+                            "X'00FF00FF', "
+                            "substring(cog, cast(length(cog)*7/8 as int) + 5))"
+                        ),
+                    ).otherwise(F.col("cog")),
+                )
+
+            E._sparse_cogs = sparse_src
         elif kind == "lineitem_price":
 
             # top_orders is a top-10: only a mutation INSIDE the current
@@ -202,12 +224,13 @@ def main() -> int:
     # sanity: unmutated is green again
     E._docs, E._emb, E._fixture_tables, E._t = orig_docs, orig_emb, orig_tables, orig_t
     E._strip_cogs = orig_strip
+    E._sparse_cogs = orig_sparse
     E._RASTER_CACHE.clear()
     E._TILES_CACHE.clear()
     E._SHINGLE_CACHE.clear()
     E._EMB_CACHE.clear()
     for name in ["simhash", "embed_topk", "decode_check", "pricing_summary",
-                 "strip_ingest"]:
+                 "strip_ingest", "sparse_cog"]:
         ok = compare(spark, con, E, name)
         print(f"{'ok  ' if ok else 'FAIL'} unmutated -> {name}: {'green' if ok else 'RED'}")
         if not ok:
