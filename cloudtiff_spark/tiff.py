@@ -837,6 +837,51 @@ def _pad_rows(arr: np.ndarray, th: int) -> np.ndarray:
     return out
 
 
+def _native_dtype_for(lev: dict, spp: int) -> np.dtype:
+    """Resolve a level's native OUTPUT sample dtype, applying every
+    format-support guard on the way — the single source of truth for
+    "supported format", shared by the sparse-hole zero-fill and the
+    stored-tile decode path in decode_tile so the two can't drift: a
+    hole of an unsupported layout raises exactly like a stored tile."""
+    comp = lev["compression"]
+    if comp not in (
+        1,
+        COMPRESSION_DEFLATE,
+        COMPRESSION_DEFLATE_LEGACY,
+        COMPRESSION_LZW,
+        COMPRESSION_PACKBITS,
+        COMPRESSION_JPEG,
+    ):
+        raise CompressionNotSupported(comp)
+    if comp == COMPRESSION_JPEG:
+        phot = lev.get("photometric", 6 if spp == 3 else 1)
+        if phot not in (1, 2, 6):
+            raise UnsupportedPixelFormat(
+                f"photometric {phot} unsupported for JPEG tiles"
+            )
+        return np.dtype(np.uint8)
+    bits_all = lev.get("bits_per_sample", [8])
+    bits = bits_all[0]
+    if set(bits_all) - {bits}:
+        raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")
+    sf = lev.get("sample_format", 1)
+    if bits in (1, 2, 4) and sf == 1:
+        if spp != 1:
+            raise UnsupportedPixelFormat(f"{bits}-bit is gray-only")
+        if lev.get("predictor", 1) != 1:
+            raise UnsupportedPixelFormat("predictors undefined for sub-byte samples")
+        return np.dtype(np.uint8)
+    if bits == 8 and sf == 1:
+        return np.dtype(np.uint8)
+    if bits == 16 and sf == 1:
+        return np.dtype(np.uint16)
+    if bits == 32 and sf == 3:
+        return np.dtype(np.float32)
+    raise UnsupportedPixelFormat(
+        f"bits_per_sample {bits} with sample_format {sf} unsupported"
+    )
+
+
 def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarray:
     """Fetch + decode one tile by byte range (S4/S8 + decode chain
     level.rs:301-373). Returns (tile_h, tile_w, spp) in the level's native
@@ -872,29 +917,15 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # — reject loudly rather than reverse bits per byte. Checked
         # before the compression dispatch so no codec path can bypass it.
         raise UnsupportedPixelFormat("FillOrder 2 (LSB-first) unsupported")
+    # one format-guard pass for holes AND stored tiles (the single source
+    # of truth for "supported format" — a hole of an unsupported layout
+    # raises exactly like a stored tile of it would)
+    native_dtype = _native_dtype_for(lev, spp)
     if cnt == 0:
         # sparse tile (GDAL SPARSE_OK: offset 0 / byte count 0 = hole):
         # zero-fill in the level's native sample type. Placed after the
-        # planar/fill-order guards so unsupported layouts still reject
-        # loudly, and resolving dtype through the same format table so a
-        # sparse tile of an unsupported format raises like a stored one.
-        bits0 = lev.get("bits_per_sample", [8])[0]
-        sf0 = lev.get("sample_format", 1)
-        if bits0 in (1, 2, 4) and spp != 1:
-            raise UnsupportedPixelFormat(f"{bits0}-bit is gray-only")
-        if lev["compression"] == COMPRESSION_JPEG or (
-            bits0 in (1, 2, 4, 8) and sf0 == 1
-        ):
-            fill_dtype = np.uint8
-        elif bits0 == 16 and sf0 == 1:
-            fill_dtype = np.uint16
-        elif bits0 == 32 and sf0 == 3:
-            fill_dtype = np.float32
-        else:
-            raise UnsupportedPixelFormat(
-                f"bits_per_sample {bits0} with sample_format {sf0} unsupported"
-            )
-        return np.zeros((lev["tile_h"], lev["tile_w"], spp), dtype=fill_dtype)
+        # planar/fill-order guards so unsupported layouts still reject.
+        return np.zeros((lev["tile_h"], lev["tile_w"], spp), dtype=native_dtype)
     if lev["compression"] == COMPRESSION_JPEG:
         # TechNote 2 "new-style" JPEG tiles: the payload is an (often
         # abbreviated) interchange stream; tag 347 carries the shared
@@ -907,11 +938,8 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # transform.
         from .jpeg import decode_jpeg, merge_jpeg_tables
 
+        # the photometric whitelist already ran in _native_dtype_for
         phot = lev.get("photometric", 6 if spp == 3 else 1)
-        if phot not in (1, 2, 6):
-            raise UnsupportedPixelFormat(
-                f"photometric {phot} unsupported for JPEG tiles"
-            )
         tbl = lev.get("jpeg_tables")
         stream = merge_jpeg_tables(tbl, raw) if tbl else raw
         rgb = decode_jpeg(stream, color_transform=phot != 2)
@@ -940,9 +968,9 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     else:
         raise CompressionNotSupported(lev["compression"])
     tw, th = lev["tile_w"], lev["tile_h"]
+    # mixed bits_per_sample / unsupported combinations already rejected
+    # by _native_dtype_for above
     bits = lev.get("bits_per_sample", [8])[0]
-    if set(lev.get("bits_per_sample", [8])) - {bits}:
-        raise UnsupportedPixelFormat("mixed bits_per_sample unsupported (image.rs:26-95)")
     sf = lev.get("sample_format", 1)
     if bits in (1, 2, 4) and sf == 1:
         # bit-packed gray / mask / palette indices: the reference's Raster
@@ -951,13 +979,9 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # image-crate rule v * 255 / (2^bits - 1); RGBPalette (3) keeps the
         # RAW indices — they address the ColorMap, scaling would corrupt
         # them. Rows pad to byte boundaries (TIFF 6).
-        if spp != 1:
-            raise UnsupportedPixelFormat(f"{bits}-bit is gray-only")
         row_bytes = (tw * bits + 7) // 8
         if len(buf) != row_bytes * rows:
             raise ValueError(f"buffer size {len(buf)} != {rows}x{row_bytes}B")
-        if lev.get("predictor", 1) != 1:
-            raise UnsupportedPixelFormat("predictors undefined for sub-byte samples")
         bits_arr = np.unpackbits(
             np.frombuffer(buf, dtype=np.uint8).reshape(rows, row_bytes), axis=1
         )
@@ -970,17 +994,14 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         return _pad_rows(
             ((vals * 255 + maxv // 2) // maxv).astype(np.uint8)[:, :, None], th
         )
-    if bits == 8 and sf == 1:
-        dtype = np.uint8
-    elif bits == 16 and sf == 1:
+    # buffer dtype = the resolved native type with the file's byte order
+    # (SampleFormat=3: IEEE float32 — elevation/NDVI COGs)
+    if native_dtype == np.uint8:
+        dtype = np.dtype(np.uint8)
+    elif native_dtype == np.uint16:
         dtype = np.dtype(">u2" if lev.get("endian") == ">" else "<u2")
-    elif bits == 32 and sf == 3:
-        # SampleFormat=3: IEEE float32 (elevation/NDVI COGs)
-        dtype = np.dtype(">f4" if lev.get("endian") == ">" else "<f4")
     else:
-        raise UnsupportedPixelFormat(
-            f"bits_per_sample {bits} with sample_format {sf} unsupported"
-        )
+        dtype = np.dtype(">f4" if lev.get("endian") == ">" else "<f4")
     if len(buf) != tw * rows * spp * (bits // 8):  # raster/mod.rs:73-86
         raise ValueError(f"buffer size {len(buf)} != {tw}x{rows}x{spp}x{bits // 8}B")
     if lev.get("predictor", 1) == 3:

@@ -169,19 +169,39 @@ def main() -> int:
 
             E._strip_cogs = strip_src
         elif kind == "sparse_payload":
-            # stomp 4 bytes at 7/8 of one sparse COG's blob — inside the
-            # stored tile payloads (the prefix is small). Either the
-            # deflate stream breaks (typed sentinel row) or an
-            # uncompressed block's pixels change; the hash moves both ways
+            # stomp 4 bytes in the MIDDLE of a known stored tile payload of
+            # sparse_000 — position computed from the container itself (not
+            # a fraction of the blob, which could drift into the IFD if the
+            # fixture's hole ratio changes). Either the deflate stream
+            # breaks (typed sentinel row) or decoded pixels change; the
+            # hash moves both ways
+            import pyarrow.parquet as _pq
+
+            from cloudtiff_spark import tiff as _tiff
+            from cloudtiff_spark.fixtures import ensure_sparse_cog_dir
+
+            _sdir = ensure_sparse_cog_dir("sf0.01")
+            _blob = next(
+                r["cog"]
+                for r in _pq.read_table(_sdir + "/cogs.parquet").to_pylist()
+                if r["image_id"] == "sparse_000"
+            )
+            _lev = _tiff.cog_info(_blob)["levels"][0]
+            _ti = next(
+                i for i, n in enumerate(_lev["byte_counts"]) if n > 8
+            )
+            # substring() is 1-based: keep bytes [1, pos], stomp 4
+            _pos = _lev["offsets"][_ti] + _lev["byte_counts"][_ti] // 2
+
             def sparse_src(s):
                 return orig_sparse(s).withColumn(
                     "cog",
                     F.when(
                         F.col("image_id") == "sparse_000",
                         F.expr(
-                            "concat(substring(cog, 1, cast(length(cog)*7/8 as int)), "
+                            f"concat(substring(cog, 1, {_pos}), "
                             "X'00FF00FF', "
-                            "substring(cog, cast(length(cog)*7/8 as int) + 5))"
+                            f"substring(cog, {_pos} + 5))"
                         ),
                     ).otherwise(F.col("cog")),
                 )
