@@ -984,14 +984,16 @@ def ensure_strip_tiff_dir(sf_name: str = "sf0.01") -> str:
     return sdir
 
 
-#: sparse-COG ingest family: mostly-zero rasters written with
+#: sparse-COG ingest family: mostly-fill rasters written with
 #: encode_cog(sparse=True) across {RGB u8 deflate, gray u8 LZW+pred2,
-#: gray u16 deflate+pred2, gray f32 deflate+pred3}. The expected side
-#: rebuilds every pyramid tile from the ORIGINAL array (the writer's own
-#: deterministic plan, no container involved) and marks which tiles are
-#: all-zero — grading BOTH that holes were really written (is_hole) and
-#: that hole + stored tiles decode bit-exact (pix_hash).
-_SPARSECOG_COUNT = 10
+#: gray u16 deflate+pred2, gray f32 deflate+pred3}, plus two
+#: GDAL_NODATA images (u8 nodata=200, f32 nodata=-9999) whose holes
+#: must read back as nodata. The expected side rebuilds every pyramid
+#: tile from the ORIGINAL array (the writer's own deterministic plan,
+#: no container involved) and marks uniformly-fill tiles — grading BOTH
+#: that holes were really written (is_hole) and that hole + stored
+#: tiles decode bit-exact (pix_hash).
+_SPARSECOG_COUNT = 12
 
 
 def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
@@ -1007,7 +1009,7 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
     out_dir = ensure_fixtures(sf_name)
     sdir = os.path.join(out_dir, "cogs_sparse")
     marker = os.path.join(sdir, "_COMPLETE")
-    want = f"sparsecog={_SPARSECOG_COUNT} v1\n"
+    want = f"sparsecog={_SPARSECOG_COUNT} v2\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:
@@ -1022,7 +1024,12 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
         rng = _rng_for(f"sparsecog:{image_id}")
         w, h = 150 + 61 * i, 140 + 47 * i
         kind = i % 4
-        if kind == 0:
+        nd = None
+        if i == 10:  # GDAL_NODATA exemplars: holes read back as nodata
+            c, dt, comp, pred, nd = 1, np.uint8, COMPRESSION_DEFLATE, 1, 200
+        elif i == 11:
+            c, dt, comp, pred, nd = 1, np.float32, COMPRESSION_DEFLATE, 3, -9999.0
+        elif kind == 0:
             c, dt, comp, pred = 3, np.uint8, COMPRESSION_DEFLATE, 1
         elif kind == 1:
             c, dt, comp, pred = 1, np.uint8, COMPRESSION_LZW, 2
@@ -1030,7 +1037,8 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
             c, dt, comp, pred = 1, np.uint16, COMPRESSION_DEFLATE, 2
         else:
             c, dt, comp, pred = 1, np.float32, COMPRESSION_DEFLATE, 3
-        img = np.zeros((h, w, c), dtype=dt)
+        fill = dt(0) if nd is None else dt(nd)
+        img = np.full((h, w, c), fill, dtype=dt)
         for _ in range(2 + i % 3):  # a few nonzero patches, rest holes
             ph, pw = int(rng.integers(16, 60)), int(rng.integers(16, 60))
             y0 = int(rng.integers(0, h - ph))
@@ -1045,7 +1053,7 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
         blob = encode_cog(
             img if c > 1 else img[:, :, 0],
             4326, 0.0, 50.0, 1e-4,
-            compression=comp, predictor=pred, sparse=True,
+            compression=comp, predictor=pred, sparse=True, nodata=nd,
         )
         for lv, ti, t in _jpeg_pyramid_tiles(img, TILE):
             exp_rows.append(
@@ -1053,7 +1061,10 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
                     "image_id": image_id,
                     "level": lv,
                     "tile_idx": ti,
-                    "is_hole": not t.any(),
+                    # hole iff uniformly the fill value (nodata or 0) —
+                    # note edge tiles zero-pad, so nodata edge tiles are
+                    # stored, exactly like the writer's rule
+                    "is_hole": bool((t == fill).all()),
                     "pix_hash": np.int64(np.uint64(xxh64(t.tobytes()))).item(),
                 }
             )

@@ -51,6 +51,7 @@ from ..tiff import (
     COMPRESSION_JPEG,
     TILE,
     _compress_tile,
+    _is_fill,
     _pixel_format_for,
     container_prefix,
     jpeg_photometric_for,
@@ -178,6 +179,7 @@ def encode_cog_blocked(
     palette: np.ndarray | None = None,
     quality: int = 90,
     sparse: bool = False,
+    nodata: float | None = None,
 ) -> DataFrame:
     """Blocks -> compressed COG tile rows for EVERY pyramid level.
 
@@ -237,10 +239,11 @@ def encode_cog_blocked(
                         dat[i], c, dt, tile, lw, lh, int(rws[i]), int(cls[i])
                     )
                     comp = mm.get("comp", compression)
-                    if sparse and not arr.any():
+                    if sparse and _is_fill(arr, nodata):
                         # GDAL SPARSE_OK hole: no payload; container_prefix
-                        # records offset 0 / count 0 and decode_tile
-                        # zero-fills (same rule as encode_cog sparse=True)
+                        # records offset 0 / count 0 and decode_tile fills
+                        # with nodata-or-zero (same rule as encode_cog
+                        # sparse=True)
                         payload = b""
                     elif comp == COMPRESSION_JPEG:
                         # abbreviated stream (tables discarded: fixed by
@@ -421,6 +424,7 @@ def assemble_cogs(
     big: bool = False,
     palette: np.ndarray | None = None,
     quality: int = 90,
+    nodata: float | None = None,
 ) -> DataFrame:
     """Compressed tile rows -> (image_id, cog binary, cog_bytes) — one
     contiguous COG per image, byte-identical to encode_cog.
@@ -485,6 +489,7 @@ def assemble_cogs(
             m["origin_y"],
             m["scale_px"],
             predictor=predictor,
+            nodata=nodata,
             big=big,
             palette=palette,
             scale_py=m.get("scale_py"),
@@ -519,6 +524,7 @@ def write_cog_ranged(
     big: bool = False,
     palette: np.ndarray | None = None,
     quality: int = 90,
+    nodata: float | None = None,
 ) -> int:
     """Stream ONE image's compressed tiles to ``path`` in offset order
     with O(1) driver memory — the single-gigapixel-raster sink (no task
@@ -574,6 +580,7 @@ def write_cog_ranged(
             m["origin_y"],
             m["scale_px"],
             predictor=predictor,
+            nodata=nodata,
             big=big,
             palette=palette,
             scale_py=m.get("scale_py"),

@@ -62,6 +62,7 @@ T_FILLORDER = 266
 T_EXTRASAMPLES = 338
 T_SAMPLEFORMAT = 339
 T_JPEGTABLES = 347  # TIFF TechNote 2: shared DQT/DHT stream for tag-7 tiles
+T_GDAL_NODATA = 42113  # GDAL: ASCII nodata value; sparse holes read as it
 T_MODELPIXELSCALE = 33550
 T_MODELTIEPOINT = 33922
 T_MODELTRANSFORMATION = 34264
@@ -99,7 +100,7 @@ class Tag:
     values: list
 
     def payload(self, endian: str = "<") -> bytes:
-        fmt = {1: "B", 3: "H", 4: "I", 7: "B", 12: "d", 16: "Q"}[self.dtype]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 7: "B", 12: "d", 16: "Q"}[self.dtype]
         return struct.pack(f"{endian}{len(self.values)}{fmt}", *self.values)
 
 
@@ -181,6 +182,30 @@ def _geokey_directory(epsg: int) -> list[int]:
     for k in keys:
         out.extend(k)
     return out
+
+
+def _nodata_ascii(v: float) -> bytes:
+    """GDAL_NODATA tag payload: decimal ASCII + NUL (integral values
+    print without a decimal point, matching GDAL's own formatting)."""
+    fv = float(v)
+    if np.isnan(fv):
+        txt = "nan"
+    elif fv == int(fv):
+        txt = str(int(fv))
+    else:
+        txt = repr(fv)
+    return txt.encode("ascii") + b"\x00"
+
+
+def _is_fill(t: np.ndarray, nodata: float | None) -> bool:
+    """True when every padded sample equals the sparse fill value
+    (``nodata`` if set, else 0) — the hole test shared by encode_cog and
+    encode_cog_blocked. NaN nodata compares via isnan."""
+    if nodata is None:
+        return not t.any()
+    if np.issubdtype(t.dtype, np.floating) and np.isnan(nodata):
+        return bool(np.isnan(t).all())
+    return bool((t == np.array(nodata).astype(t.dtype)).all())
 
 
 def _pixel_format_for(
@@ -286,6 +311,7 @@ def container_prefix(
     palette: np.ndarray | None = None,
     scale_py: float | None = None,
     jpeg_tables: bytes | None = None,
+    nodata: float | None = None,
 ) -> bytes:
     """Everything BEFORE the tile-data region — header, IFD chain, external
     tag payloads — with tile offsets computed from ``byte_counts`` alone
@@ -340,6 +366,11 @@ def container_prefix(
             # TechNote 2: shared DQT/DHT stream, one copy per IFD that
             # uses it (tile payloads are abbreviated SOI+SOF+SOS streams)
             tags.append(Tag(T_JPEGTABLES, 7, list(jpeg_tables)))
+        if nodata is not None:
+            # GDAL_NODATA (ASCII, NUL-terminated) on every IFD so each
+            # level is self-describing — overviews share the band nodata
+            # (GDAL convention); sparse holes read back as this value
+            tags.append(Tag(T_GDAL_NODATA, 2, list(_nodata_ascii(nodata))))
         if lv == 0:  # geo tags on the full-resolution IFD
             tags += [
                 Tag(
@@ -435,13 +466,15 @@ def encode_cog(
     resample: str = "nearest",
     quality: int = 90,
     sparse: bool = False,
+    nodata: float | None = None,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
     raster point (0,0,0)); scale_px = CRS units/pixel.
 
     ``sparse=True`` writes GDAL-SPARSE_OK-style holes: any tile whose
-    padded samples are ALL zero is stored as offset 0 / byte count 0
+    padded samples uniformly equal the fill value (``nodata`` when set,
+    else zero) is stored as offset 0 / byte count 0
     (no payload bytes) and zero-fills on read (decode_tile) — the layout
     GDAL emits for sparse mosaics/masks and libtiff's TIFFReadEncodedTile
     treats as fill. At the 10^12-image design point sparse coverage
@@ -449,6 +482,10 @@ def encode_cog(
     not an edge case. The reference reader has no such branch (its range
     is offsets[i]..offsets[i]+counts[i] unconditionally, level.rs:301-319
     — an empty slice that fails in the codec).
+
+    ``nodata`` writes the GDAL_NODATA ASCII tag (42113) on every IFD and
+    becomes the sparse fill value: holes read back as nodata, matching
+    GDAL's sparse semantics (unset -> 0). NaN is supported for float32.
 
     Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
     (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
@@ -512,7 +549,7 @@ def encode_cog(
                 t = np.zeros((tile, tile, c), dtype=pixels.dtype)
                 src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
                 t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
-                if sparse and not t.any():
+                if sparse and _is_fill(t, nodata):
                     tiles.append(b"")  # hole: offset 0 / count 0
                 elif jpeg:
                     # DQT/DHT are fixed by `quality` (standard Annex K
@@ -541,6 +578,7 @@ def encode_cog(
         big=big,
         palette=palette,
         jpeg_tables=jpeg_tables,
+        nodata=nodata,
     )
     out = bytearray(prefix)
     for tiles in level_tiles:
@@ -714,6 +752,17 @@ def is_truncation(exc: BaseException) -> bool:
     return isinstance(exc, TRUNCATION_ERRORS) and not isinstance(exc, CloudTiffError)
 
 
+def _parse_nodata(tags: dict) -> float | None:
+    """GDAL_NODATA (42113): ASCII decimal, possibly 'nan'; malformed
+    values are ignored (GDAL warns and proceeds without nodata)."""
+    if T_GDAL_NODATA not in tags:
+        return None
+    try:
+        return float(str(tags[T_GDAL_NODATA][0]).strip())
+    except (TypeError, ValueError):
+        return None
+
+
 def cog_info(data: bytes) -> dict:
     """S2 analyze (CloudTiff::open): parsed levels sorted desc by megapixels
     with overview numbering + projection columns. Raises like the reference
@@ -792,6 +841,7 @@ def cog_info(data: bytes) -> dict:
                 endian=None,  # filled below (file-level)
                 offsets=offsets,
                 byte_counts=counts,
+                nodata=_parse_nodata(tags),
             )
         )
     if not levels:
@@ -799,6 +849,10 @@ def cog_info(data: bytes) -> dict:
     for lev in levels:
         lev["endian"] = t["endian"]
     levels.sort(key=lambda l: l["width"] * l["height"], reverse=True)
+    if levels[0]["nodata"] is not None:
+        for lev in levels[1:]:
+            if lev["nodata"] is None:
+                lev["nodata"] = levels[0]["nodata"]
     for i, lev in enumerate(levels):
         lev["overview"] = None if i == 0 else i
 
@@ -923,9 +977,14 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     native_dtype = _native_dtype_for(lev, spp)
     if cnt == 0:
         # sparse tile (GDAL SPARSE_OK: offset 0 / byte count 0 = hole):
-        # zero-fill in the level's native sample type. Placed after the
+        # fill with the level's GDAL_NODATA value when declared (tag
+        # 42113), else zero, in the native sample type. Placed after the
         # planar/fill-order guards so unsupported layouts still reject.
-        return np.zeros((lev["tile_h"], lev["tile_w"], spp), dtype=native_dtype)
+        shape = (lev["tile_h"], lev["tile_w"], spp)
+        fill = lev.get("nodata")
+        if fill is None:
+            return np.zeros(shape, dtype=native_dtype)
+        return np.full(shape, np.array(fill).astype(native_dtype))
     if lev["compression"] == COMPRESSION_JPEG:
         # TechNote 2 "new-style" JPEG tiles: the payload is an (often
         # abbreviated) interchange stream; tag 347 carries the shared

@@ -326,3 +326,35 @@ def test_blocked_sparse_matches_single_pass(spark):
     assert any(
         n == 0 for lev in info["levels"] for n in lev["byte_counts"]
     )  # the case really wrote holes
+
+
+def test_blocked_sparse_nodata_matches_single_pass(spark):
+    """sparse + nodata on the distributed encoder: nodata-uniform tiles
+    hole identically to encode_cog, and the GDAL_NODATA tag rides every
+    IFD — whole container byte identity."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+    from cloudtiff_spark.tiff import cog_info
+
+    arr = np.full((300, 420), 42, dtype=np.uint8)
+    r = _rng(110)
+    arr[10:60, 12:70] = r.integers(0, 42, (50, 58), dtype=np.uint8)
+    single = encode_cog(
+        arr, 32633, 500000.0, 5200000.0, 10.0, tile=64,
+        sparse=True, nodata=42,
+    )
+    meta = _meta_df(spark, "nd", 420, 300, 1, "uint8")
+    images = spark.createDataFrame(
+        [("nd", bytearray(arr.tobytes()), 420, 300, 1, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=64)
+    tiles = encode_cog_blocked(blocks, meta, tile=64, sparse=True, nodata=42)
+    rows = assemble_cogs(tiles, meta, tile=64, nodata=42).collect()
+    assert bytes(rows[0]["cog"]) == single
+    info = cog_info(single)
+    assert info["levels"][0]["nodata"] == 42.0
+    assert any(n == 0 for lev in info["levels"] for n in lev["byte_counts"])

@@ -1440,3 +1440,72 @@ class TestSparseCog:
         lev["sample_format"] = 3
         with pytest.raises(tiff.UnsupportedPixelFormat):
             tiff.decode_tile(data, info, 0, hole)
+
+
+class TestGdalNodata:
+    """GDAL_NODATA tag 42113: ASCII nodata on every IFD; sparse holes
+    fill with it on read (GDAL sparse semantics; unset -> 0)."""
+
+    def test_nodata_tag_roundtrip_and_hole_fill(self):
+        img = np.full((300, 300), 200, dtype=np.uint8)
+        img[10:50, 10:80] = 7
+        data = tiff.encode_cog(
+            img, 4326, 0.0, 50.0, 1e-4, sparse=True, nodata=200
+        )
+        info = tiff.cog_info(data)
+        assert all(l["nodata"] == 200.0 for l in info["levels"])
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        stored = next(i for i, n in enumerate(lev["byte_counts"]) if n > 0)
+        t = tiff.decode_tile(data, info, 0, hole)
+        assert t.dtype == np.uint8 and (t == 200).all()
+        # stored tiles still roundtrip their real content
+        assert (tiff.decode_tile(data, info, 0, stored) != 200).any()
+
+    def test_nan_nodata_float32(self):
+        f = np.full((200, 200), np.nan, dtype=np.float32)
+        f[5:40, 5:40] = 3.5
+        data = tiff.encode_cog(
+            f, 32633, 5e5, 52e5, 10.0,
+            sparse=True, nodata=float("nan"), predictor=3,
+        )
+        info = tiff.cog_info(data)
+        assert np.isnan(info["levels"][0]["nodata"])
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        t = tiff.decode_tile(data, info, 0, hole)
+        assert t.dtype == np.float32 and np.isnan(t).all()
+
+    def test_nodata_changes_hole_set(self):
+        # without nodata, all-zero tiles are holes; with nodata=200 the
+        # SAME image's zero tiles are stored and nodata tiles are holes
+        img = np.zeros((300, 300), dtype=np.uint8)
+        img[:64, 64:128] = 200  # one all-nodata tile at grid (0,1)
+        plain = tiff.cog_info(
+            tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, sparse=True)
+        )
+        nd = tiff.cog_info(
+            tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, sparse=True, nodata=200)
+        )
+        zero_holes = {i for i, n in enumerate(plain["levels"][0]["byte_counts"]) if n == 0}
+        nd_holes = {i for i, n in enumerate(nd["levels"][0]["byte_counts"]) if n == 0}
+        assert 1 not in zero_holes and zero_holes  # nodata tile stored, zeros holed
+        assert nd_holes == {1}  # only the all-200 tile is a hole now
+
+    def test_malformed_nodata_ignored(self):
+        img = np.full((300, 300), 200, dtype=np.uint8)
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, nodata=200)
+        # corrupt the ASCII payload in place: "200\0" -> "2x0\0"
+        data = data.replace(b"200\x00", b"2x0\x00")
+        info = tiff.cog_info(data)
+        assert all(l["nodata"] is None for l in info["levels"])
+
+    def test_dense_output_unaffected_by_nodata_tag_only(self):
+        img = self_img = np.zeros((200, 200), dtype=np.uint8)
+        img[0, 0] = 1
+        with_tag = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, nodata=255)
+        info = tiff.cog_info(with_tag)
+        assert info["levels"][0]["nodata"] == 255.0
+        assert not any(
+            n == 0 for lev in info["levels"] for n in lev["byte_counts"]
+        )
