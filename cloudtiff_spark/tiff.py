@@ -769,11 +769,25 @@ def cog_info(data: bytes) -> dict:
     on a Transformed model or missing scaled tags."""
     t = parse_tiff(data)
     levels = []
+    mask_levels = []
     for tags in t["ifds"]:
         if T_WIDTH not in tags:
             continue  # malformed IFD: skipped (cog/mod.rs:115)
         strip = False
+        mask = False
         if T_TILEWIDTH in tags:
+            subtype = tags.get(T_NEWSUBFILETYPE, [0])[0]
+            if subtype & 0x4:
+                # tiled transparency-mask IFD (GDAL internal-mask COGs,
+                # NewSubfileType 4 / 4|1): NOT pyramid imagery — admitting
+                # it would mis-number levels (the full-res mask ties the
+                # full-res image on megapixels). Routed to mask_levels
+                # below; decode via decode_mask_tile. Beyond the
+                # reference, which admits every tiled IFD as a level
+                # (cog/mod.rs:91-135).
+                mask = True
+            elif subtype & 0x2:
+                continue  # multi-page document page: skip like strips do
             tile_w, tile_h = tags[T_TILEWIDTH][0], tags[T_TILELENGTH][0]
             offsets, counts = tags[T_TILEOFFSETS], tags[T_TILEBYTECOUNTS]
         elif T_STRIPOFFSETS in tags and T_STRIPBYTECOUNTS in tags:
@@ -816,7 +830,7 @@ def cog_info(data: bytes) -> dict:
             strip = True
         else:
             continue  # neither tiled nor stripped: skipped (cog/mod.rs:115)
-        levels.append(
+        (mask_levels if mask else levels).append(
             dict(
                 width=tags[T_WIDTH][0],
                 height=tags[T_LENGTH][0],
@@ -846,8 +860,9 @@ def cog_info(data: bytes) -> dict:
         )
     if not levels:
         raise NoLevels()  # cog/mod.rs:127-129
-    for lev in levels:
+    for lev in levels + mask_levels:
         lev["endian"] = t["endian"]
+    mask_levels.sort(key=lambda l: l["width"] * l["height"], reverse=True)
     levels.sort(key=lambda l: l["width"] * l["height"], reverse=True)
     if levels[0]["nodata"] is not None:
         for lev in levels[1:]:
@@ -877,7 +892,13 @@ def cog_info(data: bytes) -> dict:
     if T_COLORMAP in tags0:
         cm = np.asarray(tags0[T_COLORMAP], dtype=np.uint16)
         colormap = cm.reshape(3, -1).T  # (N, 3) 16-bit R,G,B
-    return {"levels": levels, "projection": proj, "big": t["big"], "colormap": colormap}
+    return {
+        "levels": levels,
+        "mask_levels": mask_levels,
+        "projection": proj,
+        "big": t["big"],
+        "colormap": colormap,
+    }
 
 
 def _pad_rows(arr: np.ndarray, th: int) -> np.ndarray:
@@ -1084,3 +1105,13 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
 
         arr = predictor2_decode(arr)
     return _pad_rows(arr, th)
+
+
+def decode_mask_tile(data: bytes, info: dict, mask_idx: int, tile_idx: int) -> np.ndarray:
+    """Decode one tile of an internal transparency-mask IFD (GDAL
+    masked-COG layout, NewSubfileType bit 0x4; typically 1-bit — the
+    sub-byte unpack path handles it). Masks are parsed into
+    info['mask_levels'] (sorted desc by megapixels, excluded from the
+    pyramid) by cog_info; this decodes through the exact stored-tile
+    chain decode_tile uses."""
+    return decode_tile(data, {"levels": info["mask_levels"]}, mask_idx, tile_idx)

@@ -1509,3 +1509,56 @@ class TestGdalNodata:
         assert not any(
             n == 0 for lev in info["levels"] for n in lev["byte_counts"]
         )
+
+
+class TestMaskIfds:
+    """Tiled transparency-mask IFDs (GDAL internal-mask COGs,
+    NewSubfileType bit 0x4) route to info['mask_levels'] instead of the
+    pyramid — admitting them would mis-number levels (the full-res mask
+    ties the full-res image on megapixels). The reference admits every
+    tiled IFD as a level (cog/mod.rs:91-135)."""
+
+    @staticmethod
+    def _patch_subfiletype(data: bytes, old_val: int, new_val: int, nth: int = 0) -> bytes:
+        import struct
+
+        pat = struct.pack("<HHI", 254, 4, 1) + struct.pack("<I", old_val)
+        rep = struct.pack("<HHI", 254, 4, 1) + struct.pack("<I", new_val)
+        idx = -1
+        for _ in range(nth + 1):
+            idx = data.index(pat, idx + 1)
+        return data[:idx] + rep + data[idx + len(pat) :]
+
+    def test_overview_mask_ifd_excluded_from_pyramid(self):
+        img = _img(300, 300)
+        data = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
+        base = tiff.cog_info(data)
+        n = len(base["levels"])
+        assert n >= 2 and base["mask_levels"] == []
+        # turn the FIRST overview IFD (NewSubfileType 1, width 150) into
+        # an overview mask (4|1 = 5)
+        patched = self._patch_subfiletype(data, 1, 5)
+        info = tiff.cog_info(patched)
+        assert [l["width"] for l in info["levels"]] == [
+            l["width"] for l in base["levels"] if l["width"] != 150
+        ]
+        assert len(info["levels"]) == n - 1
+        assert info["levels"][0]["overview"] is None
+        assert [m["width"] for m in info["mask_levels"]] == [150]
+        # the mask's tiles decode through the standard chain
+        m0 = tiff.decode_mask_tile(patched, info, 0, 0)
+        lv150 = next(
+            i for i, l in enumerate(base["levels"]) if l["width"] == 150
+        )
+        assert np.array_equal(m0, tiff.decode_tile(data, base, lv150, 0))
+
+    def test_page_ifd_skipped_entirely(self):
+        img = _img(256, 256)
+        data = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
+        base = tiff.cog_info(data)
+        # flip the first overview to a multi-page document page (2):
+        # skipped outright, not a level and not a mask
+        patched = self._patch_subfiletype(data, 1, 2)
+        info = tiff.cog_info(patched)
+        assert len(info["levels"]) == len(base["levels"]) - 1
+        assert info["mask_levels"] == []
