@@ -52,6 +52,7 @@ from ..tiff import (
     TILE,
     _compress_tile,
     _is_fill,
+    _validate_nodata,
     _pixel_format_for,
     container_prefix,
     jpeg_photometric_for,
@@ -201,6 +202,8 @@ def encode_cog_blocked(
     meta = _collect_meta(images_meta, predictor, palette, compression)
     if not meta:  # empty image group: empty tile relation, same schema
         return spark.createDataFrame([], TILE_SCHEMA)
+    for m in meta.values():  # same encode-time guard as encode_cog
+        _validate_nodata(np.dtype(m["dtype"]), nodata)
     bmeta = spark.sparkContext.broadcast(
         {
             k: {kk: (str(vv) if kk == "dtype" else vv) for kk, vv in v.items()}

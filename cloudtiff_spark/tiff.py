@@ -190,11 +190,30 @@ def _nodata_ascii(v: float) -> bytes:
     fv = float(v)
     if np.isnan(fv):
         txt = "nan"
+    elif not np.isfinite(fv):
+        txt = "inf" if fv > 0 else "-inf"
     elif fv == int(fv):
         txt = str(int(fv))
     else:
         txt = repr(fv)
     return txt.encode("ascii") + b"\x00"
+
+
+def _validate_nodata(dtype: np.dtype, nodata: float | None) -> None:
+    """Encode-time guard: nodata must be EXACTLY representable in the
+    image dtype — otherwise _is_fill's cast is a C-undefined out-of-range
+    conversion whose wrapped value differs by platform (x86 vs ARM), so
+    heterogeneous executors would hole different tile sets and the
+    GDAL_NODATA tag would lie about what holes read back as. Floats
+    accept any value incl. nan/inf (all representable in IEEE f32)."""
+    if nodata is None or np.issubdtype(np.dtype(dtype), np.floating):
+        return
+    fv = float(nodata)
+    info = np.iinfo(np.dtype(dtype))
+    if not (np.isfinite(fv) and fv == int(fv) and info.min <= int(fv) <= info.max):
+        raise UnsupportedPixelFormat(
+            f"nodata {nodata!r} is not representable in {np.dtype(dtype)}"
+        )
 
 
 def _is_fill(t: np.ndarray, nodata: float | None) -> bool:
@@ -515,6 +534,7 @@ def encode_cog(
     bits, sample_format, photometric = _pixel_format_for(
         pixels.dtype, c, predictor, palette
     )
+    _validate_nodata(pixels.dtype, nodata)
     jpeg = compression == COMPRESSION_JPEG
     if jpeg:
         photometric = jpeg_photometric_for(pixels.dtype, c, predictor, palette)
@@ -800,14 +820,18 @@ def cog_info(data: bytes) -> dict:
             # exactly like padded edge tiles downstream. RowsPerStrip
             # defaults to "whole image" when absent (TIFF 6 default
             # 2^32-1, clamped).
-            if tags.get(T_NEWSUBFILETYPE, [0])[0] & 0x6:
-                # bit 0x4 = transparency mask, 0x2 = multi-page document
-                # page: these strip IFDs are NOT pyramid imagery — before
-                # strip support they were skipped incidentally (non-tiled);
-                # admitting them would number a bilevel mask or another
-                # scanned page as an overview level. (Tiled IFDs keep the
-                # pre-existing admission: COG overviews carry bit 0x1.)
+            subtype = tags.get(T_NEWSUBFILETYPE, [0])[0]
+            if subtype & 0x2:
+                # multi-page document page: not pyramid imagery — skip
+                # (admitting it would number another scanned page as an
+                # overview level). Tiled IFDs apply the same rule above.
                 continue
+            if subtype & 0x4:
+                # strip-organized transparency mask (the common pre-COG
+                # GDAL internal-mask layout): route to mask_levels like
+                # the tiled mask branch — strips decode through the same
+                # full-width-tile model, so decode_mask_tile just works
+                mask = True
             ih = tags[T_LENGTH][0]
             tile_w = tags[T_WIDTH][0]
             tile_h = min(tags.get(T_ROWSPERSTRIP, [ih])[0], ih)
@@ -1003,9 +1027,17 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
         # planar/fill-order guards so unsupported layouts still reject.
         shape = (lev["tile_h"], lev["tile_w"], spp)
         fill = lev.get("nodata")
+        if fill is not None and np.issubdtype(native_dtype, np.integer):
+            fv = float(fill)
+            rng_i = np.iinfo(native_dtype)
+            if not (np.isfinite(fv) and fv == int(fv) and rng_i.min <= int(fv) <= rng_i.max):
+                # foreign file declaring a nodata unrepresentable in the
+                # band dtype: casting would be platform-dependent garbage
+                # — ignore the tag and zero-fill (GDAL's own tolerance)
+                fill = None
         if fill is None:
             return np.zeros(shape, dtype=native_dtype)
-        return np.full(shape, np.array(fill).astype(native_dtype))
+        return np.full(shape, fill, dtype=native_dtype)
     if lev["compression"] == COMPRESSION_JPEG:
         # TechNote 2 "new-style" JPEG tiles: the payload is an (often
         # abbreviated) interchange stream; tag 347 carries the shared

@@ -1215,6 +1215,43 @@ def _write_stripped_tiff(
     return bytes(out)
 
 
+def _chain_ifds(a: bytes, b: bytes) -> bytes:
+    """Splice two single-IFD classic-LE TIFFs into one 2-IFD file: a's
+    next-IFD pointer links to b's IFD, and every absolute offset inside
+    b (external tag payloads, strip offsets) shifts by the new base —
+    the layout GDAL uses for internal-mask files (image IFD -> mask
+    IFD). Test tooling only."""
+    import struct
+
+    out = bytearray(a)
+    (na,) = struct.unpack_from("<H", a, 8)
+    next_pos = 10 + 12 * na
+    assert struct.unpack_from("<I", a, next_pos)[0] == 0
+    base = len(a)
+    shift = base - 8
+    struct.pack_into("<I", out, next_pos, base)
+    bb = bytearray(b[8:])
+    (nb,) = struct.unpack_from("<H", bb, 0)
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}
+    for i in range(nb):
+        p = 2 + 12 * i
+        code, dt, n = struct.unpack_from("<HHI", bb, p)
+        size = sizes[dt] * n
+        if size > 4:
+            (off,) = struct.unpack_from("<I", bb, p + 8)
+            struct.pack_into("<I", bb, p + 8, off + shift)
+            if code == 273:  # external strip offsets: shift each value
+                for j in range(n):
+                    vp = off - 8 + 4 * j
+                    (v,) = struct.unpack_from("<I", bb, vp)
+                    struct.pack_into("<I", bb, vp, v + shift)
+        elif code == 273:  # inline strip offsets
+            for j in range(n):
+                (v,) = struct.unpack_from("<I", bb, p + 8 + 4 * j)
+                struct.pack_into("<I", bb, p + 8 + 4 * j, v + shift)
+    return bytes(out) + bytes(bb)
+
+
 class TestStrippedTiffRead:
     """Strip-organized (classic non-COG) GeoTIFF READ support — beyond the
     reference, whose analyzer skips non-tiled IFDs (cog/mod.rs:115). A
@@ -1301,10 +1338,11 @@ class TestStrippedTiffReviewFindings:
         )
         assert np.array_equal(got[:50], img)
 
-    @pytest.mark.parametrize("sft", [0x4, 0x2, 0x6])
-    def test_mask_and_page_strip_ifds_skipped(self, sft):
-        # finding 3: transparency-mask / document-page strip IFDs are not
-        # pyramid imagery and must not be numbered as overviews
+    @pytest.mark.parametrize("sft", [0x2, 0x6])
+    def test_page_strip_ifds_skipped(self, sft):
+        # finding 3 (amended by mask routing): document-page strip IFDs
+        # (bit 0x2, incl. 0x6 = page|mask) are not pyramid imagery and
+        # must not be numbered as overviews
         from cloudtiff_spark.errors import NoLevels
 
         data = _write_stripped_tiff(_img(40, 30), rows_per_strip=16, subfiletype=sft)
@@ -1313,6 +1351,34 @@ class TestStrippedTiffReviewFindings:
         # bit 0x1 (reduced-resolution overview) alone stays admitted
         ok = _write_stripped_tiff(_img(40, 30), rows_per_strip=16, subfiletype=0x1)
         assert len(tiff.cog_info(ok)["levels"]) == 1
+
+    def test_strip_mask_ifd_routes_to_mask_levels(self):
+        # a transparency-mask strip IFD (bit 0x4, the classic GDAL
+        # internal-mask layout) chained after the image IFD routes to
+        # mask_levels — and decodes through the same full-width-tile
+        # strip model as any stripped file
+        img = _img(40, 30)
+        mask = (RNG.integers(0, 2, (40, 30, 1)) * 255).astype(np.uint8)
+        data = _chain_ifds(
+            _write_stripped_tiff(img, rows_per_strip=16),
+            _write_stripped_tiff(mask, rows_per_strip=16, subfiletype=0x4),
+        )
+        info = tiff.cog_info(data)
+        assert len(info["levels"]) == 1 and len(info["mask_levels"]) == 1
+        m = info["mask_levels"][0]
+        assert (m["width"], m["height"]) == (30, 40) and m["strip"]
+        got = np.vstack([
+            tiff.decode_mask_tile(data, info, 0, s)
+            for s in range(len(m["offsets"]))
+        ])[:40]
+        assert np.array_equal(got, mask)
+        # a mask-ONLY strip file still raises NoLevels (masks aren't imagery)
+        from cloudtiff_spark.errors import NoLevels
+
+        with pytest.raises(NoLevels):
+            tiff.cog_info(
+                _write_stripped_tiff(mask, rows_per_strip=16, subfiletype=0x4)
+            )
 
     def test_planar_strips_admitted_and_reject_loudly(self):
         # finding 4: planar strip files must hit decode_tile's typed
@@ -1562,3 +1628,53 @@ class TestMaskIfds:
         info = tiff.cog_info(patched)
         assert len(info["levels"]) == len(base["levels"]) - 1
         assert info["mask_levels"] == []
+
+
+class TestNodataReviewFindings:
+    def test_inf_nodata_roundtrips(self):
+        f = np.full((200, 200), np.inf, dtype=np.float32)
+        f[5:40, 5:40] = 3.5
+        data = tiff.encode_cog(
+            f, 32633, 5e5, 52e5, 10.0, sparse=True,
+            nodata=float("inf"), predictor=3,
+        )
+        info = tiff.cog_info(data)
+        assert info["levels"][0]["nodata"] == float("inf")
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        assert np.isposinf(tiff.decode_tile(data, info, 0, hole)).all()
+
+    @pytest.mark.parametrize("bad", [-9999, 300, float("nan"), 2.5])
+    def test_unrepresentable_nodata_rejected_at_encode(self, bad):
+        # an out-of-range / non-integral nodata on a uint8 image would
+        # make _is_fill's cast platform-dependent (x86 wraps, ARM
+        # saturates): heterogeneous executors would hole different tiles
+        img = np.zeros((100, 100), dtype=np.uint8)
+        with pytest.raises(tiff.UnsupportedPixelFormat, match="not representable"):
+            tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, sparse=True, nodata=bad)
+
+    def test_blocked_encoder_rejects_unrepresentable_nodata(self, spark=None):
+        import pytest as _pytest
+
+        from cloudtiff_spark.errors import UnsupportedPixelFormat
+        from cloudtiff_spark.tiff import _validate_nodata
+
+        with _pytest.raises(UnsupportedPixelFormat):
+            _validate_nodata(np.dtype(np.uint16), 1e12)
+        _validate_nodata(np.dtype(np.float32), float("nan"))  # floats: fine
+        _validate_nodata(np.dtype(np.uint16), 65535)
+
+    def test_foreign_out_of_range_nodata_ignored_on_read(self):
+        # a third-party uint8 sparse file declaring nodata -9999: casting
+        # would be platform-dependent garbage — zero-fill instead (GDAL's
+        # own tolerance), deterministically across architectures
+        img = np.zeros((300, 300), dtype=np.uint8)
+        img[0, 0] = 1
+        data = tiff.encode_cog(img, 4326, 0.0, 50.0, 1e-4, sparse=True)
+        info = tiff.cog_info(data)
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        for foreign in (-9999.0, float("nan"), 1e12, 2.5):
+            lev["nodata"] = foreign
+            t = tiff.decode_tile(data, info, 0, hole)
+            assert t.dtype == np.uint8 and not t.any()
