@@ -701,6 +701,7 @@ _TAG_NAMES = {
     33550: "ModelPixelScale", 33922: "ModelTiepoint",
     34264: "ModelTransformation", 34735: "GeoKeyDirectory",
     34736: "GeoDoubleParams", 34737: "GeoAsciiParams",
+    42113: "GdalNodata",
 }
 
 
