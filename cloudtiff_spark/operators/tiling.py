@@ -127,6 +127,45 @@ def resample_maximum(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
     return np.maximum(np.maximum(a, b), np.maximum(c, d))
 
 
+def resample_average(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
+    """Area-box average — the GDAL COG driver's DEFAULT overview
+    resampling (beyond the reference, whose filters are nearest and
+    CatmulRod, ops.rs:70-88 / encode resize path). Deterministic rule:
+    dest pixel (y, x) averages the integer source box rows
+    [floor(y*sh/dh), max(+1, floor((y+1)*sh/dh))) x same for cols —
+    exact 2x2 block means at the common halving levels, >=1-px boxes at
+    ragged ratios. Integers round half away from zero (GDAL's averager);
+    floats keep the exact mean. Vectorized with two reduceat passes —
+    no per-pixel Python."""
+    sh, sw = arr.shape[:2]
+    if dh > sh or dw > sw:
+        raise ValueError(
+            f"average is a downsampling filter: {sw}x{sh} -> {dw}x{dh}"
+        )
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    yb = (np.arange(dh) * sh) // dh
+    xb = (np.arange(dw) * sw) // dw
+    yb = np.minimum(yb, sh - 1)
+    xb = np.minimum(xb, sw - 1)
+    # row/col box sizes (boundary diffs; last box runs to the edge)
+    ycnt = np.diff(np.append(yb, sh)).astype(np.float64)
+    xcnt = np.diff(np.append(xb, sw)).astype(np.float64)
+    acc = np.add.reduceat(arr.astype(np.float64), yb, axis=0)
+    acc = np.add.reduceat(acc, xb, axis=1)
+    out = acc / (ycnt[:, None, None] * xcnt[None, :, None])
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        # round half away from zero (np.rint rounds half to even)
+        out = np.clip(
+            np.floor(out + 0.5), info.min, info.max
+        ).astype(arr.dtype)
+    else:
+        out = out.astype(arr.dtype)
+    return out[:, :, 0] if squeeze else out
+
+
 def cut_tiles(arr: np.ndarray, tw: int = TILE, th: int = TILE) -> list[tuple[int, int, int, np.ndarray]]:
     """(tile_idx, col, row, tile array) — edge tiles zero-padded full size."""
     h, w = arr.shape[:2]
@@ -147,6 +186,7 @@ def build_tiles(images: DataFrame, tw: int = TILE, th: int = TILE, resample: str
         "nearest": resample_nearest,
         "maximum": resample_maximum,
         "catmullrom": resample_catmullrom,
+        "average": resample_average,
     }[resample]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

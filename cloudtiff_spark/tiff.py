@@ -519,10 +519,12 @@ def encode_cog(
     point do hit. The parser reads both transparently.
 
     ``resample``: overview resampling filter — 'nearest' (the reference
-    render default, ops.rs:70-88) or 'catmullrom' (the Encoder's
+    render default, ops.rs:70-88), 'catmullrom' (the Encoder's
     ResizeFilter::CatmulRod option via the image crate, encode/mod.rs
-    resize path); palette indices always resample nearest (interpolating
-    LUT indices is meaningless).
+    resize path), or 'average' (the GDAL COG driver's default overview
+    filter — beyond the reference; area-box mean, operators/tiling.py
+    resample_average); palette indices always resample nearest
+    (interpolating LUT indices is meaningless).
 
     This single-pass writer holds the whole raster; the distributed
     equivalent for rasters no task can hold is
@@ -543,13 +545,17 @@ def encode_cog(
 
     # per-level tile payloads (level i resampled from level i-1)
     level_tiles: list[list[bytes]] = []
-    from .operators.tiling import resample_catmullrom
+    from .operators.tiling import resample_average, resample_catmullrom
 
-    if resample not in ("nearest", "catmullrom"):
+    if resample not in ("nearest", "catmullrom", "average"):
         raise ValueError(f"unknown resample filter {resample!r}")
-    resampler = (
-        resample_nearest if resample == "nearest" or palette is not None else resample_catmullrom
-    )
+    resampler = resample_nearest
+    if palette is None and resample != "nearest":
+        # palette indices always resample nearest (averaging or
+        # interpolating LUT indices is meaningless)
+        resampler = (
+            resample_average if resample == "average" else resample_catmullrom
+        )
     jpeg_tables: bytes | None = None
     if jpeg:
         from .jpeg import encode_jpeg, split_jpeg_tables

@@ -1678,3 +1678,74 @@ class TestNodataReviewFindings:
             lev["nodata"] = foreign
             t = tiff.decode_tile(data, info, 0, hole)
             assert t.dtype == np.uint8 and not t.any()
+
+
+class TestAverageResample:
+    """'average' overview filter — the GDAL COG driver's default
+    (beyond the reference: ops.rs filters are nearest/CatmulRod)."""
+
+    def test_exact_halving_is_block_mean(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+
+        arr = RNG.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        out = resample_average(arr, 32, 32)
+        blocks = arr.reshape(32, 2, 32, 2, 3).astype(np.float64).mean(axis=(1, 3))
+        assert np.array_equal(out, np.floor(blocks + 0.5).astype(np.uint8))
+
+    def test_scalar_oracle_ragged_dims(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+
+        arr = RNG.integers(0, 256, (33, 65, 3), dtype=np.uint8)
+        dh, dw = 16, 32
+        out = resample_average(arr, dw, dh)
+        for y in range(dh):
+            for x in range(dw):
+                y0, y1 = min(y * 33 // dh, 32), min((y + 1) * 33 // dh, 33)
+                x0, x1 = min(x * 65 // dw, 64), min((x + 1) * 65 // dw, 65)
+                y1, x1 = max(y1, y0 + 1), max(x1, x0 + 1)
+                box = arr[y0:y1, x0:x1].astype(np.float64).mean(axis=(0, 1))
+                assert np.array_equal(
+                    out[y, x], np.floor(box + 0.5).astype(np.uint8)
+                ), (y, x)
+
+    def test_float_mean_and_uniform_invariance(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+
+        f = RNG.normal(size=(40, 50)).astype(np.float32)
+        out = resample_average(f, 25, 20)
+        assert out.dtype == np.float32 and out.shape == (20, 25)
+        u = np.full((30, 30), 77, dtype=np.uint8)
+        assert (resample_average(u, 7, 13) == 77).all()
+        with pytest.raises(ValueError, match="downsampling"):
+            resample_average(u, 31, 30)
+
+    def test_encode_cog_average_pyramid(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+        from cloudtiff_spark.grid import level_dims, num_levels
+
+        img = _img(300, 260)
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, resample="average"
+        )
+        info = tiff.cog_info(data)
+        # overview level 1 tiles == resample_average of the full raster
+        cur = img
+        for lv in range(1, len(info["levels"])):
+            lw, lh = level_dims(260, 300, lv)
+            cur = resample_average(cur, lw, lh)
+            expect = {i: a for i, _, _, a in cut_tiles(cur)}
+            for ti in range(len(info["levels"][lv]["offsets"])):
+                assert np.array_equal(
+                    tiff.decode_tile(data, info, lv, ti), expect[ti]
+                ), (lv, ti)
+
+    def test_palette_forces_nearest(self):
+        idx = RNG.integers(0, 16, (130, 130), dtype=np.uint8)
+        pal = RNG.integers(0, 256, (16, 3), dtype=np.uint8)
+        a = tiff.encode_cog(
+            idx, 4326, 10.0, 50.0, 1e-4, palette=pal, resample="average"
+        )
+        b = tiff.encode_cog(
+            idx, 4326, 10.0, 50.0, 1e-4, palette=pal, resample="nearest"
+        )
+        assert a == b  # indices never averaged
