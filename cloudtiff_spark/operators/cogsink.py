@@ -181,6 +181,7 @@ def encode_cog_blocked(
     quality: int = 90,
     sparse: bool = False,
     nodata: float | None = None,
+    resample: str = "nearest",
 ) -> DataFrame:
     """Blocks -> compressed COG tile rows for EVERY pyramid level.
 
@@ -194,10 +195,19 @@ def encode_cog_blocked(
     write_cog_ranged, which rebuild the shared tag-347 tables from it) —
     feed to assemble_cogs / write_cog_ranged.
 
-    Overviews are nearest-only (the reference render default,
-    ops.rs:70-88); the catmullrom Encoder filter needs cross-tile
-    4-tap windows with globally-derived weights and stays on the
-    single-pass writer."""
+    Overviews resample 'nearest' (the reference render default,
+    ops.rs:70-88) or 'average' (the GDAL COG default; integer area
+    boxes — each dest tile's source footprint is the contiguous range
+    [d0*s//d, d1*s//d), so the dest-tile-keyed shuffle ships exactly
+    the boxes it reduces, byte-identical to encode_cog's
+    resample_average — test-pinned). The catmullrom Encoder filter
+    needs cross-tile 4-tap windows with globally-derived weights and
+    stays on the single-pass writer. Palette indices force nearest."""
+    if resample not in ("nearest", "average"):
+        raise ValueError(f"unknown blocked resample filter {resample!r}")
+    if palette is not None:
+        resample = "nearest"  # averaging LUT indices is meaningless
+    avg = resample == "average"
     spark = blocks.sparkSession
     meta = _collect_meta(images_meta, predictor, palette, compression)
     if not meta:  # empty image group: empty tile relation, same schema
@@ -335,10 +345,17 @@ def encode_cog_blocked(
                         rd, cd = int(rds[i]), int(cds[i])
                         x0, x1 = cd * tile, min((cd + 1) * tile, dw)
                         y0, y1 = rd * tile, min((rd + 1) * tile, dh)
-                        xf = int(np.float64(x0) * (sw / dw))
-                        xl = min(int(np.float64(x1 - 1) * (sw / dw)), sw - 1)
-                        yf = int(np.float64(y0) * (sh / dh))
-                        yl = min(int(np.float64(y1 - 1) * (sh / dh)), sh - 1)
+                        if avg:
+                            # integer area boxes: dst range [d0, d1) reads
+                            # src rows [d0*s//d, d1*s//d) — same integer
+                            # math as resample_average's boundaries
+                            xf, xl = (x0 * sw) // dw, (x1 * sw) // dw - 1
+                            yf, yl = (y0 * sh) // dh, (y1 * sh) // dh - 1
+                        else:
+                            xf = int(np.float64(x0) * (sw / dw))
+                            xl = min(int(np.float64(x1 - 1) * (sw / dw)), sw - 1)
+                            yf = int(np.float64(y0) * (sh / dh))
+                            yl = min(int(np.float64(y1 - 1) * (sh / dh)), sh - 1)
                         rows.append(
                             (ids[i], rd, cd, yf // tile, yl // tile, xf // tile, xl // tile)
                         )
@@ -378,11 +395,21 @@ def encode_cog_blocked(
                 rd, cd = int(pdf["rd"].iloc[0]), int(pdf["cd"].iloc[0])
                 x0, x1 = cd * tile, min((cd + 1) * tile, dw)
                 y0, y1 = rd * tile, min((rd + 1) * tile, dh)
-                xs = np.minimum((np.arange(x0, x1) * (sw / dw)).astype(np.int64), sw - 1)
-                ys = np.minimum((np.arange(y0, y1) * (sh / dh)).astype(np.int64), sh - 1)
-                sr0, sc0 = int(ys[0]) // tile, int(xs[0]) // tile
-                nr = int(ys[-1]) // tile - sr0 + 1
-                nc = int(xs[-1]) // tile - sc0 + 1
+                if avg:
+                    # integer box boundaries — the same (i*s)//d math as
+                    # resample_average, so sums/divisions below are the
+                    # identical float64 ops element for element
+                    yb = (np.arange(y0, y1 + 1) * sh) // dh
+                    xb = (np.arange(x0, x1 + 1) * sw) // dw
+                    sr0, sc0 = int(yb[0]) // tile, int(xb[0]) // tile
+                    nr = (int(yb[-1]) - 1) // tile - sr0 + 1
+                    nc = (int(xb[-1]) - 1) // tile - sc0 + 1
+                else:
+                    xs = np.minimum((np.arange(x0, x1) * (sw / dw)).astype(np.int64), sw - 1)
+                    ys = np.minimum((np.arange(y0, y1) * (sh / dh)).astype(np.int64), sh - 1)
+                    sr0, sc0 = int(ys[0]) // tile, int(xs[0]) // tile
+                    nr = int(ys[-1]) // tile - sr0 + 1
+                    nc = int(xs[-1]) // tile - sc0 + 1
                 mosaic = np.zeros((nr * tile, nc * tile, c), dtype=dt)
                 srows = pdf["row"].to_numpy()
                 scols = pdf["col"].to_numpy()
@@ -393,7 +420,26 @@ def encode_cog_blocked(
                         sdata[i], c, dt, tile, sw, sh, int(srows[i]), int(scols[i])
                     )
                     mosaic[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile] = arr
-                dst = mosaic[ys - sr0 * tile][:, xs - sc0 * tile]
+                if avg:
+                    offy, offx = sr0 * tile, sc0 * tile
+                    win = mosaic[
+                        int(yb[0]) - offy : int(yb[-1]) - offy,
+                        int(xb[0]) - offx : int(xb[-1]) - offx,
+                    ].astype(np.float64)
+                    acc = np.add.reduceat(win, yb[:-1] - yb[0], axis=0)
+                    acc = np.add.reduceat(acc, xb[:-1] - xb[0], axis=1)
+                    ycnt = np.diff(yb).astype(np.float64)
+                    xcnt = np.diff(xb).astype(np.float64)
+                    dst = acc / (ycnt[:, None, None] * xcnt[None, :, None])
+                    if np.issubdtype(dt, np.integer):
+                        di = np.iinfo(dt)
+                        dst = np.clip(
+                            np.floor(dst + 0.5), di.min, di.max
+                        ).astype(dt)
+                    else:
+                        dst = dst.astype(dt)
+                else:
+                    dst = mosaic[ys - sr0 * tile][:, xs - sc0 * tile]
                 return pd.DataFrame(
                     [(img, rd, cd, pad_tile(dst, c, dt).tobytes())],
                     columns=["image_id", "row", "col", "data"],

@@ -358,3 +358,47 @@ def test_blocked_sparse_nodata_matches_single_pass(spark):
     info = cog_info(single)
     assert info["levels"][0]["nodata"] == 42.0
     assert any(n == 0 for lev in info["levels"] for n in lev["byte_counts"])
+
+
+@pytest.mark.parametrize(
+    "seed,shape,dtype,kw",
+    [
+        (111, (333, 217, 3), "uint8", {}),
+        (112, (129, 65), "uint16", {}),
+        (113, (100, 101), "float32", {"predictor": 3}),
+        (114, (200, 300, 3), "uint8", {"compression": COMPRESSION_LZW, "predictor": 2}),
+    ],
+)
+def test_blocked_average_matches_single_pass(spark, seed, shape, dtype, kw):
+    """resample='average' on the distributed encoder: the dest-tile-keyed
+    box reduction is byte-identical to encode_cog's resample_average at
+    ragged ratios across dtypes — whole container, all levels."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    r = _rng(seed)
+    if dtype == "float32":
+        arr = r.normal(size=shape).astype(np.float32)
+    else:
+        arr = r.integers(0, np.iinfo(dtype).max, size=shape, dtype=dtype)
+    single = encode_cog(
+        arr, 32633, 500000.0, 5200000.0, 10.0, tile=64,
+        resample="average", **kw,
+    )
+    if arr.ndim == 2:
+        arr3 = arr[:, :, None]
+    else:
+        arr3 = arr
+    h, w, c = arr3.shape
+    meta = _meta_df(spark, "avg", w, h, c, str(arr.dtype))
+    images = spark.createDataFrame(
+        [("avg", bytearray(arr3.tobytes()), w, h, c, str(arr.dtype))],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=64)
+    tiles = encode_cog_blocked(blocks, meta, tile=64, resample="average", **kw)
+    rows = assemble_cogs(tiles, meta, tile=64, **kw).collect()
+    assert bytes(rows[0]["cog"]) == single
