@@ -662,6 +662,7 @@ def render_blocks_to_cogs(
     tile: int = TILE,
     compression: int = COMPRESSION_DEFLATE,
     quality: int = 90,
+    resample: str = "nearest",
 ) -> DataFrame:
     """The gigapixel loop closed: sink ``region_render_blocked(...,
     emit_blocks=True, block=tile)`` output as one GEOREFERENCED COG per
@@ -705,7 +706,8 @@ def render_blocks_to_cogs(
         )
     )
     tiles = encode_cog_blocked(
-        keyed, meta, tile=tile, compression=compression, quality=quality
+        keyed, meta, tile=tile, compression=compression, quality=quality,
+        resample=resample,
     )
     out = assemble_cogs(
         tiles, meta, tile=tile, compression=compression, quality=quality
