@@ -421,23 +421,18 @@ def encode_cog_blocked(
                     )
                     mosaic[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile] = arr
                 if avg:
+                    from .tiling import _box_average
+
                     offy, offx = sr0 * tile, sc0 * tile
                     win = mosaic[
                         int(yb[0]) - offy : int(yb[-1]) - offy,
                         int(xb[0]) - offx : int(xb[-1]) - offx,
-                    ].astype(np.float64)
-                    acc = np.add.reduceat(win, yb[:-1] - yb[0], axis=0)
-                    acc = np.add.reduceat(acc, xb[:-1] - xb[0], axis=1)
-                    ycnt = np.diff(yb).astype(np.float64)
-                    xcnt = np.diff(xb).astype(np.float64)
-                    dst = acc / (ycnt[:, None, None] * xcnt[None, :, None])
-                    if np.issubdtype(dt, np.integer):
-                        di = np.iinfo(dt)
-                        dst = np.clip(
-                            np.floor(dst + 0.5), di.min, di.max
-                        ).astype(dt)
-                    else:
-                        dst = dst.astype(dt)
+                    ]
+                    # the SAME kernel the single-pass writer uses —
+                    # float64 op sequences identical by construction
+                    dst = _box_average(
+                        win, yb - yb[0], xb - xb[0], dt, nodata
+                    )
                 else:
                     dst = mosaic[ys - sr0 * tile][:, xs - sc0 * tile]
                 return pd.DataFrame(

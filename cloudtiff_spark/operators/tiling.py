@@ -127,16 +127,67 @@ def resample_maximum(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
     return np.maximum(np.maximum(a, b), np.maximum(c, d))
 
 
-def resample_average(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
+def _box_average(
+    win: np.ndarray,
+    yb: np.ndarray,
+    xb: np.ndarray,
+    out_dtype: np.dtype,
+    nodata: float | None = None,
+) -> np.ndarray:
+    """The shared area-box mean kernel: ``yb``/``xb`` are inclusive box
+    boundaries RELATIVE to ``win`` (len = n_boxes+1, last = window
+    extent). Both writers — resample_average (whole raster) and the
+    distributed sink's per-dest-tile window (operators/cogsink.py) —
+    call THIS function, so their float64 op sequences cannot drift and
+    container byte-identity holds by construction.
+
+    ``nodata`` pixels are EXCLUDED from the mean (GDAL AVERAGE
+    semantics); an all-nodata box emits nodata. Integers round half up
+    (identical to half-away-from-zero for the unsigned sample types the
+    container supports); floats keep the exact mean."""
+    w64 = win.astype(np.float64)
+    if nodata is None:
+        ycnt = np.diff(yb).astype(np.float64)
+        xcnt = np.diff(xb).astype(np.float64)
+        acc = np.add.reduceat(w64, yb[:-1], axis=0)
+        acc = np.add.reduceat(acc, xb[:-1], axis=1)
+        out = acc / (ycnt[:, None, None] * xcnt[None, :, None])
+        empty = None
+    else:
+        if np.issubdtype(win.dtype, np.floating) and np.isnan(nodata):
+            valid = ~np.isnan(w64)
+        else:
+            valid = win != np.array(nodata).astype(win.dtype)
+        acc = np.add.reduceat(np.where(valid, w64, 0.0), yb[:-1], axis=0)
+        acc = np.add.reduceat(acc, xb[:-1], axis=1)
+        cnt = np.add.reduceat(valid.astype(np.float64), yb[:-1], axis=0)
+        cnt = np.add.reduceat(cnt, xb[:-1], axis=1)
+        empty = cnt == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = acc / cnt
+        out = np.where(empty, np.float64(nodata), out)
+    if np.issubdtype(np.dtype(out_dtype), np.integer):
+        info = np.iinfo(out_dtype)
+        # half up; a valid mean may legitimately land ON the nodata
+        # value (GDAL shares this ambiguity)
+        out = np.clip(np.floor(out + 0.5), info.min, info.max)
+    return out.astype(out_dtype)
+
+
+def resample_average(
+    arr: np.ndarray, dw: int, dh: int, nodata: float | None = None
+) -> np.ndarray:
     """Area-box average — the GDAL COG driver's DEFAULT overview
     resampling (beyond the reference, whose filters are nearest and
     CatmulRod, ops.rs:70-88 / encode resize path). Deterministic rule:
     dest pixel (y, x) averages the integer source box rows
-    [floor(y*sh/dh), max(+1, floor((y+1)*sh/dh))) x same for cols —
-    exact 2x2 block means at the common halving levels, >=1-px boxes at
-    ragged ratios. Integers round half away from zero (GDAL's averager);
-    floats keep the exact mean. Vectorized with two reduceat passes —
-    no per-pixel Python."""
+    [y*sh//dh, (y+1)*sh//dh) x same for cols — exact 2x2 block means at
+    the common halving levels, always >=1 px per box when downsampling.
+    ``nodata`` pixels are excluded from the mean and all-nodata boxes
+    emit nodata (GDAL AVERAGE semantics). Integers round half up;
+    floats keep the exact mean. Vectorized reduceat passes — no
+    per-pixel Python (kernel shared with the distributed sink:
+    _box_average)."""
     sh, sw = arr.shape[:2]
     if dh > sh or dw > sw:
         raise ValueError(
@@ -145,24 +196,9 @@ def resample_average(arr: np.ndarray, dw: int, dh: int) -> np.ndarray:
     squeeze = arr.ndim == 2
     if squeeze:
         arr = arr[:, :, None]
-    yb = (np.arange(dh) * sh) // dh
-    xb = (np.arange(dw) * sw) // dw
-    yb = np.minimum(yb, sh - 1)
-    xb = np.minimum(xb, sw - 1)
-    # row/col box sizes (boundary diffs; last box runs to the edge)
-    ycnt = np.diff(np.append(yb, sh)).astype(np.float64)
-    xcnt = np.diff(np.append(xb, sw)).astype(np.float64)
-    acc = np.add.reduceat(arr.astype(np.float64), yb, axis=0)
-    acc = np.add.reduceat(acc, xb, axis=1)
-    out = acc / (ycnt[:, None, None] * xcnt[None, :, None])
-    if np.issubdtype(arr.dtype, np.integer):
-        info = np.iinfo(arr.dtype)
-        # round half away from zero (np.rint rounds half to even)
-        out = np.clip(
-            np.floor(out + 0.5), info.min, info.max
-        ).astype(arr.dtype)
-    else:
-        out = out.astype(arr.dtype)
+    yb = np.append((np.arange(dh) * sh) // dh, sh)
+    xb = np.append((np.arange(dw) * sw) // dw, sw)
+    out = _box_average(arr, yb, xb, arr.dtype, nodata)
     return out[:, :, 0] if squeeze else out
 
 

@@ -552,10 +552,14 @@ def encode_cog(
     resampler = resample_nearest
     if palette is None and resample != "nearest":
         # palette indices always resample nearest (averaging or
-        # interpolating LUT indices is meaningless)
-        resampler = (
-            resample_average if resample == "average" else resample_catmullrom
-        )
+        # interpolating LUT indices is meaningless). Average excludes
+        # nodata pixels from the mean (GDAL AVERAGE semantics) when a
+        # nodata value is declared.
+        if resample == "average":
+            def resampler(a, w, h, _nd=nodata):
+                return resample_average(a, w, h, nodata=_nd)
+        else:
+            resampler = resample_catmullrom
     jpeg_tables: bytes | None = None
     if jpeg:
         from .jpeg import encode_jpeg, split_jpeg_tables

@@ -402,3 +402,36 @@ def test_blocked_average_matches_single_pass(spark, seed, shape, dtype, kw):
     tiles = encode_cog_blocked(blocks, meta, tile=64, resample="average", **kw)
     rows = assemble_cogs(tiles, meta, tile=64, **kw).collect()
     assert bytes(rows[0]["cog"]) == single
+
+
+def test_blocked_average_nodata_sparse_matches_single_pass(spark):
+    """average + nodata + sparse on the distributed encoder: the shared
+    _box_average kernel excludes nodata from overview means, all-nodata
+    dest tiles hole, and the whole container stays byte-identical."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+    from cloudtiff_spark.tiff import cog_info
+
+    r = _rng(115)
+    arr = np.full((300, 420), 200, dtype=np.uint8)
+    arr[20:180, 30:250] = r.integers(0, 200, (160, 220), dtype=np.uint8)
+    single = encode_cog(
+        arr, 32633, 500000.0, 5200000.0, 10.0, tile=64,
+        resample="average", nodata=200, sparse=True,
+    )
+    meta = _meta_df(spark, "an", 420, 300, 1, "uint8")
+    images = spark.createDataFrame(
+        [("an", bytearray(arr[:, :, None].tobytes()), 420, 300, 1, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=64)
+    tiles = encode_cog_blocked(
+        blocks, meta, tile=64, resample="average", nodata=200, sparse=True
+    )
+    rows = assemble_cogs(tiles, meta, tile=64, nodata=200).collect()
+    assert bytes(rows[0]["cog"]) == single
+    info = cog_info(single)
+    assert any(n == 0 for lev in info["levels"] for n in lev["byte_counts"])

@@ -1749,3 +1749,54 @@ class TestAverageResample:
             idx, 4326, 10.0, 50.0, 1e-4, palette=pal, resample="nearest"
         )
         assert a == b  # indices never averaged
+
+
+class TestAverageNodata:
+    """GDAL AVERAGE semantics with nodata: sentinel pixels are excluded
+    from the mean; all-nodata boxes emit nodata."""
+
+    def test_nodata_excluded_from_mean(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+
+        arr = np.full((4, 4), 200, dtype=np.uint8)
+        arr[0, 0] = 100
+        arr[0, 1] = 102
+        # box (0,0) = [100, 102, 200, 200] with nodata=200 -> mean 101
+        out = resample_average(arr, 2, 2, nodata=200)
+        assert out[0, 0] == 101
+        assert out[1, 1] == 200  # all-nodata box stays nodata
+        # without nodata the sentinel smears in
+        assert resample_average(arr, 2, 2)[0, 0] == np.uint8(
+            np.floor((100 + 102 + 200 + 200) / 4 + 0.5)
+        )
+
+    def test_nan_nodata_excluded(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+
+        arr = np.full((4, 4), np.nan, dtype=np.float32)
+        arr[0, 0] = 1.0
+        arr[0, 1] = 3.0
+        out = resample_average(arr, 2, 2, nodata=float("nan"))
+        assert out[0, 0] == 2.0 and np.isnan(out[1, 1])
+
+    def test_encode_cog_average_nodata_pyramid(self):
+        from cloudtiff_spark.operators.tiling import resample_average
+        from cloudtiff_spark.grid import level_dims
+
+        rng = np.random.default_rng(42)
+        img = np.full((300, 260), 200, dtype=np.uint8)
+        img[20:180, 30:200] = rng.integers(0, 200, (160, 170), dtype=np.uint8)
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4,
+            resample="average", nodata=200, sparse=True,
+        )
+        info = tiff.cog_info(data)
+        cur = img
+        for lv in range(1, len(info["levels"])):
+            lw, lh = level_dims(260, 300, lv)
+            cur = resample_average(cur, lw, lh, nodata=200)
+            expect = {i: a for i, _, _, a in cut_tiles(cur[:, :, None])}
+            for ti in range(len(info["levels"][lv]["offsets"])):
+                assert np.array_equal(
+                    tiff.decode_tile(data, info, lv, ti), expect[ti]
+                ), (lv, ti)
