@@ -643,14 +643,17 @@ def ensure_progressive_dir(sf_name: str = "sf0.01") -> str:
 _JPEGCOG_COUNT = 14
 
 
-def _jpeg_pyramid_tiles(img: np.ndarray, tile: int):
+def _jpeg_pyramid_tiles(img: np.ndarray, tile: int, resampler=None):
     """Yield (level, tile_idx, padded_tile) for the writer's pyramid plan
-    (level i resampled nearest from level i-1, zero-padded edge tiles) —
-    the same deterministic plan encode_cog executes, rebuilt here without
-    the container so the fixture's expected side stays codec-only."""
+    (level i resampled from level i-1 — nearest by default, or the given
+    filter — zero-padded edge tiles): the same deterministic plan
+    encode_cog executes, rebuilt here without the container so the
+    fixture's expected side stays codec-only."""
     from .grid import grid_shape, level_dims, num_levels
     from .operators.tiling import resample_nearest
 
+    if resampler is None:
+        resampler = resample_nearest
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -658,7 +661,7 @@ def _jpeg_pyramid_tiles(img: np.ndarray, tile: int):
     for lv in range(num_levels(w, h, tile, tile)):
         if lv > 0:
             lw, lh = level_dims(w, h, lv)
-            cur = resample_nearest(cur, lw, lh)
+            cur = resampler(cur, lw, lh)
         cols, rows = grid_shape(cur.shape[1], cur.shape[0], tile, tile)
         for r in range(rows):
             for cc in range(cols):
@@ -1009,7 +1012,7 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
     out_dir = ensure_fixtures(sf_name)
     sdir = os.path.join(out_dir, "cogs_sparse")
     marker = os.path.join(sdir, "_COMPLETE")
-    want = f"sparsecog={_SPARSECOG_COUNT} v2\n"
+    want = f"sparsecog={_SPARSECOG_COUNT} v3\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:
@@ -1050,12 +1053,20 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
                     1, np.iinfo(dt).max, (ph, pw, c)
                 ).astype(dt)
             img[y0 : y0 + ph, x0 : x0 + pw] = patch
+        # i=8/9 write their overview pyramids with the GDAL-default
+        # 'average' filter so its pixel content is graded on the driver
+        # surface too (the expected side rebuilds with the same filter)
+        res = "average" if i in (8, 9) else "nearest"
         blob = encode_cog(
             img if c > 1 else img[:, :, 0],
             4326, 0.0, 50.0, 1e-4,
             compression=comp, predictor=pred, sparse=True, nodata=nd,
+            resample=res,
         )
-        for lv, ti, t in _jpeg_pyramid_tiles(img, TILE):
+        from .operators.tiling import resample_average
+
+        rs = resample_average if res == "average" else None
+        for lv, ti, t in _jpeg_pyramid_tiles(img, TILE, resampler=rs):
             exp_rows.append(
                 {
                     "image_id": image_id,
