@@ -1800,3 +1800,45 @@ class TestAverageNodata:
                 assert np.array_equal(
                     tiff.decode_tile(data, info, lv, ti), expect[ti]
                 ), (lv, ti)
+
+
+class TestSparseCombos:
+    def test_sparse_bigtiff_roundtrip(self):
+        img = TestSparseCog._sparse_img(700, 900)
+        dense = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4, big=True)
+        sparse = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, big=True, sparse=True
+        )
+        assert len(sparse) < len(dense)
+        si, di = tiff.cog_info(sparse), tiff.cog_info(dense)
+        assert si["big"] and di["big"]
+        holes = 0
+        for lv in range(len(si["levels"])):
+            slev = si["levels"][lv]
+            for ti in range(len(slev["offsets"])):
+                if slev["byte_counts"][ti] == 0:
+                    holes += 1
+                    assert slev["offsets"][ti] == 0
+                assert np.array_equal(
+                    tiff.decode_tile(sparse, si, lv, ti),
+                    tiff.decode_tile(dense, di, lv, ti),
+                )
+        assert holes > 0
+
+    def test_nodata_jpeg_holes_fill_nodata(self):
+        img = np.full((600, 600, 3), 200, dtype=np.uint8)
+        img[10:80, 10:90] = 7
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4,
+            compression=tiff.COMPRESSION_JPEG, sparse=True, nodata=200,
+        )
+        info = tiff.cog_info(data)
+        lev = info["levels"][0]
+        hole = next(i for i, n in enumerate(lev["byte_counts"]) if n == 0)
+        stored = next(i for i, n in enumerate(lev["byte_counts"]) if n > 0)
+        t = tiff.decode_tile(data, info, 0, hole)
+        assert t.dtype == np.uint8 and (t == 200).all()
+        # stored JPEG tiles still decode (lossy) with real content
+        s = tiff.decode_tile(data, info, 0, stored)
+        assert s.shape == (lev["tile_h"], lev["tile_w"], 3)
+        assert (s != 200).any()
