@@ -312,7 +312,10 @@ def wmts_render(
 
     ``grain`` picks the physical plan (outputs are byte-identical — the
     per-query canvas is rebuilt from the query's OWN tile set either way,
-    pinned by pytest):
+    pinned by pytest). ``"auto"`` resolves to one of the two via a
+    metadata-only pick: mean grid tiles per LOD-picked (image, level)
+    > 4 -> "image", else "pair" (one tiny aggregation over the levels
+    relation — no tile payloads move):
 
     - ``"pair"`` (default): the straight region_render path, one group
       per (query, image). MEASURED faster on the fixture tile set
@@ -338,7 +341,7 @@ def wmts_render(
     out_w, out_h, raster)."""
     from .spatial import region_extract, slippy_bounds_np
 
-    if grain not in ("image", "pair"):
+    if grain not in ("image", "pair", "auto"):
         raise ValueError(f"unknown wmts_render grain {grain!r}")
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
@@ -369,6 +372,24 @@ def wmts_render(
         "query_id string, kind string, rxmin double, rymin double, "
         "rxmax double, rymax double, mp_limit double, res_w int, res_h int",
     )
+    if grain == "auto":
+        # metadata-only grain pick (no tile scan): the image grain pays
+        # off when the LOD-picked levels hold MANY tiles (decode is the
+        # dominant cost it deduplicates — BENCH.md round-6 grain study:
+        # fixture levels at ~1 tile favored pair by 1.2-2.7x, real
+        # pyramids with decode at ~70% of tile cost favor image). Join
+        # the picked (query, image, level) set to the levels relation's
+        # grid size and threshold the mean — one tiny aggregation over
+        # metadata relations, no payload movement.
+        picked = region_extract(levels, wq).select(
+            "query_id", "image_id", "level"
+        ).dropDuplicates()
+        sz = picked.join(
+            levels.select("image_id", "level", "cols", "rows"),
+            ["image_id", "level"],
+        ).agg(F.avg(F.col("cols") * F.col("rows")).alias("m")).first()
+        mean_tiles = sz["m"] or 0.0
+        grain = "image" if mean_tiles > 4.0 else "pair"
     if grain == "pair":
         return region_render(levels, tiles, wq)
 

@@ -447,6 +447,9 @@ class TestRender:
         assert len(base) > 0
         assert snap(wmts_render(lv, tiles, queries, grain="image")) == base
         assert snap(wmts_render(lv, tiles, queries, grain="image", salt=4)) == base
+        # auto resolves to ONE of the two via the metadata pick — output
+        # identical either way (here the fixture's ~1-tile levels pick pair)
+        assert snap(wmts_render(lv, tiles, queries, grain="auto")) == base
         with pytest.raises(ValueError, match="grain"):
             wmts_render(lv, tiles, queries, grain="bogus")
         with pytest.raises(ValueError, match="salt"):
