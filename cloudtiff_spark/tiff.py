@@ -331,6 +331,8 @@ def container_prefix(
     scale_py: float | None = None,
     jpeg_tables: bytes | None = None,
     nodata: float | None = None,
+    mask_levels: list[Level] | None = None,
+    mask_byte_counts: list[list[int]] | None = None,
 ) -> bytes:
     """Everything BEFORE the tile-data region — header, IFD chain, external
     tag payloads — with tile offsets computed from ``byte_counts`` alone
@@ -405,7 +407,36 @@ def container_prefix(
             ]
         return sorted(tags, key=lambda t: t.code)  # TIFF requirement (O2)
 
-    all_tags = [ifd_tags(lv) for lv in range(n_lv)]
+    def mask_ifd_tags(i: int) -> list[Tag]:
+        # GDAL-style internal transparency mask (TIFF 6 §Additional
+        # Baseline Fields): 1-bit, photometric 4, NewSubfileType 4 for
+        # the full-res mask / 5 (mask|reduced) for overview masks —
+        # exactly what cog_info's mask routing recognizes on read
+        ml = mask_levels[i]
+        n = len(mask_byte_counts[i])
+        tags = [
+            Tag(T_NEWSUBFILETYPE, _LONG, [4 if i == 0 else 5]),
+            Tag(T_WIDTH, _LONG, [ml.width]),
+            Tag(T_LENGTH, _LONG, [ml.height]),
+            Tag(T_BITSPERSAMPLE, _SHORT, [1]),
+            Tag(T_COMPRESSION, _SHORT, [ml.compression]),
+            Tag(T_PHOTOMETRIC, _SHORT, [4]),
+            Tag(T_SAMPLESPERPIXEL, _SHORT, [1]),
+            Tag(T_PLANARCONFIG, _SHORT, [1]),
+            Tag(T_TILEWIDTH, _LONG, [ml.tile_w]),
+            Tag(T_TILELENGTH, _LONG, [ml.tile_h]),
+            Tag(T_TILEOFFSETS, _LONG8 if big else _LONG, [0] * n),
+            Tag(T_TILEBYTECOUNTS, _LONG, list(mask_byte_counts[i])),
+        ]
+        return sorted(tags, key=lambda t: t.code)
+
+    if (mask_levels is None) != (mask_byte_counts is None):
+        raise ValueError("mask_levels and mask_byte_counts go together")
+    all_levels = list(levels) + list(mask_levels or [])
+    all_counts = list(byte_counts) + list(mask_byte_counts or [])
+    all_tags = [ifd_tags(lv) for lv in range(n_lv)] + [
+        mask_ifd_tags(i) for i in range(len(mask_levels or []))
+    ]
 
     # ---- layout: header | per-level (IFD block + external data) | tiles ----
     # classic: 8-byte header, u16 entry count, 12-byte entries, u32 next
@@ -431,17 +462,17 @@ def container_prefix(
     # convention: offset 0 + count 0 = "no data on disk, fill on read")
     # — record offset 0 rather than the running position so external
     # readers (GDAL/libtiff) recognize the hole.
-    for lv, counts in enumerate(byte_counts):
-        levels[lv].tile_offsets = []
+    for lev_obj, counts in zip(all_levels, all_counts):
+        lev_obj.tile_offsets = []
         for n in counts:
-            levels[lv].tile_offsets.append(pos if n else 0)
+            lev_obj.tile_offsets.append(pos if n else 0)
             pos += n
 
     # fill tile offsets into the tag values
-    for lv, tags in enumerate(all_tags):
+    for lev_obj, tags in zip(all_levels, all_tags):
         for t in tags:
             if t.code == T_TILEOFFSETS:
-                t.values = levels[lv].tile_offsets
+                t.values = lev_obj.tile_offsets
 
     # ---- serialize ----
     if big:
@@ -460,7 +491,7 @@ def container_prefix(
                 out += t.payload().ljust(inline, b"\x00")
             else:
                 out += struct.pack(off_fmt, ext_positions[lv][t.code])
-        next_ifd = ifd_positions[lv + 1] if lv + 1 < n_lv else 0
+        next_ifd = ifd_positions[lv + 1] if lv + 1 < len(all_tags) else 0
         out += struct.pack(off_fmt, next_ifd)
         for t in tags:
             size = _TYPE_SIZES[t.dtype] * len(t.values)
@@ -486,6 +517,7 @@ def encode_cog(
     quality: int = 90,
     sparse: bool = False,
     nodata: float | None = None,
+    mask: np.ndarray | None = None,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
@@ -505,6 +537,15 @@ def encode_cog(
     ``nodata`` writes the GDAL_NODATA ASCII tag (42113) on every IFD and
     becomes the sparse fill value: holes read back as nodata, matching
     GDAL's sparse semantics (unset -> 0). NaN is supported for float32.
+
+    ``mask`` (an (h, w) bool/uint8 validity array) writes a GDAL-style
+    INTERNAL transparency mask: one 1-bit deflate IFD per pyramid level
+    (photometric 4, NewSubfileType 4 for full-res / 5 for overview
+    masks, nearest-resampled like GDAL's overview masks), appended after
+    the image IFDs. cog_info routes them to info['mask_levels'] and
+    decode_mask_tile returns 0/255 u8. With ``sparse=True``, all-invalid
+    mask tiles hole like image tiles. Beyond the reference (no mask
+    concept anywhere in its codebase).
 
     Pixel formats (raster/image.rs:26-95 parity): (h,w,3) u8 RGB,
     (h,w) / (h,w,1) u8 gray, (h,w) u16 gray16, (h,w,4) u8 RGBA
@@ -593,6 +634,34 @@ def encode_cog(
                     tiles.append(_compress_tile(t, compression, predictor))
         level_tiles.append(tiles)
 
+    mask_levels = None
+    mask_tiles: list[list[bytes]] = []
+    if mask is not None:
+        if mask.shape != (h, w):
+            raise ValueError(f"mask shape {mask.shape} != image {(h, w)}")
+        mask_levels = plan_levels(w, h, tile, COMPRESSION_DEFLATE)
+        mcur = mask.astype(bool)
+        for lv in range(n_lv):
+            if lv > 0:
+                lw, lh = level_dims(w, h, lv)
+                mcur = resample_nearest(mcur, lw, lh)
+            cols, rows_g = mask_levels[lv].grid
+            per = []
+            for r in range(rows_g):
+                for cc in range(cols):
+                    t = np.zeros((tile, tile), dtype=bool)
+                    src = mcur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
+                    t[: src.shape[0], : src.shape[1]] = src
+                    if sparse and not t.any():
+                        per.append(b"")  # all-invalid mask tile: hole
+                    else:
+                        # 1-bit MSB-first packing, rows padded to byte
+                        # boundaries (TIFF 6) — np.packbits along axis 1
+                        per.append(
+                            zlib.compress(np.packbits(t, axis=1).tobytes(), 6)
+                        )
+            mask_tiles.append(per)
+
     prefix = container_prefix(
         levels,
         [[len(t) for t in tiles] for tiles in level_tiles],
@@ -609,10 +678,18 @@ def encode_cog(
         palette=palette,
         jpeg_tables=jpeg_tables,
         nodata=nodata,
+        mask_levels=mask_levels,
+        mask_byte_counts=(
+            [[len(t) for t in per] for per in mask_tiles]
+            if mask is not None
+            else None
+        ),
     )
     out = bytearray(prefix)
     for tiles in level_tiles:
         out += b"".join(tiles)
+    for per in mask_tiles:  # mask payloads follow all image payloads
+        out += b"".join(per)
     return bytes(out)
 
 

@@ -1842,3 +1842,86 @@ class TestSparseCombos:
         s = tiff.decode_tile(data, info, 0, stored)
         assert s.shape == (lev["tile_h"], lev["tile_w"], 3)
         assert (s != 200).any()
+
+
+class TestMaskWrite:
+    """encode_cog(mask=...): GDAL-style internal transparency mask —
+    one 1-bit deflate IFD per pyramid level (photometric 4,
+    NewSubfileType 4/5), appended after the image IFDs. Beyond the
+    reference (no mask concept in its codebase)."""
+
+    @staticmethod
+    def _mask(h, w):
+        m = np.zeros((h, w), dtype=bool)
+        m[h // 8 : h - 20, w // 6 : w - 15] = True
+        return m
+
+    @pytest.mark.parametrize("big", [False, True])
+    def test_mask_pyramid_roundtrip(self, big):
+        from cloudtiff_spark.grid import level_dims
+        from cloudtiff_spark.operators.tiling import resample_nearest
+
+        img = _img(300, 260)
+        mask = self._mask(300, 260)
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, mask=mask, big=big
+        )
+        info = tiff.cog_info(data)
+        assert len(info["mask_levels"]) == len(info["levels"])
+        mcur = mask
+        for i, ml in enumerate(info["mask_levels"]):
+            assert (ml["width"], ml["height"]) == (
+                info["levels"][i]["width"], info["levels"][i]["height"]
+            )
+            if i > 0:
+                lw, lh = level_dims(260, 300, i)
+                mcur = resample_nearest(mcur, lw, lh)
+            cols = (ml["width"] + ml["tile_w"] - 1) // ml["tile_w"]
+            for ti in range(len(ml["offsets"])):
+                got = tiff.decode_mask_tile(data, info, i, ti)[:, :, 0]
+                r, cc = ti // cols, ti % cols
+                exp = np.zeros(got.shape, dtype=np.uint8)
+                src = (
+                    mcur[
+                        r * ml["tile_h"] : (r + 1) * ml["tile_h"],
+                        cc * ml["tile_w"] : (cc + 1) * ml["tile_w"],
+                    ].astype(np.uint8)
+                    * 255
+                )
+                exp[: src.shape[0], : src.shape[1]] = src
+                assert np.array_equal(got, exp), (i, ti)
+
+    def test_image_levels_unchanged_by_mask(self):
+        img = _img(300, 260)
+        with_mask = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, mask=self._mask(300, 260)
+        )
+        plain = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
+        wi, pi = tiff.cog_info(with_mask), tiff.cog_info(plain)
+        for lv in range(len(pi["levels"])):
+            for ti in range(len(pi["levels"][lv]["offsets"])):
+                assert np.array_equal(
+                    tiff.decode_tile(with_mask, wi, lv, ti),
+                    tiff.decode_tile(plain, pi, lv, ti),
+                )
+        # geo/projection metadata intact (geokeys read from IFD 0)
+        assert wi["projection"] == pi["projection"]
+
+    def test_sparse_mask_holes(self):
+        img = _img(300, 260)
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4,
+            mask=self._mask(300, 260), sparse=True,
+        )
+        info = tiff.cog_info(data)
+        ml = info["mask_levels"][0]
+        holes = [i for i, n in enumerate(ml["byte_counts"]) if n == 0]
+        assert holes and ml["offsets"][holes[0]] == 0
+        assert not tiff.decode_mask_tile(data, info, 0, holes[0]).any()
+
+    def test_mask_shape_mismatch_rejected(self):
+        img = _img(100, 100)
+        with pytest.raises(ValueError, match="mask shape"):
+            tiff.encode_cog(
+                img, 4326, 10.0, 50.0, 1e-4, mask=np.zeros((50, 50), bool)
+            )
