@@ -303,6 +303,20 @@ def jpeg_tables_for(quality: int, gray: bool) -> bytes:
     return split_jpeg_tables(encode_jpeg(dummy, quality))[0]
 
 
+def _iter_padded_tiles(cur: np.ndarray, tile: int):
+    """Yield the level's tiles in row-major order, zero-padded to
+    tile x tile (encode/mod.rs:559-567) — the one extract/pad skeleton
+    shared by the image and mask tiling loops so their grids can't
+    drift."""
+    cols, rows = grid_shape(cur.shape[1], cur.shape[0], tile, tile)
+    for r in range(rows):
+        for cc in range(cols):
+            t = np.zeros((tile, tile) + cur.shape[2:], dtype=cur.dtype)
+            src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
+            t[: src.shape[0], : src.shape[1]] = src
+            yield t
+
+
 def plan_levels(w: int, h: int, tile: int, compression: int) -> list[Level]:
     """The writer's pyramid plan: level dims halve (floor, min 1) until a
     level fits one tile (cog/mod.rs:115-129 ordering invariant)."""
@@ -432,6 +446,21 @@ def container_prefix(
 
     if (mask_levels is None) != (mask_byte_counts is None):
         raise ValueError("mask_levels and mask_byte_counts go together")
+    if mask_levels is not None:
+        # the same grid validation the image levels get above — a
+        # malformed count list must fail loudly, not write a container
+        # whose mask offsets are shifted
+        if len(mask_levels) != len(mask_byte_counts):
+            raise ValueError(
+                f"{len(mask_levels)} mask levels != {len(mask_byte_counts)} count lists"
+            )
+        for i, (ml, counts) in enumerate(zip(mask_levels, mask_byte_counts)):
+            cols, rows = ml.grid
+            if len(counts) != cols * rows:
+                raise ValueError(
+                    f"mask level {i}: {len(counts)} byte counts != {cols * rows} grid tiles"
+                )
+            ml.tile_byte_counts = list(counts)
     all_levels = list(levels) + list(mask_levels or [])
     all_counts = list(byte_counts) + list(mask_byte_counts or [])
     all_tags = [ifd_tags(lv) for lv in range(n_lv)] + [
@@ -578,6 +607,9 @@ def encode_cog(
         pixels.dtype, c, predictor, palette
     )
     _validate_nodata(pixels.dtype, nodata)
+    if mask is not None and mask.shape != (h, w):
+        # fail before any pyramid work, not after compressing every tile
+        raise ValueError(f"mask shape {mask.shape} != image {(h, w)}")
     jpeg = compression == COMPRESSION_JPEG
     if jpeg:
         photometric = jpeg_photometric_for(pixels.dtype, c, predictor, palette)
@@ -612,54 +644,41 @@ def encode_cog(
         if lv > 0:
             lw, lh = level_dims(w, h, lv)
             cur = resampler(cur, lw, lh)
-        lev = levels[lv]
-        cols, rows = lev.grid
         tiles = []
-        for r in range(rows):
-            for cc in range(cols):
-                t = np.zeros((tile, tile, c), dtype=pixels.dtype)
-                src = cur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
-                t[: src.shape[0], : src.shape[1]] = src  # zero-padded edges
-                if sparse and _is_fill(t, nodata):
-                    tiles.append(b"")  # hole: offset 0 / count 0
-                elif jpeg:
-                    # DQT/DHT are fixed by `quality` (standard Annex K
-                    # Huffman tables), so every tile splits to the SAME
-                    # tables stream — shared once via tag 347
-                    # (jpeg_tables_for above) and the payloads stay
-                    # abbreviated (SOI+SOF+SOS)
-                    full = encode_jpeg(t if c == 3 else t[:, :, 0], quality)
-                    tiles.append(split_jpeg_tables(full)[1])
-                else:
-                    tiles.append(_compress_tile(t, compression, predictor))
+        for t in _iter_padded_tiles(cur, tile):
+            if sparse and _is_fill(t, nodata):
+                tiles.append(b"")  # hole: offset 0 / count 0
+            elif jpeg:
+                # DQT/DHT are fixed by `quality` (standard Annex K
+                # Huffman tables), so every tile splits to the SAME
+                # tables stream — shared once via tag 347
+                # (jpeg_tables_for above) and the payloads stay
+                # abbreviated (SOI+SOF+SOS)
+                full = encode_jpeg(t if c == 3 else t[:, :, 0], quality)
+                tiles.append(split_jpeg_tables(full)[1])
+            else:
+                tiles.append(_compress_tile(t, compression, predictor))
         level_tiles.append(tiles)
 
     mask_levels = None
     mask_tiles: list[list[bytes]] = []
-    if mask is not None:
-        if mask.shape != (h, w):
-            raise ValueError(f"mask shape {mask.shape} != image {(h, w)}")
+    if mask is not None:  # shape validated up front, before pyramid work
         mask_levels = plan_levels(w, h, tile, COMPRESSION_DEFLATE)
         mcur = mask.astype(bool)
         for lv in range(n_lv):
             if lv > 0:
                 lw, lh = level_dims(w, h, lv)
                 mcur = resample_nearest(mcur, lw, lh)
-            cols, rows_g = mask_levels[lv].grid
             per = []
-            for r in range(rows_g):
-                for cc in range(cols):
-                    t = np.zeros((tile, tile), dtype=bool)
-                    src = mcur[r * tile : (r + 1) * tile, cc * tile : (cc + 1) * tile]
-                    t[: src.shape[0], : src.shape[1]] = src
-                    if sparse and not t.any():
-                        per.append(b"")  # all-invalid mask tile: hole
-                    else:
-                        # 1-bit MSB-first packing, rows padded to byte
-                        # boundaries (TIFF 6) — np.packbits along axis 1
-                        per.append(
-                            zlib.compress(np.packbits(t, axis=1).tobytes(), 6)
-                        )
+            for t in _iter_padded_tiles(mcur, tile):
+                if sparse and not t.any():
+                    per.append(b"")  # all-invalid mask tile: hole
+                else:
+                    # 1-bit MSB-first packing, rows padded to byte
+                    # boundaries (TIFF 6) — np.packbits along axis 1
+                    per.append(
+                        zlib.compress(np.packbits(t, axis=1).tobytes(), 6)
+                    )
             mask_tiles.append(per)
 
     prefix = container_prefix(

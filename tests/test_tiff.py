@@ -1899,7 +1899,14 @@ class TestMaskWrite:
         plain = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
         wi, pi = tiff.cog_info(with_mask), tiff.cog_info(plain)
         for lv in range(len(pi["levels"])):
-            for ti in range(len(pi["levels"][lv]["offsets"])):
+            wl, pl = wi["levels"][lv], pi["levels"][lv]
+            for ti in range(len(pl["offsets"])):
+                # BYTE parity of every image tile payload (prefix sizes
+                # differ, so compare the slices the offsets point at)
+                assert (
+                    with_mask[wl["offsets"][ti] : wl["offsets"][ti] + wl["byte_counts"][ti]]
+                    == plain[pl["offsets"][ti] : pl["offsets"][ti] + pl["byte_counts"][ti]]
+                ), (lv, ti)
                 assert np.array_equal(
                     tiff.decode_tile(with_mask, wi, lv, ti),
                     tiff.decode_tile(plain, pi, lv, ti),
