@@ -1012,7 +1012,7 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
     out_dir = ensure_fixtures(sf_name)
     sdir = os.path.join(out_dir, "cogs_sparse")
     marker = os.path.join(sdir, "_COMPLETE")
-    want = f"sparsecog={_SPARSECOG_COUNT} v3\n"
+    want = f"sparsecog={_SPARSECOG_COUNT} v4\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:
@@ -1021,7 +1021,7 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
 
         shutil.rmtree(sdir, ignore_errors=True)
     os.makedirs(sdir, exist_ok=True)
-    cog_rows, exp_rows = [], []
+    cog_rows, exp_rows, mask_rows = [], [], []
     for i in range(_SPARSECOG_COUNT):
         image_id = f"sparse_{i:03d}"
         rng = _rng_for(f"sparsecog:{image_id}")
@@ -1057,11 +1057,16 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
         # 'average' filter so its pixel content is graded on the driver
         # surface too (the expected side rebuilds with the same filter)
         res = "average" if i in (8, 9) else "nearest"
+        # i=0/5 carry a GDAL-style internal transparency mask (valid where
+        # not fill) — grades the 1-bit mask write+read path end to end
+        msk = (
+            ~np.all(img == fill, axis=2) if i in (0, 5) else None
+        )
         blob = encode_cog(
             img if c > 1 else img[:, :, 0],
             4326, 0.0, 50.0, 1e-4,
             compression=comp, predictor=pred, sparse=True, nodata=nd,
-            resample=res,
+            resample=res, mask=msk,
         )
         from .operators.tiling import resample_average
 
@@ -1079,10 +1084,28 @@ def ensure_sparse_cog_dir(sf_name: str = "sf0.01") -> str:
                     "pix_hash": np.int64(np.uint64(xxh64(t.tobytes()))).item(),
                 }
             )
+        if msk is not None:
+            # expected mask tiles: nearest-resampled 0/255 pyramid,
+            # zero-padded, computed WITHOUT the reader; all-invalid
+            # tiles are holes (sparse=True)
+            m8 = (msk.astype(np.uint8) * 255)[:, :, None]
+            for lv, ti, t in _jpeg_pyramid_tiles(m8, TILE):
+                mask_rows.append(
+                    {
+                        "image_id": image_id,
+                        "mask_idx": lv,
+                        "tile_idx": ti,
+                        "is_hole": not t.any(),
+                        "pix_hash": np.int64(
+                            np.uint64(xxh64(t.tobytes()))
+                        ).item(),
+                    }
+                )
         cog_rows.append({"image_id": image_id, "cog": blob})
     for name, rows in (
         ("cogs.parquet", cog_rows),
         ("expected_sparse.parquet", exp_rows),
+        ("expected_mask.parquet", mask_rows),
     ):
         tbl = pa.Table.from_pylist(rows)
         tmp = os.path.join(sdir, f".{name}.{os.getpid()}.tmp")

@@ -43,6 +43,7 @@ PROBES = {
     "lineitem_price": ["pricing_summary", "top_orders"],
     "strip_payload": ["strip_ingest"],
     "sparse_payload": ["sparse_cog"],
+    "mask_payload": ["mask_ingest"],
 }
 
 
@@ -207,6 +208,40 @@ def main() -> int:
                 )
 
             E._sparse_cogs = sparse_src
+        elif kind == "mask_payload":
+            # stomp 4 bytes in the middle of a known stored MASK tile
+            # payload of sparse_000 (position computed from the
+            # container's mask_levels — disjoint from image payloads, so
+            # sparse_cog stays green while mask_ingest must go red)
+            import pyarrow.parquet as _pq
+
+            from cloudtiff_spark import tiff as _tiff
+            from cloudtiff_spark.fixtures import ensure_sparse_cog_dir
+
+            _sdir = ensure_sparse_cog_dir("sf0.01")
+            _blob = next(
+                r["cog"]
+                for r in _pq.read_table(_sdir + "/cogs.parquet").to_pylist()
+                if r["image_id"] == "sparse_000"
+            )
+            _ml = _tiff.cog_info(_blob)["mask_levels"][0]
+            _ti = next(i for i, n in enumerate(_ml["byte_counts"]) if n > 8)
+            _pos = _ml["offsets"][_ti] + _ml["byte_counts"][_ti] // 2
+
+            def mask_src(s):
+                return orig_sparse(s).withColumn(
+                    "cog",
+                    F.when(
+                        F.col("image_id") == "sparse_000",
+                        F.expr(
+                            f"concat(substring(cog, 1, {_pos}), "
+                            "X'00FF00FF', "
+                            f"substring(cog, {_pos} + 5))"
+                        ),
+                    ).otherwise(F.col("cog")),
+                )
+
+            E._sparse_cogs = mask_src
         elif kind == "lineitem_price":
 
             # top_orders is a top-10: only a mutation INSIDE the current
@@ -250,7 +285,7 @@ def main() -> int:
     E._SHINGLE_CACHE.clear()
     E._EMB_CACHE.clear()
     for name in ["simhash", "embed_topk", "decode_check", "pricing_summary",
-                 "strip_ingest", "sparse_cog"]:
+                 "strip_ingest", "sparse_cog", "mask_ingest"]:
         ok = compare(spark, con, E, name)
         print(f"{'ok  ' if ok else 'FAIL'} unmutated -> {name}: {'green' if ok else 'RED'}")
         if not ok:
