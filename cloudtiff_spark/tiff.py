@@ -1095,6 +1095,14 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     format coverage); convert with codecs.raster_to_rgb8 when RGB8 output
     is needed."""
     lev = info["levels"][level]
+    # typed bounds check like the reference's TileIndexOutOfRange
+    # (level.rs:303-319 clamps to min(offsets, byte_counts) length) —
+    # malformed IFDs may carry mismatched array lengths
+    n_valid = min(len(lev["offsets"]), len(lev["byte_counts"]))
+    if not 0 <= tile_idx < n_valid:
+        raise ValueError(
+            f"tile index {tile_idx} out of range (level has {n_valid} tiles)"
+        )
     off = lev["offsets"][tile_idx]
     cnt = lev["byte_counts"][tile_idx]
     raw = data[off : off + cnt]

@@ -1932,3 +1932,21 @@ class TestMaskWrite:
             tiff.encode_cog(
                 img, 4326, 10.0, 50.0, 1e-4, mask=np.zeros((50, 50), bool)
             )
+
+
+class TestTileIndexBounds:
+    def test_out_of_range_tile_index_typed(self):
+        # reference parity: TileIndexOutOfRange (level.rs:303-319) — the
+        # valid range is min(offsets, byte_counts) length, so a malformed
+        # IFD with mismatched arrays degrades to a typed reject too
+        img = _img(100, 100)
+        data = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
+        info = tiff.cog_info(data)
+        n = len(info["levels"][0]["offsets"])
+        with pytest.raises(ValueError, match="out of range"):
+            tiff.decode_tile(data, info, 0, n)
+        with pytest.raises(ValueError, match="out of range"):
+            tiff.decode_tile(data, info, 0, -1)
+        info["levels"][0]["byte_counts"] = info["levels"][0]["byte_counts"][:1]
+        with pytest.raises(ValueError, match="out of range"):
+            tiff.decode_tile(data, info, 0, 1)
