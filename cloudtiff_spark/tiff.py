@@ -347,6 +347,7 @@ def container_prefix(
     nodata: float | None = None,
     mask_levels: list[Level] | None = None,
     mask_byte_counts: list[list[int]] | None = None,
+    overviews_first: bool = False,
 ) -> bytes:
     """Everything BEFORE the tile-data region — header, IFD chain, external
     tag payloads — with tile offsets computed from ``byte_counts`` alone
@@ -491,7 +492,20 @@ def container_prefix(
     # convention: offset 0 + count 0 = "no data on disk, fill on read")
     # — record offset 0 rather than the running position so external
     # readers (GDAL/libtiff) recognize the hole.
-    for lev_obj, counts in zip(all_levels, all_counts):
+    # data-region order: level order by default; ``overviews_first``
+    # reverses each group (smallest overview's tiles first — GDAL's COG
+    # layout, so a header+overviews prefetch serves low-zoom reads from
+    # the file's first bytes). Offsets live in the tags, so readers are
+    # order-agnostic; the WRITER must append payloads in the same order
+    # (encode_cog does).
+    n_img = len(byte_counts)
+    order = list(range(len(all_levels)))
+    if overviews_first:
+        order = list(range(n_img))[::-1] + [
+            n_img + i for i in range(len(all_levels) - n_img)
+        ][::-1]
+    for idx in order:
+        lev_obj, counts = all_levels[idx], all_counts[idx]
         lev_obj.tile_offsets = []
         for n in counts:
             lev_obj.tile_offsets.append(pos if n else 0)
@@ -547,6 +561,7 @@ def encode_cog(
     sparse: bool = False,
     nodata: float | None = None,
     mask: np.ndarray | None = None,
+    overviews_first: bool = False,
 ) -> bytes:
     """Write a classic little-endian tiled GeoTIFF with a full overview
     pyramid. origin = top-left corner in CRS units (ModelTiepoint with
@@ -566,6 +581,13 @@ def encode_cog(
     ``nodata`` writes the GDAL_NODATA ASCII tag (42113) on every IFD and
     becomes the sparse fill value: holes read back as nodata, matching
     GDAL's sparse semantics (unset -> 0). NaN is supported for float32.
+
+    ``overviews_first=True`` writes the data region in GDAL's COG byte
+    layout — smallest overview's tiles first, level 0 last (mask IFD
+    payloads likewise reversed, after the image payloads) — so a
+    header+overviews range prefetch serves every low-zoom read from the
+    file's first bytes. Offsets live in the tags; readers are
+    order-agnostic (decode parity test-pinned).
 
     ``mask`` (an (h, w) bool/uint8 validity array) writes a GDAL-style
     INTERNAL transparency mask: one 1-bit deflate IFD per pyramid level
@@ -703,11 +725,14 @@ def encode_cog(
             if mask is not None
             else None
         ),
+        overviews_first=overviews_first,
     )
     out = bytearray(prefix)
-    for tiles in level_tiles:
+    img_order = level_tiles[::-1] if overviews_first else level_tiles
+    msk_order = mask_tiles[::-1] if overviews_first else mask_tiles
+    for tiles in img_order:
         out += b"".join(tiles)
-    for per in mask_tiles:  # mask payloads follow all image payloads
+    for per in msk_order:  # mask payloads follow all image payloads
         out += b"".join(per)
     return bytes(out)
 

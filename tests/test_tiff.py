@@ -1950,3 +1950,52 @@ class TestTileIndexBounds:
         info["levels"][0]["byte_counts"] = info["levels"][0]["byte_counts"][:1]
         with pytest.raises(ValueError, match="out of range"):
             tiff.decode_tile(data, info, 0, 1)
+
+
+class TestOverviewsFirstLayout:
+    """GDAL's COG byte layout: smallest overview's tiles first, level 0
+    last — a header+overviews prefetch serves low-zoom reads from the
+    file's first bytes. Offsets live in the tags, so decode is
+    order-agnostic."""
+
+    def test_decode_parity_and_byte_order(self):
+        img = _img(300, 260)
+        mask = np.zeros((300, 260), bool)
+        mask[10:200, 10:200] = True
+        a = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4, mask=mask)
+        b = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, mask=mask, overviews_first=True
+        )
+        assert len(a) == len(b)  # same payloads, different order
+        ia, ib = tiff.cog_info(a), tiff.cog_info(b)
+        # smallest overview's first tile sits BEFORE level 0's in b...
+        assert ib["levels"][-1]["offsets"][0] < ib["levels"][0]["offsets"][0]
+        # ...and after it in the default layout
+        assert ia["levels"][-1]["offsets"][0] > ia["levels"][0]["offsets"][0]
+        for lv in range(len(ia["levels"])):
+            for ti in range(len(ia["levels"][lv]["offsets"])):
+                assert np.array_equal(
+                    tiff.decode_tile(a, ia, lv, ti),
+                    tiff.decode_tile(b, ib, lv, ti),
+                )
+        for mi in range(len(ia["mask_levels"])):
+            for ti in range(len(ia["mask_levels"][mi]["offsets"])):
+                assert np.array_equal(
+                    tiff.decode_mask_tile(a, ia, mi, ti),
+                    tiff.decode_mask_tile(b, ib, mi, ti),
+                )
+
+    def test_low_zoom_prefix_read(self):
+        # every overview tile of the overviews-first file lives before
+        # the first level-0 byte: a prefix slice decodes all overviews
+        img = _img(600, 520)
+        data = tiff.encode_cog(
+            img, 4326, 10.0, 50.0, 1e-4, overviews_first=True
+        )
+        info = tiff.cog_info(data)
+        lv0_start = min(o for o in info["levels"][0]["offsets"] if o)
+        for lv in range(1, len(info["levels"])):
+            lev = info["levels"][lv]
+            for ti in range(len(lev["offsets"])):
+                assert lev["offsets"][ti] + lev["byte_counts"][ti] <= lv0_start
+                tiff.decode_tile(data[:lv0_start] + b"", info, lv, ti)
