@@ -478,6 +478,77 @@ class TestHttpRangeSource:
             lsock.close()
 
 
+class TestOverviewsFirstHttp:
+    def test_low_zoom_reads_touch_only_the_file_head(self, tmp_path):
+        """The cloud-optimized layout end to end over HTTP: with
+        overviews_first=True every overview tile lives before the first
+        level-0 byte, so header_info_http + ONE ranged GET of the file
+        head decodes ALL overview levels — the low-zoom access pattern a
+        tile server runs against object storage."""
+        import threading
+        import urllib.request
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        img = RNG.integers(0, 256, (600, 520, 3), dtype=np.uint8)
+        data = tiff.encode_cog(
+            img, 4326, 0.0, 50.0, 1e-4, overviews_first=True
+        )
+        body = {"/ov.tif": data}
+
+        class RangeHandler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                b = body.get(self.path)
+                if b is None:
+                    self.send_error(404)
+                    return
+                rng = self.headers.get("Range")
+                lo, hi = 0, len(b) - 1
+                if rng and rng.startswith("bytes="):
+                    lo_s, hi_s = rng[6:].split("-")
+                    lo = int(lo_s or 0)
+                    hi = min(int(hi_s) if hi_s else hi, hi)
+                chunk = b[lo : hi + 1]
+                self.send_response(206 if rng else 200)
+                if rng:
+                    self.send_header(
+                        "Content-Range", f"bytes {lo}-{hi}/{len(b)}"
+                    )
+                self.send_header("Content-Length", str(len(chunk)))
+                self.end_headers()
+                self.wfile.write(chunk)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            from cloudtiff_spark.sources import header_info_http
+
+            url = f"http://127.0.0.1:{port}/ov.tif"
+            info, hdr_bytes = header_info_http(url)
+            lv0_start = min(o for o in info["levels"][0]["offsets"] if o)
+            # the overview region is a small fraction of the file
+            assert lv0_start < 0.45 * len(data)
+            req = urllib.request.Request(
+                url, headers={"Range": f"bytes=0-{lv0_start - 1}"}
+            )
+            with urllib.request.urlopen(req) as resp:
+                head = resp.read()
+            assert len(head) == lv0_start
+            base = tiff.cog_info(data)
+            for lv in range(1, len(info["levels"])):
+                lev = info["levels"][lv]
+                for ti in range(len(lev["offsets"])):
+                    assert np.array_equal(
+                        tiff.decode_tile(head, info, lv, ti),
+                        tiff.decode_tile(data, base, lv, ti),
+                    )
+        finally:
+            srv.shutdown()
+
+
 class TestDefinitiveRejectsDontRefetch:
     """Review r5: typed semantic rejects (CloudTiffError) are definitive
     from the first window — the grow-and-reparse loops must raise
