@@ -66,9 +66,12 @@ _COMP_NAME = {
 }
 
 
-def write_cogs(images_with_geo: DataFrame) -> DataFrame:
+def write_cogs(images_with_geo: DataFrame, **encode_kw) -> DataFrame:
     """images (+ epsg/origin_x/origin_y/scale_px columns) -> one COG per row.
-    LZW-sourced images get LZW tiles, everything else Deflate."""
+    LZW-sourced images get LZW tiles, everything else Deflate.
+    ``encode_kw`` passes straight to encode_cog — sparse=True,
+    nodata=..., resample='average', overviews_first=True, big=True all
+    apply per image (the same writer, same typed rejects)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,7 +90,8 @@ def write_cogs(images_with_geo: DataFrame) -> DataFrame:
                     arr = decode_image(data, fmt, int(w), int(h))
                 comp = COMPRESSION_LZW if fmt == "lzw_raw" else COMPRESSION_DEFLATE
                 cog = encode_cog(
-                    arr, int(epsg), float(ox), float(oy), float(sp), compression=comp
+                    arr, int(epsg), float(ox), float(oy), float(sp),
+                    compression=comp, **encode_kw
                 )
                 rows.append((image_id, cog, len(cog)))
             yield pd.DataFrame(rows, columns=["image_id", "cog", "cog_bytes"])
