@@ -119,6 +119,13 @@ class NotATiff(CloudTiffError):
     the fetch window to the whole object)."""
 
 
+class TileIndexOutOfRange(CloudTiffError):
+    """Tile/strip index beyond min(len(offsets), len(byte_counts)) — the
+    reference's TileIndexOutOfRange (level.rs:303-319). A DEFINITIVE
+    reject (CloudTiffError, so is_truncation() excludes it): growing a
+    ranged prefix can never make a bad index valid."""
+
+
 class NoLevels(CloudTiffError):
     """A complete IFD chain with no tiled full-resolution level
     (cog/mod.rs:127-129) — definitive once the chain parses, so the

@@ -30,6 +30,7 @@ from . import TILE
 from .codecs import lzw_decode, lzw_encode
 from .errors import (
     CloudTiffError,
+    TileIndexOutOfRange,
     CompressionNotSupported,
     NoLevels,
     NotATiff,
@@ -317,6 +318,27 @@ def _iter_padded_tiles(cur: np.ndarray, tile: int):
             yield t
 
 
+def data_region_order(n_img: int, n_msk: int, overviews_first: bool) -> list[int]:
+    """Index order (into images-then-masks numbering) of the tile-data
+    region — THE single source of truth shared by container_prefix's
+    offset assignment and encode_cog's payload concatenation, so the two
+    cannot disagree. Default: image levels 0..N then mask levels 0..M.
+    overviews_first: smallest level first, each image level IMMEDIATELY
+    followed by its mask level (GDAL's COG layout) — so a prefix read up
+    to the first level-0 offset holds every overview's image AND mask
+    payloads. Unpaired mask levels (foreign counts) trail reversed."""
+    if not overviews_first:
+        return list(range(n_img + n_msk))
+    order = []
+    for lv in range(n_img - 1, -1, -1):
+        order.append(lv)
+        if lv < n_msk:
+            order.append(n_img + lv)
+    for i in range(n_msk - 1, n_img - 1, -1):  # foreign: more masks than levels
+        order.append(n_img + i)
+    return order
+
+
 def plan_levels(w: int, h: int, tile: int, compression: int) -> list[Level]:
     """The writer's pyramid plan: level dims halve (floor, min 1) until a
     level fits one tile (cog/mod.rs:115-129 ordering invariant)."""
@@ -353,8 +375,12 @@ def container_prefix(
     tag payloads — with tile offsets computed from ``byte_counts`` alone
     (no tile payloads needed). Fills ``levels[i].tile_offsets`` /
     ``tile_byte_counts`` as a side effect. The container contract is: the
-    returned prefix followed by every level's tile payloads concatenated in
-    (level, tile_idx) order is a valid COG.
+    returned prefix followed by every level's tile payloads concatenated
+    in data_region_order(n_levels, n_masks, overviews_first) — which is
+    plain (level, tile_idx) order unless ``overviews_first`` — is a valid
+    COG. Callers passing ``overviews_first=True`` MUST concatenate in
+    that same order (encode_cog does; the distributed sink keeps the
+    default order).
 
     Split out of encode_cog so the distributed sink
     (operators/cogsink.py) can compress tiles across the cluster, collect
@@ -492,18 +518,13 @@ def container_prefix(
     # convention: offset 0 + count 0 = "no data on disk, fill on read")
     # — record offset 0 rather than the running position so external
     # readers (GDAL/libtiff) recognize the hole.
-    # data-region order: level order by default; ``overviews_first``
-    # reverses each group (smallest overview's tiles first — GDAL's COG
-    # layout, so a header+overviews prefetch serves low-zoom reads from
-    # the file's first bytes). Offsets live in the tags, so readers are
-    # order-agnostic; the WRITER must append payloads in the same order
-    # (encode_cog does).
-    n_img = len(byte_counts)
-    order = list(range(len(all_levels)))
-    if overviews_first:
-        order = list(range(n_img))[::-1] + [
-            n_img + i for i in range(len(all_levels) - n_img)
-        ][::-1]
+    # data-region order: data_region_order() is shared with encode_cog's
+    # payload concatenation — offsets live in the tags, so READERS are
+    # order-agnostic, but the WRITER must append payloads in exactly
+    # this order (the contract in the docstring above).
+    order = data_region_order(
+        len(byte_counts), len(all_levels) - len(byte_counts), overviews_first
+    )
     for idx in order:
         lev_obj, counts = all_levels[idx], all_counts[idx]
         lev_obj.tile_offsets = []
@@ -583,11 +604,11 @@ def encode_cog(
     GDAL's sparse semantics (unset -> 0). NaN is supported for float32.
 
     ``overviews_first=True`` writes the data region in GDAL's COG byte
-    layout — smallest overview's tiles first, level 0 last (mask IFD
-    payloads likewise reversed, after the image payloads) — so a
-    header+overviews range prefetch serves every low-zoom read from the
-    file's first bytes. Offsets live in the tags; readers are
-    order-agnostic (decode parity test-pinned).
+    layout — smallest overview first, each image level's payloads
+    immediately followed by its mask level's, level 0 (and its mask)
+    last — so a header+overviews range prefetch serves every low-zoom
+    read, image AND mask, from the file's first bytes. Offsets live in
+    the tags; readers are order-agnostic (decode parity test-pinned).
 
     ``mask`` (an (h, w) bool/uint8 validity array) writes a GDAL-style
     INTERNAL transparency mask: one 1-bit deflate IFD per pyramid level
@@ -728,12 +749,11 @@ def encode_cog(
         overviews_first=overviews_first,
     )
     out = bytearray(prefix)
-    img_order = level_tiles[::-1] if overviews_first else level_tiles
-    msk_order = mask_tiles[::-1] if overviews_first else mask_tiles
-    for tiles in img_order:
-        out += b"".join(tiles)
-    for per in msk_order:  # mask payloads follow all image payloads
-        out += b"".join(per)
+    groups = level_tiles + mask_tiles
+    for idx in data_region_order(
+        len(level_tiles), len(mask_tiles), overviews_first
+    ):
+        out += b"".join(groups[idx])
     return bytes(out)
 
 
@@ -1122,10 +1142,11 @@ def decode_tile(data: bytes, info: dict, level: int, tile_idx: int) -> np.ndarra
     lev = info["levels"][level]
     # typed bounds check like the reference's TileIndexOutOfRange
     # (level.rs:303-319 clamps to min(offsets, byte_counts) length) —
-    # malformed IFDs may carry mismatched array lengths
+    # malformed IFDs may carry mismatched array lengths. CloudTiffError
+    # so is_truncation() treats it as definitive, not retryable.
     n_valid = min(len(lev["offsets"]), len(lev["byte_counts"]))
     if not 0 <= tile_idx < n_valid:
-        raise ValueError(
+        raise TileIndexOutOfRange(
             f"tile index {tile_idx} out of range (level has {n_valid} tiles)"
         )
     off = lev["offsets"][tile_idx]

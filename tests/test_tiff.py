@@ -1939,17 +1939,22 @@ class TestTileIndexBounds:
         # reference parity: TileIndexOutOfRange (level.rs:303-319) — the
         # valid range is min(offsets, byte_counts) length, so a malformed
         # IFD with mismatched arrays degrades to a typed reject too
+        from cloudtiff_spark.errors import TileIndexOutOfRange
+
         img = _img(100, 100)
         data = tiff.encode_cog(img, 4326, 10.0, 50.0, 1e-4)
         info = tiff.cog_info(data)
         n = len(info["levels"][0]["offsets"])
-        with pytest.raises(ValueError, match="out of range"):
+        with pytest.raises(TileIndexOutOfRange, match="out of range"):
             tiff.decode_tile(data, info, 0, n)
-        with pytest.raises(ValueError, match="out of range"):
+        with pytest.raises(TileIndexOutOfRange, match="out of range"):
             tiff.decode_tile(data, info, 0, -1)
         info["levels"][0]["byte_counts"] = info["levels"][0]["byte_counts"][:1]
-        with pytest.raises(ValueError, match="out of range"):
+        try:
             tiff.decode_tile(data, info, 0, 1)
+        except TileIndexOutOfRange as exc:
+            # definitive reject: a grow-and-reparse loop must NOT retry it
+            assert not tiff.is_truncation(exc)
 
 
 class TestOverviewsFirstLayout:
@@ -1972,6 +1977,14 @@ class TestOverviewsFirstLayout:
         assert ib["levels"][-1]["offsets"][0] < ib["levels"][0]["offsets"][0]
         # ...and after it in the default layout
         assert ia["levels"][-1]["offsets"][0] > ia["levels"][0]["offsets"][0]
+        # GDAL-style interleave: every OVERVIEW payload — image and mask
+        # alike — precedes the first level-0 byte, so a head prefetch
+        # serves masked low-zoom reads too
+        lv0_start = min(o for o in ib["levels"][0]["offsets"] if o)
+        for group in (ib["levels"][1:], ib["mask_levels"][1:]):
+            for lev in group:
+                for o, n in zip(lev["offsets"], lev["byte_counts"]):
+                    assert o + n <= lv0_start
         for lv in range(len(ia["levels"])):
             for ti in range(len(ia["levels"][lv]["offsets"])):
                 assert np.array_equal(
