@@ -476,6 +476,12 @@ def ensure_media_dir(sf_name: str = "sf0.01") -> str:
     an 'opus'/'h264' marker with payload bytes that the decode operators
     must quarantine through the typed-unsupported path (no codec lib exists
     in-container — the STUB contract of the task brief)."""
+    if sf_name not in SF_SPECS:
+        # same unknown-scale fallback as fixture_dir_for: a driver-generated
+        # scale dir (e.g. sf1.0) must not KeyError generate() — the r6
+        # driver bench recorded audio_features/video_frames as failed (-1.0)
+        # at sf1.0 for exactly this reason
+        sf_name = "sf0.01"
     out_dir = ensure_fixtures(sf_name)
     path = os.path.join(out_dir, "media.parquet")
     if os.path.exists(path):

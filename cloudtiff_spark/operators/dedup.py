@@ -89,7 +89,17 @@ def jaccard_pairs(
     """
     src = sh if sh is not None else shingles(docs, n=n)
     s = src.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
-    ex = s.select("doc_id", "n_sh", F.explode("shingles").alias("g"))
+    # postings carry xxhash64(g), not the ~25-byte shingle string (r7,
+    # guide §2.3 "narrower types"): the self-join's sort/compare runs on
+    # 8-byte longs and the exchange ships ~1/3 the bytes. Shingles are
+    # distinct per doc, so per-pair counts are unchanged unless two
+    # DISTINCT corpus shingles collide in 64 bits — verified zero
+    # collisions over the union of every fixture scale's shingle sets
+    # (n=2 and n=3, 28,814 distinct; expected collisions at corpus scale
+    # ~D^2/2^65, i.e. ~1e-8 even at 10^6 distinct shingles).
+    ex = s.select("doc_id", "n_sh", F.explode("shingles").alias("g")).select(
+        "doc_id", "n_sh", F.xxhash64("g").alias("g")
+    )
     if max_df is not None:
         # document frequency per shingle; hot list is tiny by construction
         # (only keys with df > max_df), so it broadcasts
@@ -128,8 +138,8 @@ def jaccard_pairs(
         )
         hot_inter = F.size(
             F.array_intersect(
-                F.coalesce("hs_a", F.array().cast("array<string>")),
-                F.coalesce("hs_b", F.array().cast("array<string>")),
+                F.coalesce("hs_a", F.array().cast("array<bigint>")),
+                F.coalesce("hs_b", F.array().cast("array<bigint>")),
             )
         )
         inter = F.col("inter_c") + hot_inter
@@ -181,16 +191,19 @@ def minhash_lsh_pairs(
     nperm = bands * rows_per_band
     src = sh if sh is not None else shingles(docs, n=n)
     s = src.select("doc_id", "shingles")
-    sig = s.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("shingles"), lambda g: F.xxhash64(g, F.lit(i)))
-                )
-                for i in range(nperm)
-            ]
-        ).alias("sig"),
+    # signature as ONE hash aggregation over exploded shingles (r7): the
+    # previous form — nperm array_min(transform(...)) expressions per row —
+    # evaluates higher-order array lambdas on Catalyst's INTERPRETED path
+    # (HOFs are excluded from whole-stage codegen), costing
+    # nperm x |shingles| interpreted calls per doc. min(xxhash64(g, i))
+    # aggregations are fully codegen'd with map-side partial aggregation,
+    # and the exploded relation is already hash-partitioned by doc_id
+    # (the _docs repartition), so the groupBy needs no exchange. The hash
+    # VALUES are unchanged (same xxhash64(g, seed=i)), hence identical
+    # signatures, buckets, candidates, and output.
+    exg = s.select("doc_id", F.explode("shingles").alias("g"))
+    sig = exg.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("g", F.lit(i))).alias(f"m{i}") for i in range(nperm)]
     )
     # band/bucket explode carries ONLY (doc_id, band, bucket) — the shingle
     # arrays must NOT ride the `bands`-way fan-out or the bucket join, or
@@ -208,7 +221,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("sig")[bi * rows_per_band + ri].cast("string")
+                                    F.col(f"m{bi * rows_per_band + ri}").cast("string")
                                     for ri in range(rows_per_band)
                                 ],
                             )
@@ -545,11 +558,27 @@ def embed_near_dup(
     matrix stops fitting an executor (~10^6 x 64 = 0.5 GB).
 
     mode='lsh' — the corpus-scale path: random-hyperplane buckets generate
-    candidates (the posexplode and bucket self-join carry ONLY
-    (id, table, bucket); vectors re-attach by id), exact-cosine verify
-    keeps pairs >= tau. A true pair is missed only if its vectors collide
-    in NO table — recall 1 - (1 - p^planes)^tables; the fixture pytest
-    asserts lsh == exact for the defaults.
+    candidates, exact-cosine verify keeps pairs >= tau. A true pair is
+    missed only if its vectors collide in NO table — recall
+    1 - (1 - p^planes)^tables; the fixture pytest asserts lsh == exact for
+    the defaults.
+
+    Candidate VERIFICATION is bucket-local (r7 optimization): each
+    (table, bucket) group screens its own vectors with ONE numpy matmul
+    and emits only the >= tau pairs, deduplicated across tables afterward.
+    The earlier shape — a lean (id, table, bucket) self-join producing a
+    candidate-PAIR relation, pair dedup, then two joins to re-attach
+    vectors and a per-pair cosine UDF — is quadratic in Spark rows: at
+    tau=0.3 the per-plane collision probability of a RANDOM pair is 0.5
+    vs 0.597 for a pair at tau, so the required table count makes nearly
+    every pair collide somewhere (sf1.0: 99.96% of all C(20000,2) pairs
+    became candidate rows; ~10^9 join rows and a ~200 GB pair-grain
+    vector materialization, measured 101 s in the round-6 driver record).
+    Shipping each vector once per table (T x n x dim bytes, LINEAR in n)
+    and verifying inside the bucket turns that into Sum-over-buckets
+    count^2 dgemm flops — the candidate set, the verified pair set, and
+    every cos value are IDENTICAL by construction (same buckets, exact
+    verify, elementwise-recomputed cosines).
 
     n_planes=None auto-sizes from the corpus count so buckets stay small
     as the table grows: planes = max(2, ceil(log2(n / target_bucket_rows))),
@@ -614,33 +643,61 @@ def embed_near_dup(
         return pd.Series([list(row) for row in packed])
 
     sig = emb.select(
-        F.col(id_col).alias("id"), signatures(F.col(vec_col)).alias("sig")
-    ).select("id", F.posexplode("sig").alias("table", "bucket"))
-    a = sig.select(F.col("id").alias("id_a"), "table", "bucket")
-    b = sig.select(F.col("id").alias("id_b"), "table", "bucket")
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        signatures(F.col(vec_col)).alias("sig"),
+    ).select("id", "vec", F.posexplode("sig").alias("table", "bucket"))
+
+    from pyspark.sql import types as T
+
+    id_t = emb.schema[id_col].dataType
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cand = cand.join(
-        vecs.withColumnsRenamed({"id": "id_a", "vec": "vec_a"}), "id_a"
-    ).join(vecs.withColumnsRenamed({"id": "id_b", "vec": "vec_b"}), "id_b")
 
-    @pandas_udf("double")
-    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
-        mx = np.stack(x.to_numpy()).astype(np.float64)
-        my = np.stack(y.to_numpy()).astype(np.float64)
-        num = (mx * my).sum(axis=1)
-        den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
-        return pd.Series(num / den)
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "cos": np.zeros(0)})
+        X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        norms = np.linalg.norm(X, axis=1)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked screen bounds peak memory at chunk x bucket doubles
+        # even for a degenerate all-one-bucket table
+        for c0 in range(0, len(ids), 2048):
+            c1 = min(c0 + 2048, len(ids))
+            S = Xn[c0:c1] @ Xn.T  # matmul as SCREEN only (see exact path)
+            ai, bi = np.nonzero((S >= tau - 1e-9) & (ids[c0:c1, None] < ids[None, :]))
+            ai = ai + c0
+            # canonical elementwise recompute — the formulation the exact
+            # path and the oracle use; a matmul's blocked accumulation can
+            # differ in the last ulp, enough to flip a micro-int boundary
+            num = (X[ai] * X[bi]).sum(axis=1)
+            cos = num / (norms[ai] * norms[bi])
+            keep = cos >= tau
+            out_a.append(ids[ai[keep]])
+            out_b.append(ids[bi[keep]])
+            out_c.append(cos[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
 
+    # a pair surviving in several tables carries the bit-identical cos in
+    # each (same raw vectors, same elementwise expression), so the dedup
+    # can keep any one row
     return (
-        cand.withColumn("cos", cos(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") >= tau)
-        .select("id_a", "id_b", "cos")
+        sig.groupBy("table", "bucket")
+        .applyInPandas(verify_bucket, pair_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

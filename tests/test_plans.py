@@ -119,7 +119,13 @@ class TestLshPayloadShape:
     def test_graded_embed_near_dup_is_the_lsh_plan(self, spark, monkeypatch):
         """The graded query must run the scale path: no driver-side
         collect of the embeddings table (round-3 verdict What's wrong #2)
-        and the lean (id, table, bucket) fan-out in the physical plan."""
+        and BUCKET-LOCAL verification (r7): candidates are verified by a
+        per-(table, bucket) numpy matmul inside FlatMapGroupsInPandas —
+        the plan must contain NO join at all (the earlier candidate-PAIR
+        self-join + vector re-attach joins were quadratic in Spark rows
+        at tau=0.3, where LSH tables cannot prune random pairs; the
+        round-6 driver record measured 101 s at sf1.0). Vectors riding
+        the table fan-out ONCE (linear in n) is the deliberate trade."""
         import __spark_entry__ as E
         from cloudtiff_spark.operators import dedup
 
@@ -131,8 +137,8 @@ class TestLshPayloadShape:
         plan = out._jdf.queryExecution().executedPlan().toString()
         gens = self._generate_lines(plan, "Generate posexplode(sig")
         assert gens, "LSH table explode not found — not the scale path?"
-        for g in gens:
-            assert "vec" not in g and "embedding" not in g, g[:200]
+        assert "FlatMapGroupsInPandas" in plan, "bucket-local verify missing"
+        assert "Join" not in plan, "pair-grain join crept back into the LSH path"
 
 
 class TestBlockedRenderPlanShape:
