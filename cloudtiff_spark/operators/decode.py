@@ -102,23 +102,42 @@ def decode_status(images: DataFrame) -> DataFrame:
     - ``phash_mismatch`` — decoded cleanly but the pixels are not the ones
       the generator hashed (silent corruption),
     - ok rows carry err_kind ''.
+
+    A ``raster`` column (the session decoded cache, same contract as
+    decode_check) short-circuits the decode: a non-null raster is the
+    cache build's decode output and classifies by its phash; a null
+    raster falls back to decoding ``bytes`` when present, else it IS the
+    cache-recorded decode failure. Identical classification either way —
+    the cache's decode is the same decode_image call.
     """
+    has_raster = "raster" in images.columns
+    has_bytes = "bytes" in images.columns
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
             ids, oks, kinds = [], [], []
-            cols = (pdf[c].to_numpy() for c in ("image_id", "bytes", "fmt", "w", "h", "phash"))
-            for image_id, data, fmt, w, h, ph in zip(*cols):
-                try:
-                    arr = decode_image(data, fmt, int(w), int(h))
-                except Exception:
+            rasters = pdf["raster"].to_numpy() if has_raster else None
+            data_c = pdf["bytes"].to_numpy() if has_bytes else None
+            cols = (pdf[c].to_numpy() for c in ("image_id", "fmt", "w", "h", "phash"))
+            for i, (image_id, fmt, w, h, ph) in enumerate(zip(*cols)):
+                if rasters is not None and rasters[i] is not None:
+                    digest = hashlib.sha256(rasters[i]).digest()
+                elif data_c is not None:
+                    try:
+                        arr = decode_image(data_c[i], fmt, int(w), int(h))
+                    except Exception:
+                        ids.append(image_id)
+                        oks.append(False)
+                        kinds.append("decode_error")
+                        continue
+                    digest = hashlib.sha256(arr.tobytes()).digest()
+                else:  # cache-recorded decode failure, no bytes to retry
                     ids.append(image_id)
                     oks.append(False)
                     kinds.append("decode_error")
                     continue
-                digest = hashlib.sha256(arr.tobytes()).digest()
                 got = np.int64(np.uint64(int.from_bytes(digest[-8:], "big")))
                 ok = bool(got == np.int64(ph))
                 ids.append(image_id)

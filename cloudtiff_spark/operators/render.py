@@ -235,7 +235,14 @@ def region_render(
     extra shuffle (raw is ~2x compressed bytes) + the cached key-set pass —
     measured NOT worth it on the fixture (tiny tiles, decode ~1s total,
     dup 5x), so compressed-bytes-per-group stays the default; flip it when
-    tiles are large or query fan-in is high."""
+    tiles are large or query fan-in is high.
+
+    A ``tiles`` relation that ALREADY carries a ``raw`` column (the
+    session-persisted pre-decoded tile cache, __spark_entry__:
+    _shared_tiles_raw) is consumed as-is: groups receive raw rasters with
+    no decode and no extra pass — the decode-once trade without its
+    per-call key-set cost, amortized across every render query of the
+    session (r7; byte-identical outputs, _mosaic_bbox's ``raw`` path)."""
     wanted = region_extract(levels, queries)  # query_id, image_id, level, tile_idx
     # re-attach the per-(query,image) render parameters (res_w/res_h ride
     # along when the caller fixed the output resolution — wmts_render)
@@ -254,7 +261,9 @@ def region_render(
         "w", "h",
     )
     keys = ["image_id", "level", "tile_idx"]
-    if decode_once:
+    if "raw" in tiles.columns:
+        tile_side = tiles.select(*keys, "raw")
+    elif decode_once:
         # `wanted` (a small pruned key set) is consumed by BOTH the
         # needed-tiles branch and the final join; recomputing it is the
         # price of NOT caching inside an operator (a .cache() here would
@@ -420,8 +429,10 @@ def wmts_render(
         "w", "h",
     )
     keys = ["image_id", "level", "tile_idx"]
+    pre_decoded = "raw" in tiles.columns
+    tile_cols = (*keys, "raw") if pre_decoded else (*keys, "fmt", "tile_bytes")
     rows = tile_refs.join(lv, ["image_id", "level"]).join(
-        tiles.select(*keys, "fmt", "tile_bytes"), keys, "inner"
+        tiles.select(*tile_cols), keys, "inner"
     )
 
     _LEVEL_KEYS = (
@@ -434,14 +445,18 @@ def wmts_render(
         lw, lh = int(r0["lw"]), int(r0["lh"])
         tw, th, cols = int(r0["tile_w"]), int(r0["tile_h"]), int(r0["cols"])
         idxs = pdf["tile_idx"].to_numpy().astype(np.int64)
-        fmts = pdf["fmt"].to_numpy()
-        payloads = pdf["tile_bytes"].to_numpy()
+        fmts = None if pre_decoded else pdf["fmt"].to_numpy()
+        payloads = pdf["raw" if pre_decoded else "tile_bytes"].to_numpy()
         refs_col = pdf["refs"].to_numpy()
         decoded: dict[int, np.ndarray] = {}
         qmap: dict[str, tuple[dict, list[int]]] = {}
         for i in range(len(idxs)):
             ti = int(idxs[i])
-            decoded[ti] = decode_image(payloads[i], fmts[i], tw, th)
+            decoded[ti] = (
+                np.frombuffer(payloads[i], dtype=np.uint8).reshape(th, tw, 3)
+                if pre_decoded
+                else decode_image(payloads[i], fmts[i], tw, th)
+            )
             for ref in refs_col[i]:
                 ent = qmap.get(ref["query_id"])
                 if ent is None:
@@ -690,9 +705,10 @@ def region_render_blocked(
         .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
         .drop("_r", "_c", "r0b", "r1b", "c0b", "c1b")
     )
-    joined = keyed.join(
-        tiles.select(*keys, "fmt", "tile_bytes"), keys, "left"
-    )
+    pre_decoded = "raw" in tiles.columns
+    tile_cols = (*keys, "raw") if pre_decoded else (*keys, "fmt", "tile_bytes")
+    payload_col = "raw" if pre_decoded else "tile_bytes"
+    joined = keyed.join(tiles.select(*tile_cols), keys, "left")
 
     def assemble_block(pdf: pd.DataFrame) -> pd.DataFrame:
         r0 = pdf.iloc[0]
@@ -702,7 +718,7 @@ def region_render_blocked(
         row0, col0 = int(r0["by"]) * block, int(r0["bx"]) * block
         row1, col1 = min(row0 + block, out_h), min(col0 + block, out_w)
         bh, bw = row1 - row0, col1 - col0
-        have = pdf[pdf["tile_bytes"].notna()]
+        have = pdf[pdf[payload_col].notna()]
         if len(have):
             canvas, y_off, x_off = _mosaic_bbox(have, tw, th, cols, lw, lh)
         else:
@@ -829,8 +845,13 @@ def crop_render(
         .withColumn("tile_idx", (F.col("_r") * F.col("cols") + F.col("_c")).cast("int"))
         .select("image_id", "level", "tile_idx", "lw", "lh", "tile_w", "tile_h", "cols", "rows")
     )
+    tile_cols = (
+        ("image_id", "level", "tile_idx", "raw")
+        if "raw" in tiles.columns
+        else ("image_id", "level", "tile_idx", "fmt", "tile_bytes")
+    )
     joined = wanted.join(
-        tiles.select("image_id", "level", "tile_idx", "fmt", "tile_bytes"),
+        tiles.select(*tile_cols),
         ["image_id", "level", "tile_idx"],
         "inner",
     )
