@@ -535,6 +535,13 @@ def split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
             rest += stream[pos:]
             tables += b"\xff\xd9"
             return bytes(tables), bytes(rest)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry NO length word
+            # (T.81 B.1.1.3) — reading one as a segment would misparse
+            # the rest of the stream (ADVICE r6)
+            rest += stream[pos : pos + 2]
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", stream, pos + 2)
         seg = stream[pos : pos + 2 + seglen]
         (tables if marker in (0xDB, 0xC4) else rest).extend(seg)

@@ -454,8 +454,18 @@ def encode_cog_blocked(
     # relation: assemble_cogs / write_cog_ranged rebuild the shared
     # tag-347 tables from quality, and a mismatched value would pair
     # wrong DQT tables with the coefficients — decodes without error,
-    # silently wrong pixels (review finding r6)
+    # silently wrong pixels (review finding r6). Same hazard class for
+    # predictor and nodata (ADVICE r6): tiles compressed with predictor=2
+    # but assembled into a prefix declaring predictor=1 (or sparse holes
+    # cut against nodata=N with a prefix declaring none) parse cleanly and
+    # decode silently wrong — so they ride the relation too and the
+    # assemblers prefer them over their own params. (Python attributes are
+    # lost by intervening DataFrame transformations; the assemblers then
+    # fall back to their explicit params — pass them consistently when
+    # filtering/reconstructing a tile relation.)
     out._cogsink_jpeg_quality = quality
+    out._cogsink_predictor = predictor
+    out._cogsink_nodata = nodata
     return out
 
 
@@ -482,10 +492,12 @@ def assemble_cogs(
     raster too big for any single task goes to write_cog_ranged
     instead."""
     spark = tiles.sparkSession
-    # prefer the quality the tiles were actually compressed at (attached
-    # by encode_cog_blocked) — the param is only the fallback for tile
-    # relations reconstructed from storage
+    # prefer the quality/predictor/nodata the tiles were actually
+    # compressed at (attached by encode_cog_blocked) — the params are only
+    # the fallback for tile relations reconstructed from storage
     quality = getattr(tiles, "_cogsink_jpeg_quality", quality)
+    predictor = getattr(tiles, "_cogsink_predictor", predictor)
+    nodata = getattr(tiles, "_cogsink_nodata", nodata)
     meta = _collect_meta(images_meta, predictor, palette, compression)
     if not meta:
         return spark.createDataFrame([], "image_id string, cog binary, cog_bytes long")
@@ -548,6 +560,17 @@ def assemble_cogs(
     def concat(pdf: pd.DataFrame) -> pd.DataFrame:
         img = pdf["image_id"].iloc[0]
         pdf = pdf.sort_values(["level", "tile_idx"])
+        # the prefix's offsets were computed from the COLLECTED nbytes; a
+        # reconstructed relation whose data/nbytes disagree would shift
+        # every later offset silently (ADVICE r6) — fail loudly instead
+        for lv, ti, nb, data in zip(
+            pdf["level"], pdf["tile_idx"], pdf["nbytes"], pdf["data"]
+        ):
+            if len(data) != nb:
+                raise ValueError(
+                    f"{img} level {lv} tile {ti}: payload is {len(data)} "
+                    f"bytes but nbytes says {nb} — offsets would corrupt"
+                )
         cog = bpre.value[img] + b"".join(pdf["data"].to_numpy())
         return pd.DataFrame(
             [(img, cog, len(cog))], columns=["image_id", "cog", "cog_bytes"]
@@ -587,6 +610,8 @@ def write_cog_ranged(
         raise ValueError("write_cog_ranged sinks exactly one image per path")
     img = metas[0]["image_id"]
     quality = getattr(tiles, "_cogsink_jpeg_quality", quality)
+    predictor = getattr(tiles, "_cogsink_predictor", predictor)
+    nodata = getattr(tiles, "_cogsink_nodata", nodata)
     upstream = getattr(tiles, "_cogsink_persisted", [])
     tiles = tiles.filter(F.col("image_id") == img).persist()
     try:
@@ -639,11 +664,19 @@ def write_cog_ranged(
             f.write(prefix)
             n += len(prefix)
             it = (
-                tiles.select("level", "tile_idx", "data")
+                tiles.select("level", "tile_idx", "nbytes", "data")
                 .orderBy("level", "tile_idx")
                 .toLocalIterator()
             )
             for r in it:
+                if len(r["data"]) != r["nbytes"]:
+                    # prefix offsets came from the collected nbytes — a
+                    # mismatched payload would shift every later offset
+                    raise ValueError(
+                        f"{img} level {r['level']} tile {r['tile_idx']}: "
+                        f"payload is {len(r['data'])} bytes but nbytes "
+                        f"says {r['nbytes']} — offsets would corrupt"
+                    )
                 f.write(r["data"])
                 n += len(r["data"])
         return n
@@ -677,6 +710,23 @@ def render_blocks_to_cogs(
     # tile-size collect) — persist so it runs once, released below once
     # the compressed tiles are materialized
     blocks = blocks.persist()
+    # the composite key concat/splits on SEP: an id CONTAINING the
+    # separator would mis-split the output columns and can collide two
+    # distinct (query, image) pairs into one sink image (ADVICE r6) —
+    # reject up front (metadata-sized check against the persisted render)
+    offender = (
+        blocks.filter(
+            F.col("query_id").contains(SEP) | F.col("image_id").contains(SEP)
+        )
+        .select("query_id", "image_id")
+        .limit(1)
+        .collect()
+    )
+    if offender:
+        raise ValueError(
+            f"query_id/image_id must not contain the 0x1f separator: "
+            f"{offender[0].asDict()!r}"
+        )
     keyed = blocks.select(
         F.concat_ws(SEP, "query_id", "image_id").alias("image_id"),
         F.col("by").alias("row"),

@@ -767,11 +767,19 @@ def region_render_blocked(
         r0 = pdf.iloc[0]
         out_w, out_h = int(r0["out_w"]), int(r0["out_h"])
         canvas = np.zeros((out_h, out_w, 3), dtype=np.uint8)
-        for _, r in pdf.iterrows():
-            bh, bw = int(r["block_h"]), int(r["block_w"])
-            y0, x0 = int(r["row0"]), int(r["col0"])
+        # column-array iteration, not iterrows (the repo rule — render.py
+        # fanout_blocks, tiling.py build_tiles): a Series per row is ~30 us
+        # of pure overhead each
+        bhs = pdf["block_h"].to_numpy()
+        bws = pdf["block_w"].to_numpy()
+        y0s = pdf["row0"].to_numpy()
+        x0s = pdf["col0"].to_numpy()
+        rasters = pdf["raster"].to_numpy()
+        for i in range(len(pdf)):
+            bh, bw = int(bhs[i]), int(bws[i])
+            y0, x0 = int(y0s[i]), int(x0s[i])
             canvas[y0 : y0 + bh, x0 : x0 + bw] = np.frombuffer(
-                r["raster"], dtype=np.uint8
+                rasters[i], dtype=np.uint8
             ).reshape(bh, bw, 3)
         return pd.DataFrame(
             [

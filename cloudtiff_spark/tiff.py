@@ -943,7 +943,7 @@ def cog_info(data: bytes) -> dict:
     levels = []
     mask_levels = []
     for tags in t["ifds"]:
-        if T_WIDTH not in tags:
+        if T_WIDTH not in tags or T_LENGTH not in tags:
             continue  # malformed IFD: skipped (cog/mod.rs:115)
         strip = False
         mask = False
@@ -960,6 +960,14 @@ def cog_info(data: bytes) -> dict:
                 mask = True
             elif subtype & 0x2:
                 continue  # multi-page document page: skip like strips do
+            if not all(
+                k in tags for k in (T_TILELENGTH, T_TILEOFFSETS, T_TILEBYTECOUNTS)
+            ):
+                # a tiled IFD missing its companion tags is malformed —
+                # skip like the other malformation branches do (a bare
+                # KeyError here is untyped and crashes the header
+                # grow-and-reparse loop, ADVICE r6)
+                continue
             tile_w, tile_h = tags[T_TILEWIDTH][0], tags[T_TILELENGTH][0]
             offsets, counts = tags[T_TILEOFFSETS], tags[T_TILEBYTECOUNTS]
         elif T_STRIPOFFSETS in tags and T_STRIPBYTECOUNTS in tags:

@@ -435,3 +435,64 @@ def test_blocked_average_nodata_sparse_matches_single_pass(spark):
     assert bytes(rows[0]["cog"]) == single
     info = cog_info(single)
     assert any(n == 0 for lev in info["levels"] for n in lev["byte_counts"])
+
+
+def test_predictor_and_nodata_ride_tile_relation(spark):
+    """ADVICE r6: tiles compressed with predictor=2 (or sparse holes cut
+    against a nodata) but assembled with the assembler's DEFAULTS produce
+    a container that parses cleanly yet decodes silently wrong pixels —
+    the same hazard class the quality attribute closed. Both now ride the
+    tile relation; the natural pipe (encode -> assemble with defaults)
+    stays byte-identical to encode_cog at the true params."""
+    from cloudtiff_spark.operators.cogsink import (
+        assemble_cogs,
+        blocks_from_images,
+        encode_cog_blocked,
+    )
+
+    arr = _rng(117).integers(0, 256, (150, 200, 3), dtype=np.uint8)
+    arr[:70, :70] = 42  # a nodata-uniform region -> sparse hole
+    h, w, c = arr.shape
+    meta = _meta_df(spark, "img", w, h, c, "uint8")
+    images = spark.createDataFrame(
+        [("img", bytearray(arr.tobytes()), w, h, c, "uint8")],
+        "image_id string, raster binary, w int, h int, c int, dtype string",
+    )
+    blocks = blocks_from_images(images, tile=64)
+    tiles = encode_cog_blocked(
+        blocks, meta, tile=64, predictor=2, sparse=True, nodata=42
+    )
+    # note: NO predictor/nodata passed here — they must ride the relation
+    rows = assemble_cogs(tiles, meta, tile=64).collect()
+    single = encode_cog(
+        arr, 32633, 500000.0, 5200000.0, 10.0, tile=64,
+        predictor=2, sparse=True, nodata=42,
+    )
+    assert bytes(rows[0]["cog"]) == single
+
+
+def test_render_blocks_to_cogs_rejects_separator_ids(spark):
+    """ADVICE r6: an id containing the 0x1f composite-key separator would
+    mis-split the output columns and can collide two renders into one
+    sink image — rejected up front."""
+    import pytest as _pytest
+
+    from cloudtiff_spark.operators.cogsink import render_blocks_to_cogs
+
+    blocks = spark.createDataFrame(
+        [
+            (
+                "q\x1fx", "img", 0, 0, 0, 0, 0, 64, 64, 64, 64,
+                bytearray(b"\0" * (64 * 64 * 3)),
+            )
+        ],
+        "query_id string, image_id string, level int, by int, bx int, "
+        "row0 int, col0 int, block_h int, block_w int, out_w int, out_h int, "
+        "raster binary",
+    )
+    queries = spark.createDataFrame(
+        [("q\x1fx", 0.0, 0.0, 1.0, 1.0)],
+        "query_id string, rxmin double, rymin double, rxmax double, rymax double",
+    )
+    with _pytest.raises(ValueError, match="separator"):
+        render_blocks_to_cogs(blocks, queries, tile=64)

@@ -2012,3 +2012,60 @@ class TestOverviewsFirstLayout:
             for ti in range(len(lev["offsets"])):
                 assert lev["offsets"][ti] + lev["byte_counts"][ti] <= lv0_start
                 tiff.decode_tile(data[:lv0_start] + b"", info, lv, ti)
+
+
+class TestAdviceR6Guards:
+    def test_split_jpeg_tables_passes_standalone_markers(self):
+        """ADVICE r6: TEM (0x01) and stray RSTn markers carry no length
+        word (T.81 B.1.1.3); reading one as a segment misparses the rest
+        of the stream. They must be copied verbatim into the per-tile
+        stream and the split must still find SOS."""
+        from cloudtiff_spark.jpeg import merge_jpeg_tables, split_jpeg_tables
+
+        from cloudtiff_spark.jpeg import encode_jpeg
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        full = bytearray(encode_jpeg(img, 75))
+        # inject TEM + RST0 right after SOI, before the first segment
+        doctored = bytes(full[:2]) + b"\xff\x01\xff\xd0" + bytes(full[2:])
+        tables, abbrev = split_jpeg_tables(doctored)
+        assert b"\xff\x01" in abbrev and b"\xff\xd0" in abbrev
+        # tables stream unchanged by the standalone markers
+        ref_tables, _ = split_jpeg_tables(bytes(full))
+        assert tables == ref_tables
+        merged = merge_jpeg_tables(tables, abbrev)
+        assert merged[:2] == b"\xff\xd8"
+
+    def test_cog_info_skips_tiled_ifd_missing_companion_tags(self):
+        """ADVICE r6: a tiled IFD missing TileLength/offsets/bytecounts
+        raised a bare KeyError (untyped — crashed the header grow-and-
+        reparse loop); it must be skipped like the other malformed-IFD
+        branches, leaving the valid IFDs readable."""
+        import numpy as np
+
+        from cloudtiff_spark import tiff
+
+        arr = np.zeros((80, 80, 3), dtype=np.uint8)
+        data = tiff.encode_cog(arr, 32633, 500000.0, 5200000.0, 10.0, tile=64)
+        t = tiff.parse_tiff(data)
+        # drop TileLength from the FIRST IFD and rebuild a minimal file:
+        # simplest spec-true simulation is to re-parse with the tag gone
+        import cloudtiff_spark.tiff as T
+
+        orig = T.parse_tiff
+
+        def parse_drop(b):
+            out = orig(b)
+            out["ifds"][0].pop(T.T_TILELENGTH, None)
+            return out
+
+        T.parse_tiff, restore = parse_drop, orig
+        try:
+            info = tiff.cog_info(data)
+            # first IFD skipped, the rest still admitted
+            assert len(info["levels"]) == len(t["ifds"]) - 1
+        finally:
+            T.parse_tiff = restore
