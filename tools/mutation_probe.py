@@ -86,6 +86,7 @@ def main() -> int:
         E._sparse_cogs = orig_sparse
         E._RASTER_CACHE.clear()
         E._TILES_CACHE.clear()
+        E._TILES_RAW_CACHE.clear()
         E._SHINGLE_CACHE.clear()
         E._EMB_CACHE.clear()
         if kind == "doc_text":
@@ -282,6 +283,7 @@ def main() -> int:
     E._sparse_cogs = orig_sparse
     E._RASTER_CACHE.clear()
     E._TILES_CACHE.clear()
+    E._TILES_RAW_CACHE.clear()
     E._SHINGLE_CACHE.clear()
     E._EMB_CACHE.clear()
     for name in ["simhash", "embed_topk", "decode_check", "pricing_summary",
