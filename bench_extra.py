@@ -7,7 +7,6 @@ optimization loop's before/after numbers (OPTIMIZATION_r07.md cites it).
 
 Usage:
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench_extra.py wmts_render region_render
-  BENCH_QUERY_ITERS=3 python bench_extra.py --all-heavy   # every query > 2s in the last record
 """
 
 from __future__ import annotations

@@ -494,7 +494,14 @@ def assemble_cogs(
     pulled, which at the 10^8-tile design point was a driver OOM. The
     per-image fan-in is inherent to producing one contiguous byte string
     per row (the write_cogs output contract); a raster too big for any
-    single task goes to write_cog_ranged instead."""
+    single task goes to write_cog_ranged instead.
+
+    Validation surface note: with the prefix built in-task, the
+    duplicate/missing/out-of-grid/nbytes checks raise AT ACTION TIME from
+    the failing image's task (a Spark PythonException carrying the
+    message), not eagerly from this call — only the absent-image check
+    stays driver-side. A consumer that never computes a corrupt image's
+    group (e.g. behind a filter) does not observe its error."""
     spark = tiles.sparkSession
     # prefer the quality/predictor/nodata the tiles were actually
     # compressed at (attached by encode_cog_blocked) — the params are only

@@ -200,7 +200,11 @@ def minhash_lsh_pairs(
     # and the exploded relation is already hash-partitioned by doc_id
     # (the _docs repartition), so the groupBy needs no exchange. The hash
     # VALUES are unchanged (same xxhash64(g, seed=i)), hence identical
-    # signatures, buckets, candidates, and output.
+    # signatures, buckets, candidates, and output. (Null-shingles docs:
+    # the explode drops them where the array form carried an all-null
+    # signature row — but such a doc could never emit a pair either way,
+    # because the verify stage's size(array_intersect/union(NULL, ...))
+    # is NULL and NULL >= tau filters false.)
     exg = s.select("doc_id", F.explode("shingles").alias("g"))
     sig = exg.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("g", F.lit(i))).alias(f"m{i}") for i in range(nperm)]

@@ -68,7 +68,9 @@ def knn(meta: DataFrame, queries: DataFrame, z: int = Z_KNN, max_rounds: int = 8
     n_pts = pts.count()
     if n_pts == 0:
         # no candidate points: every query "scans the world" and finds
-        # nothing — return the empty result without looping
+        # nothing — return the empty result without looping (and without
+        # leaking the just-materialized cache)
+        pts.unpersist()
         return q.select("query_id", F.lit(1).cast("int").alias("rank"), F.lit("").alias("image_id")).limit(0)
     density = n_pts / float(n * n)
     k_hint = 16.0  # fixture k's are single-digit; 4*k headroom
@@ -85,6 +87,11 @@ def knn(meta: DataFrame, queries: DataFrame, z: int = Z_KNN, max_rounds: int = 8
         # [r_lo, r_hi]) — O(annulus), not O(square): rows with |dy| >= r_lo
         # span the full dx range; interior rows only the two side strips.
         # (r_lo == 0 always takes the full-range branch, so no duplicates.)
+        # isin over the active-id list is right at the query counts this
+        # operator sees (the vector side is small by design — pip_join
+        # broadcasts it whole); a service with 10^5+ concurrent knn
+        # queries should swap this for a left_anti join against a
+        # done-ids relation to keep the per-round plan size bounded
         active = q if active_ids is None else q.filter(F.col("query_id").isin(list(active_ids)))
         dx_full = F.sequence(F.lit(-r_hi), F.lit(r_hi))
         dx_sides = F.concat(
