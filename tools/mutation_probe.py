@@ -87,6 +87,7 @@ def main() -> int:
         E._RASTER_CACHE.clear()
         E._TILES_CACHE.clear()
         E._TILES_RAW_CACHE.clear()
+        E._SUB_LEVELS_CACHE.clear()
         E._SHINGLE_CACHE.clear()
         E._EMB_CACHE.clear()
         if kind == "doc_text":
@@ -284,6 +285,7 @@ def main() -> int:
     E._RASTER_CACHE.clear()
     E._TILES_CACHE.clear()
     E._TILES_RAW_CACHE.clear()
+    E._SUB_LEVELS_CACHE.clear()
     E._SHINGLE_CACHE.clear()
     E._EMB_CACHE.clear()
     for name in ["simhash", "embed_topk", "decode_check", "pricing_summary",
